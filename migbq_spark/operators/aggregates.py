@@ -1,0 +1,232 @@
+"""Aggregation operators — SURVEY.md §2.D.
+
+Reference parity: `agg_pk_bounds` is migbq's first query per table
+(SELECT MIN(pk),MAX(pk),COUNT(*) — `[pub:H migbq/MsSqlDatasource.py]`,
+SURVEY §3.1); `agg_having_dups` is its post-retry duplicate-PK probe and
+`agg_day_counts` its per-day `check` reconciliation count
+(`[pub:H migbq/BigQueryForwarder.py]`).  The rest is engine-core
+aggregation surface.
+
+Scale notes (100 TB): every groupBy here compiles to partial (map-side)
++ final hash aggregation — one shuffle on the group keys, no driver-side
+work.  Group-key cardinality is tiny (flags, types, days), so the reduce
+side is trivially balanced; AQE coalesces the post-shuffle partitions.
+DECIMAL sums are exact and order-independent, which is also what makes
+them safe under any degree of parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.common import DEC, dec
+from migbq_spark.registry import register
+
+
+@register(
+    "agg_pk_bounds",
+    oracle="""
+    SELECT MIN(o_orderkey) AS pk_min, MAX(o_orderkey) AS pk_max,
+           COUNT(*) AS cnt
+    FROM orders
+    """,
+)
+def agg_pk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's table-bounds probe, the first query of every migration run."""
+    return load(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey").alias("pk_min"),
+        F.max("o_orderkey").alias("pk_max"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_groupby_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                              AS DECIMAL(18,4))
+                         * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+                         AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (TPC-H Q1 shape): per (returnflag, linestatus) money sums.
+
+    All money math is DECIMAL end-to-end with explicit intermediate casts
+    (lossless: 2dp×2dp→4dp, ×2dp→6dp) so Spark and DuckDB agree
+    bit-for-bit regardless of partitioning/add order (SURVEY §7.4.1).
+    Final casts widen precision but NEVER reduce scale — a final round to
+    2dp hits half-cent values that Spark (HALF_UP) and DuckDB (half-even)
+    round differently.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = (dec("l_extendedprice") * (one - dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    charge = (disc_price * (one + dec("l_tax"))).cast("decimal(18,6)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_avg_decimal",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_avg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG in its bit-stable form: exact decimal SUM, then a single IEEE
+    double division — identical bits on any engine (decimal division would
+    engage engine-specific scale/rounding rules instead)."""
+    c = load(spark, sf_dir, "customer")
+    sum_bal = F.sum(dec("c_acctbal"))
+    cnt = F.count(F.lit(1))
+    return c.groupBy("c_mktsegment").agg(
+        sum_bal.cast("decimal(38,2)").alias("sum_bal"),
+        cnt.alias("cnt"),
+        (sum_bal.cast("double") / cnt).alias("avg_bal"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB form of
+    `agg_count_distinct`: no exact-distinct shuffle explosion, fixed-size
+    sketch per group, mergeable map-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "agg_having_dups",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 10
+    """,
+)
+def agg_having_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's duplicate-PK probe shape: GROUP BY key HAVING COUNT(*)>N."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 10)
+    )
+
+
+@register(
+    "agg_day_counts",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+)
+def agg_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq `check`: per-day row counts (BQ side grouped by _PARTITIONTIME)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("mq_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        FROM mq_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory and per-session runtime configuration.
+
+Two paths:
+- ``get_spark()`` builds a local session (tests / bench) with the configs
+  an executor-cluster deployment would also want (AQE, Arrow, sane shuffle
+  partitions).
+- ``ensure_runtime_confs(spark)`` is called by every query on whatever
+  session the driver hands us: it sets only *runtime-settable* confs that
+  correctness depends on (ns-parquet mitigation, UTC session tz).  This is
+  what makes the engine work on a SparkSession we didn't build.
+
+Scale notes (100 TB): shuffle.partitions here is sized for local[32]; on a
+real cluster set spark.sql.shuffle.partitions ≈ 2-3× total cores and rely
+on AQE coalescing — every operator in this repo is declarative, so the
+same plans re-optimize under AQE at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that must hold on ANY session running our queries (all are
+#: runtime-settable; verified on pyspark 4.1.2).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.ts is ns-precision parquet; Spark 4.x refuses TIMESTAMP(NANOS)
+    # unless this legacy conf maps it to LongType.  catalog.load() then
+    # converts with timestamp_micros(ts div 1000).  (FIXTURES.md, SURVEY §7.4.5)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are naive; pin Spark's session tz so TimestampType
+    # renders/derives identically on both sides.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for the pandas-UDF surface (§2.J).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply RUNTIME_CONFS to an externally-built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-settable on some build => best effort; queries that need
+            # it will raise a clear AnalysisException at scan time.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "migbq-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession with the engine's standard configuration."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("MIGBQ_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("MIGBQ_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

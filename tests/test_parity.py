@@ -1,0 +1,39 @@
+"""Pre-flight mirror of the driver's t2 harness: every hash-checked query
+is compared against its DuckDB oracle (row-count + column names +
+order-insensitive canonical values); rows-only queries must at least run
+and return a stable schema twice.
+"""
+
+import pytest
+
+from migbq_spark import registry
+from migbq_spark.testing import compare
+
+QUERIES = registry.queries()
+ORACLES = registry.oracle_sql()
+
+HASH_IDS = sorted(ORACLES)
+ROWS_ONLY_IDS = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("qid", HASH_IDS)
+def test_hash_parity(qid, spark, duck, sf_dir):
+    df = QUERIES[qid](spark, sf_dir)
+    res = compare(df, duck, ORACLES[qid])
+    assert res["ok"], {k: v for k, v in res.items() if k != "ok"}
+
+
+@pytest.mark.parametrize("qid", ROWS_ONLY_IDS)
+def test_rows_only_runs(qid, spark, sf_dir):
+    df = QUERIES[qid](spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    # stable schema on re-run
+    df2 = QUERIES[qid](spark, sf_dir)
+    assert df.columns == df2.columns
+
+
+def test_every_query_has_contract_entry():
+    assert QUERIES, "no queries registered"
+    for qid in ORACLES:
+        assert qid in QUERIES
