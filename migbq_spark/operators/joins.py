@@ -1,1 +1,271 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators — SURVEY.md §2.C.
+
+Reference parity: migbq pushes joins to BigQuery; the engine implements
+them natively.  `join_anti` is the shape of migbq's retry logic (ranges
+attempted but not completed — `[pub:H migbq/MigrationMetadataManager.py]`);
+`join_full_outer` is its `check` reconciliation
+(`[pub:H migbq/migbq.py check]`).
+
+Scale notes (100 TB):
+- Fact⋈fact joins (orders⋈lineitem) shuffle both sides on the join key —
+  the key is the natural bucketing column, so a bucketed lakehouse layout
+  makes these co-located, and AQE skew-join splits hot keys.
+- Dim joins broadcast: `join_broadcast_dim` asserts an explicit
+  F.broadcast on the region/nation dims; the 5-way star relies on
+  autoBroadcastJoinThreshold + AQE to broadcast customer/nation/region
+  and shuffle only the lineitem⋈orders edge.
+- `join_asof` deliberately avoids the O(n·m) range self-join: it is a
+  single window pass (one shuffle on user_id) carrying the last-seen
+  signup timestamp forward — the scalable as-of formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.common import DEC
+from migbq_spark.registry import register
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join on a small dim — the plan must contain
+    BroadcastHashJoin (asserted in tests/test_plans.py)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner").select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN preserving order-less customers; COUNT(col) skips the
+    NULLs a preserved row carries, yielding 0."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(f.c, o.c) AS custkey,
+           COALESCE(f.n_f, 0) AS n_f, COALESCE(o.n_o, 0) AS n_o,
+           COALESCE(f.n_f, 0) - COALESCE(o.n_o, 0) AS diff
+    FROM (SELECT o_custkey AS c, COUNT(*) AS n_f FROM orders
+          WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    FULL OUTER JOIN
+         (SELECT o_custkey AS c, COUNT(*) AS n_o FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) o
+    ON f.c = o.c
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq-`check`-shaped reconciliation: two per-key counts FULL OUTER
+    joined with COALESCE'd sides and a mismatch diff."""
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    o = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_o"))
+    )
+    j = f.join(o, "c", "full")
+    n_f = F.coalesce("n_f", F.lit(0))
+    n_o = F.coalesce("n_o", F.lit(0))
+    return j.select(
+        F.col("c").alias("custkey"),
+        n_f.alias("n_f"),
+        n_o.alias("n_o"),
+        (n_f - n_o).alias("diff"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq retry-scan shape: recorded ranges with no completion record.
+    Here: orders with no high-quantity lineitem (left_anti on a filtered
+    build side)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate
+    """,
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate: Spark plans the equi part as the join
+    key and evaluates the range residual post-match — no cartesian."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate >= o.o_orderdate),
+        "inner",
+    ).select("o_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_star_5way",
+    oracle="""
+    SELECT r.r_name,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star (TPC-H Q5 shape): revenue per region.
+
+    Join order is declared smallest-last and left to Catalyst/AQE: the
+    only shuffle join is lineitem⋈orders; customer/nation/region fall
+    under the broadcast threshold at any realistic dim size."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    one = F.lit(1).cast(DEC)
+    rev = (
+        F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
+    ).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           (SELECT CAST(MAX(s.ts) AS TIMESTAMP) FROM events s
+            WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+              AND s.ts <= p.ts) AS signup_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    prior (or simultaneous) signup.
+
+    Implemented as a single running-max window over the unified event
+    stream — one shuffle on user_id, O(n log n), no range self-join.  At
+    100 TB this is THE as-of formulation: the naive correlated/range join
+    is O(n·m) per user; this is a sort within user partitions.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    signup_ts = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("signup_ts", signup_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "signup_ts",
+        )
+    )

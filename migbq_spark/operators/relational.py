@@ -1,1 +1,203 @@
-"""Placeholder — populated in a later milestone."""
+"""Projection / filter / scalar-function operators — SURVEY.md §2.B.
+
+Reference parity: `filter_pred` is migbq's WHERE-clause assembly and
+`project_cast_typemap` its MSSQL→BigQuery type map applied as a cast
+projection (`[pub:H migbq/MsSqlDatasource.py, migbq/BigQueryForwarder.py]`,
+SURVEY §1.1); the rest is the engine's scalar-function surface.
+
+Scale notes (100 TB): everything here is a narrow projection/filter —
+Catalyst pushes the predicates and the column list into the parquet scan
+(PushedFilters / ReadSchema), so these run at scan speed with no shuffle
+and stay inside whole-stage codegen (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.common import DEC
+from migbq_spark.registry import register
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive comparison+equality predicates, pushed to the scan."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "project_cast_typemap",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice_dec,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderstatus AS VARCHAR) AS status_str
+    FROM orders
+    """,
+)
+def project_cast_typemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §1.1 MSSQL→BigQuery type map as a cast projection
+    (int→BIGINT, money→DECIMAL(18,2), datetime→DATE, varchar→STRING)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        F.col("o_totalprice").cast(DEC).alias("totalprice_dec"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderstatus").cast("string").alias("status_str"),
+    )
+
+
+@register(
+    "cond_case_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+                ELSE 'low' END AS prio_bucket,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    """,
+)
+def cond_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling / value mapping during forwarding (CASE/COALESCE/NULLIF),
+    the shape migbq applies when normalizing values for the BQ load."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+        .alias("prio_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )
+
+
+@register(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_up,
+           LOWER(p_name) AS name_lo,
+           SUBSTRING(p_type, 1, 5) AS type_pfx,
+           LENGTH(p_name) AS name_len,
+           TRIM(p_name) AS name_trim,
+           p_brand || '#' || p_type AS brand_type,
+           (p_name LIKE '%a%') AS has_a
+    FROM part
+    """,
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_name").alias("name_lo"),
+        F.substring("p_type", 1, 5).alias("type_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.trim("p_name").alias("name_trim"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%a%").alias("has_a"),
+    )
+
+
+@register(
+    "regexp_extract_json",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(props, '"k": (\\d+)', 1) AS k_str,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_int
+    FROM events
+    """,
+)
+def regexp_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract `k` from the events.props JSON payload via regex — the
+    hash-matched form; `get_json_object` (JSON-path) is the idiomatic Spark
+    form, exercised in `json_path_extract` (rows-only)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1)
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_int"),
+    )
+
+
+@register("json_path_extract")  # rows-only: JSON-path form (idiomatic Spark)
+def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           EXTRACT(month FROM o_orderdate) AS o_month,
+           EXTRACT(day FROM o_orderdate) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface. Spark `datediff(end, start)` ≡ DuckDB
+    `date_diff('day', start, end)` — argument order differs (SURVEY §7.4)."""
+    o = load(spark, sf_dir, "orders")
+    od = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(od, 30).alias("due_date"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_epoch0"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT event_id,
+           round(value, 1) AS val_round,
+           abs(value - 100) AS val_abs,
+           ceil(value) AS val_ceil,
+           floor(value) AS val_floor,
+           event_id % 7 AS id_mod,
+           pow(2, event_id % 10) AS id_pow
+    FROM events
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round("value", 1).alias("val_round"),
+        F.abs(F.col("value") - 100).alias("val_abs"),
+        F.ceil("value").cast("double").alias("val_ceil"),
+        F.floor("value").cast("double").alias("val_floor"),
+        (F.col("event_id") % 7).alias("id_mod"),
+        F.pow(F.lit(2), F.col("event_id") % 10).alias("id_pow"),
+    )

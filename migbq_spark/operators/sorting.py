@@ -1,1 +1,119 @@
-"""Placeholder — populated in a later milestone."""
+"""Sort / limit / top-k / set operators — SURVEY.md §2.F.
+
+Scale notes (100 TB): `topk_global` compiles to TakeOrderedAndProject —
+per-partition heaps + a driver merge of k rows, never a global sort.
+`sort_multi_key` materializes its observable rank with a single global
+window; at scale a rank like this is computed per-partition after a
+range-partitioned sort (Spark's SortExec) — the declared form lets
+Catalyst choose.  Set ops are shuffles on the full row; EXCEPT/INTERSECT
+deduplicate, UNION ALL is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 under a total order (tiebreak o_orderkey) —
+    TakeOrderedAndProject, no global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate ASC, o_totalprice DESC,
+                              o_orderkey ASC) AS rn
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort made observable: the order is materialized as a
+    row_number rank column (a bare ORDER BY is invisible to an
+    order-insensitive hash)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.orderBy(
+        F.asc("o_orderdate"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_orderdate", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+
+
+_SLICE_A = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000"
+_SLICE_B = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 140000"
+
+
+def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    a = o.filter(F.col("o_totalprice") > 150000).select(cols)
+    b = o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 140000)
+    ).select(cols)
+    return a, b
+
+
+@register("set_union_all", oracle=f"{_SLICE_A} UNION ALL {_SLICE_B}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two overlapping slices (duplicates preserved)."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@register("set_union_distinct", oracle=f"{_SLICE_A} UNION {_SLICE_B}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(p)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct); exceptAll().distinct() would keep
+    # values that appear on both sides with higher left multiplicity.
+    return f.subtract(p)
