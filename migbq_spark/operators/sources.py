@@ -1,1 +1,206 @@
-"""Placeholder — populated in a later milestone."""
+"""Source / sink operators — SURVEY.md §2.A: migbq's actual ETL surface.
+
+Reference parity: migbq's pipeline is  PK-range `SELECT *` sweep from
+MSSQL (`[pub:H migbq/MsSqlDatasource.py]`) → gzip CSV/NDJSON staging file
+→ BigQuery load job (`[pub:H migbq/BigQueryForwarder.py]`).  Each stage
+is one operator here:
+
+- `scan_full` / `scan_project_prune` / `pk_range_scan` — the extract side.
+  `pk_range_scan` is THE core migbq operator (`WHERE pk > lo AND pk <= hi`);
+  in Spark the whole serial sweep collapses into one partitioned read.
+- `jsonl_gz_export` / `csv_export` — the staging formats, as
+  write-then-typed-read-back round trips.
+- `parquet_sink` — the load-job equivalent (bulk append + read-back).
+- `jdbc_source` — a REAL `spark.read.jdbc` with partitionColumn stride
+  against embedded Derby (the only RDBMS in the container): Spark issues
+  one `WHERE pk >= lo AND pk < hi` query per partition — exactly migbq's
+  range loop, parallelized (SURVEY §7.6).
+- `bq_sink_adapter` — the production BigQuery writer config (connector
+  jar not present offline; plan construction only).
+
+Staging files live under <repo>/.stage (gitignored) — the container
+forbids writes outside the repo.
+
+Scale notes (100 TB): extraction parallelism = `numPartitions` sized so
+each partition ≈ migbq's batch_size×k rows; staging writes are
+per-partition (no driver funnel); read-backs use explicit schemas so the
+round trip never pays inference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+_STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
+
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return str(_STAGE_ROOT / tag / name)
+
+
+@register("scan_full", oracle="SELECT * FROM customer")
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan — migbq's per-range `SELECT *` degenerate case."""
+    return load(spark, sf_dir, "customer")
+
+
+@register(
+    "scan_project_prune",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def scan_project_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit column-list projection: Catalyst prunes the parquet scan
+    to exactly these columns (ReadSchema in .explain)."""
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "pk_range_scan",
+    oracle="""
+    SELECT * FROM lineitem WHERE l_orderkey > 1000 AND l_orderkey <= 2000
+    """,
+)
+def pk_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's core batch extraction: one PK range of rows.  The
+    predicate is pushed into the parquet scan (PushedFilters); on the
+    JDBC path the same shape becomes the per-partition stride query."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") > 1000) & (F.col("l_orderkey") <= 2000))
+
+
+@register(
+    "jsonl_gz_export",
+    oracle="SELECT c_custkey, c_name FROM customer",
+)
+def jsonl_gz_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage rows as gzip NDJSON (migbq's BQ staging format), then read
+    the stage back with an explicit schema — the query result is the
+    read-back, so the hash check proves the round trip is lossless.
+    Scalars only: JSON text round-trips of doubles are not bit-stable."""
+    src = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dest = _stage_dir(sf_dir, "customer_jsonl_gz")
+    src.write.mode("overwrite").option("compression", "gzip").json(dest)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(dest).select("c_custkey", "c_name")
+
+
+@register(
+    "csv_export",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alternative CSV staging format, as a typed read-back round trip."""
+    src = load(spark, sf_dir, "nation")
+    dest = _stage_dir(sf_dir, "nation_csv")
+    src.write.mode("overwrite").option("header", "true").csv(dest)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema).option("header", "true").csv(dest)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register("parquet_sink", oracle="SELECT * FROM region")
+def parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigQuery load-job equivalent: bulk append into a destination
+    parquet table, then read the destination back.  (Overwrite of a
+    per-sf staging dir keeps the query idempotent across runs.)"""
+    src = load(spark, sf_dir, "region")
+    dest = _stage_dir(sf_dir, "region_sink")
+    src.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@register("jdbc_source")  # rows-only: no live RDBMS; Derby is in-process
+def jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSSQL/MySQL connector path, exercised for real against embedded
+    Derby: load nation → JDBC table, then `spark.read.jdbc` with
+    partitionColumn/lowerBound/upperBound/numPartitions — Spark emits one
+    stride query per partition, which IS migbq's PK-range sweep run in
+    parallel.  Production swaps the URL/driver for MSSQL (TDS) or MySQL;
+    nothing else changes."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    url = f"jdbc:derby:memory:migbq_{tag};create=true"
+    src = load(spark, sf_dir, "nation")
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY_DRIVER)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+    )
+
+
+@register("bq_sink_adapter")  # rows-only: connector jar absent offline
+def bq_sink_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production BigQuery sink (spark-bigquery-connector) — the writer
+    plan is built exactly as production would
+    (`df.write.format("bigquery")` + options); offline we return the
+    resolved load-job config instead of calling save().
+
+    Production call (requires the connector jar + GCP credentials):
+        df.write.format("bigquery")
+          .option("table", f"{project}.{dataset}.{table}")
+          .option("writeMethod", "indirect")
+          .option("temporaryGcsBucket", bucket)
+          .option("intermediateFormat", "parquet")
+          .mode("append").save()
+    """
+    src = load(spark, sf_dir, "region")
+    writer = (
+        src.write.format("bigquery")
+        .option("table", "project.dataset.region")
+        .option("writeMethod", "indirect")
+        .option("intermediateFormat", "parquet")
+        .mode("append")
+    )
+    assert writer is not None  # plan builds; .save() needs the connector jar
+    return spark.createDataFrame(
+        [
+            (
+                "bigquery",
+                "project.dataset.region",
+                "indirect",
+                "parquet",
+                "append",
+                src.count(),
+            )
+        ],
+        "format string, table string, write_method string, "
+        "intermediate_format string, mode string, n_rows bigint",
+    )

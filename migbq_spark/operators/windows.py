@@ -1,1 +1,155 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function operators — SURVEY.md §2.E.
+
+Reference parity: `win_rownum_dedup` IS migbq's BigQuery dedup repair —
+after a retried load double-inserts a PK range, it keeps one row per PK
+with `ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC) = 1`
+(`[pub:H migbq/BigQueryForwarder.py]`, SURVEY §3.1 EP3).
+
+Determinism: every window ORDER BY ends in a unique tiebreak
+(event_id / o_orderkey / c_custkey), and every timestamp ordering is done
+at µs precision on BOTH engines — the oracle casts ts inside the window's
+ORDER BY, because ordering DuckDB's ns values while Spark orders µs
+values could pick different survivors on µs ties.
+
+Scale notes (100 TB): all partitioned windows are a single hash shuffle
+on the partition key + an in-partition sort — the scalable shape.  The
+two global windows (`win_ntile`, `sort_multi_key`) funnel into one
+partition by definition; they are declared queries, not building blocks —
+at scale you'd range-partition first (SortExec does) or bucket by an
+ntile boundary lookup from a sampled quantile sketch
+(approxQuantile), which is how `win_ntile`'s docstring says to scale it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.common import dec
+from migbq_spark.registry import register
+
+
+@register(
+    "win_rownum_dedup",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM (SELECT user_id, event_type, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def win_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's dedup-repair shape: deterministic keep-latest-one-per-key.
+    (Never bare dropDuplicates — which row survives is nondeterministic.)"""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "win_rank_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def win_rank_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — per-group top-k via row_number; at
+    scale this is the shuffle-once alternative to a global sort."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           date_diff('microsecond',
+                     LAG(CAST(ts AS TIMESTAMP)) OVER w,
+                     CAST(ts AS TIMESTAMP)) AS gap_us,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (µs) + next event type — the
+    sessionization input (§2.H `stream_session_window` builds on this)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in date order (explicit ROWS frame)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_day"),
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+    )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucket of customers by balance (total order w/ tiebreak).
+    Global window — at 100 TB compute quartile boundaries with
+    approxQuantile / percentile_approx and broadcast-join the bucket
+    lookup instead of a single-partition NTILE."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
