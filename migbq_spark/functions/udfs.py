@@ -1,1 +1,138 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.J.
+
+migbq has no user-function surface (config-driven only, `[pub:H]`); the
+engine exposes the full PySpark function ladder:
+
+- row-wise Python UDF (the slow path — kept OUT of every other operator;
+  declared here once so the surface exists and is tested),
+- Arrow-vectorized scalar pandas_udf (~10-100× the row-wise path),
+- grouped-aggregate pandas_udf,
+- grouped-map applyInPandas (the UDTF shape).
+
+Scale notes (100 TB): pandas UDFs move Arrow record batches across the
+JVM↔Python boundary per partition — throughput scales with executors.
+Grouped-map materializes each group in one Python worker: fine for
+per-returnflag groups, NOT for unbounded keys — that caveat is why the
+equivalent windowed form (see each oracle) is preferred when expressible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS price_band
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF: price-band labeling (threshold compares only —
+    no float arithmetic, so parity is exact)."""
+
+    @F.udf("string")
+    def band(p: float) -> str:
+        if p < 50000:
+            return "low"
+        if p < 150000:
+            return "mid"
+        return "high"
+
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("price_band"))
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT o_orderkey, l_linenumber,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4)) * 10000 AS BIGINT) AS net_e4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf: net revenue per line in exact
+    1e-4 currency units.  Integer cent math end-to-end — float rounding
+    is engine-specific on the exact half-cents this fixture produces
+    (pandas half-even vs DuckDB half-away), integers are not."""
+
+    @pandas_udf("long")
+    def net_e4(price: pd.Series, disc: pd.Series) -> pd.Series:
+        cents = (price * 100).round().astype("int64")       # exact: 2dp input
+        disc_pct = (disc * 100).round().astype("int64")     # exact: 2dp input
+        return cents * (100 - disc_pct)                     # 1e-4 units
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            net_e4("l_extendedprice", "l_discount").alias("net_e4"),
+        )
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_discount) / SUM(l_discount), 4) AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas_udf: discount-weighted average price per
+    returnflag, rounded to 4 dp (float-sensitive, SURVEY §7.4.4)."""
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, w: pd.Series) -> float:
+        return float((price * w).sum() / w.sum())
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_discount"), 4).alias("w_avg_price")
+    )
+
+
+@register(
+    "udtf_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event_type z-score normalization
+    (the canonical normalize pattern).  pandas std(ddof=1) ==
+    STDDEV_SAMP; rounded to 4 dp."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        pdf = pdf[["event_id", "event_type"]].copy()
+        pdf["z"] = ((v - v.mean()) / v.std(ddof=1)).round(4)
+        return pdf
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, "event_id bigint, event_type string, z double"
+    )

@@ -1,0 +1,104 @@
+"""Real Structured Streaming wrappers — SURVEY.md §2.H streaming forms.
+
+Each runner builds a `readStream` over the same events parquet, applies
+the SAME transformation function the batch-equivalent query uses
+(streaming/batch_equiv.py), adds a watermark, and drains synchronously
+with `trigger(availableNow=True)` into a memory sink — a deterministic
+full drain of a bounded source, which is how the streaming forms are
+exercised offline (SURVEY §7.2 M5).
+
+Production differences (100 TB): swap the memory sink for a real sink,
+`availableNow` for a continuous micro-batch trigger, and set
+`spark.sql.streaming.stateStore.providerClass` to the RocksDB provider
+so window/session/dedup state spills off-heap; everything else — the
+transformations, watermarks, checkpoints — is unchanged because batch
+and streaming share the DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import path_for
+from migbq_spark.session import ensure_runtime_confs
+
+_CHECKPOINT_ROOT = Path(__file__).resolve().parents[2] / ".stage" / "checkpoints"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the ns→µs ts repair.
+
+    A parquet file source needs an explicit schema; we take it from a
+    one-off batch read (schema-only, no data scan)."""
+    ensure_runtime_confs(spark)
+    path = path_for(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # The file source monitors a DIRECTORY; the fixture is a single file,
+    # so stream the parent dir with a glob filter selecting just events.
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def _drain(sdf: DataFrame, name_seed: str, mode: str = "append") -> str:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the sink table name.
+
+    Aggregations must drain in `complete` mode: in `append` mode a
+    window is emitted only once the watermark passes it, so a bounded
+    drain would permanently hold back the tail windows."""
+    name = "mq_sink_" + hashlib.md5(
+        (name_seed + uuid.uuid4().hex).encode()
+    ).hexdigest()[:12]
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(_CHECKPOINT_ROOT / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return name
+
+
+def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withWatermark + dropDuplicates over (user_id, event_type): at most
+    one event per key within the watermark horizon."""
+    sdf = events_stream(spark, sf_dir)
+    deduped = sdf.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = _drain(deduped.select("user_id", "event_type", "event_id", "ts"),
+                  f"dedup_{sf_dir}")
+    return spark.table(name)
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling counts — the streaming twin of
+    `stream_tumbling_counts` (same transformation function)."""
+    from migbq_spark.streaming.batch_equiv import tumbling_counts
+
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    name = _drain(tumbling_counts(sdf), f"tumbling_{sf_dir}", mode="complete")
+    return spark.table(name)
+
+
+def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows — the streaming twin of
+    `stream_session_window` (same transformation function)."""
+    from migbq_spark.streaming.batch_equiv import session_windows
+
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    name = _drain(session_windows(sdf), f"sessions_{sf_dir}", mode="complete")
+    return spark.table(name)
