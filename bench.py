@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {qid: sec, ...}, "sf": ...}
+
+Each query executes end-to-end into a `noop` sink (full computation, no
+driver-side collect funnel), timed after a session warm-up so JVM/codegen
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+#: Representative spread: scan+agg, star join, window dedup, set logic,
+#: text dedup, vector search, streaming-shaped agg, incremental sync.
+HEADLINE = [
+    "agg_groupby_sum",
+    "join_star_5way",
+    "win_rownum_dedup",
+    "topk_global",
+    "agg_day_counts",
+    "dedup_hash_exact",
+    "near_dup_jaccard",
+    "cosine_topk",
+    "stream_tumbling_counts",
+    "incremental_delta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from migbq_spark import registry
+    from migbq_spark.session import get_spark
+
+    spark = get_spark(app_name="migbq-bench")
+    queries = registry.queries()
+
+    # warm-up: JVM, codegen, parquet footer caches
+    queries["agg_pk_bounds"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for qid in HEADLINE:
+        df = queries[qid](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[qid] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

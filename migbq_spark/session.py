@@ -18,6 +18,7 @@ same plans re-optimize under AQE at any scale.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -46,7 +47,34 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # Non-settable on some build => best effort; queries that need
             # it will raise a clear AnalysisException at scan time.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make migbq_spark importable inside Python worker processes.
+
+    cloudpickle serializes module-level functions referenced by UDFs *by
+    reference*; an externally-built session's workers don't have this
+    repo on sys.path, so without this every such UDF dies with
+    ModuleNotFoundError.  Shipping the package once via addPyFile fixes
+    all of them (and matches how a real cluster would deploy the code)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_migbq_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent
+    fd, tmp = tempfile.mkstemp(suffix=".zip", prefix="migbq_spark_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(Path("migbq_spark") / py.relative_to(pkg_dir)))
+    zpath = Path(tmp).with_name("migbq_spark_pkg.zip")
+    os.replace(tmp, zpath)
+    sc.addPyFile(str(zpath))
+    sc._migbq_pkg_shipped = True
 
 
 def get_spark(

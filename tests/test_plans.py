@@ -1,0 +1,74 @@
+"""Physical-plan shape assertions — the 100 TB design contract
+(SURVEY.md §7.6): broadcasts where declared, pushed filters and pruned
+schemas at the scan, no Python in JVM-only pipelines.
+"""
+
+from migbq_spark import registry
+
+Q = registry.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_broadcast_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(Q["join_broadcast_dim"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(Q["join_star_5way"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(Q["filter_pred"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice,100000" in plan or "o_totalprice" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
+def test_projection_prunes_scan_schema(spark, sf_dir):
+    plan = _plan(Q["scan_project_prune"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_mktsegment" not in read_schema  # unused column not scanned
+
+
+def test_pk_range_scan_pushes_range_predicate(spark, sf_dir):
+    plan = _plan(Q["pk_range_scan"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "GreaterThan(l_orderkey,1000" in pushed
+    assert "LessThanOrEqual(l_orderkey,2000" in pushed
+
+
+def test_flagship_has_partial_aggregation(spark, sf_dir):
+    # partial (map-side) + final hash aggregate: two HashAggregate nodes
+    plan = _plan(Q["agg_groupby_sum"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_jvm_operators_have_no_python_eval(spark, sf_dir):
+    # Core relational/text operators must stay JVM-side (no BatchEvalPython
+    # / ArrowEvalPython nodes) — UDF queries are the only Python surface.
+    for qid in [
+        "agg_groupby_sum",
+        "join_star_5way",
+        "near_dup_jaccard",
+        "cosine_topk",
+        "win_rownum_dedup",
+        "quality_score",
+    ]:
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{qid} fell off the JVM path"
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(Q["cosine_topk"](spark, sf_dir))
+    assert "Broadcast" in plan  # 10 query vectors broadcast, corpus streamed
