@@ -1,0 +1,109 @@
+"""End-to-end tests for the migbq application-parity layer
+(run / sync / check lifecycle, SURVEY.md §3.1 EP1-EP3)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def cfg_path(tmp_path, sf_dir):
+    import yaml
+
+    cfg = {
+        "in": {
+            "type": "parquet",
+            "path": sf_dir,
+            "tables": {"events": {"pk": "event_id"}, "nation": {"pk": "n_nationkey"}},
+            "batch_size": 1000,
+        },
+        "out": {"type": "parquet", "path": str(tmp_path / "dest")},
+        "meta": {"path": str(tmp_path / "meta")},
+    }
+    p = tmp_path / "config.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def _forwarder(spark, cfg_path):
+    from migbq_spark.app import Forwarder, PipelineConfig
+
+    return Forwarder(spark, PipelineConfig.load(cfg_path))
+
+
+def test_run_full_load(spark, cfg_path, sf_dir):
+    fwd = _forwarder(spark, cfg_path)
+    counts = fwd.run()
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert counts["events"] == n_src
+    # destination holds exactly the source rows
+    dest = fwd.read_dest(fwd.cfg.tables[0])
+    assert dest.count() == n_src
+    # progress recorded: last_pk == max(event_id)
+    max_pk = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max("event_id"))
+        .collect()[0][0]
+    )
+    assert fwd.meta.last_pk("events") == max_pk
+    # job log covers every range, all done
+    log = fwd.meta.job_log().filter("table_name = 'events'")
+    assert log.filter("state != 'done'").count() == 0
+    assert log.agg(F.sum("n_rows")).collect()[0][0] == n_src
+
+
+def test_sync_is_incremental(spark, cfg_path):
+    fwd = _forwarder(spark, cfg_path)
+    fwd.run()
+    # nothing new → sync forwards zero rows, destination unchanged
+    before = fwd.read_dest(fwd.cfg.tables[0]).count()
+    counts = fwd.sync()
+    assert counts == {"events": 0, "nation": 0}
+    assert fwd.read_dest(fwd.cfg.tables[0]).count() == before
+
+
+def test_check_clean_and_repair(spark, cfg_path, tmp_path):
+    fwd = _forwarder(spark, cfg_path)
+    fwd.run()
+    reports = fwd.check()
+    for _table, rep in reports.items():
+        assert rep.filter("mismatch").count() == 0
+
+    # simulate migbq's retry double-load: append a duplicate slice
+    events = fwd.cfg.tables[0]
+    dup = fwd.read_source(events).filter("event_id <= 500")
+    dup.write.mode("append").parquet(fwd._dest_path(events))
+    rep = fwd.check()["events"]
+    # distinct-pk counting means counts still reconcile, but repair dedups
+    fwd.check(repair=True)
+    n_src = fwd.read_source(events).count()
+    dest = fwd.read_dest(events)
+    assert dest.count() == n_src
+    assert dest.select("event_id").distinct().count() == n_src
+
+
+def test_missing_range_requeue(spark, cfg_path):
+    fwd = _forwarder(spark, cfg_path)
+    fwd.run()
+    # record an attempted-but-unfinished range → must be re-queued
+    fwd.meta.append_jobs([("events", 99000, 100000, 0, "pending", "testrun")])
+    missing = fwd.meta.missing_ranges("events")
+    rows = missing.collect()
+    assert [(r.range_lo, r.range_hi) for r in rows] == [(99000, 100000)]
+
+
+def test_cli_surface(cfg_path, capsys):
+    from migbq_spark.app.cli import main
+
+    assert main(["run", cfg_path]) == 0
+    run_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run_out["run"]["events"] > 0
+
+    assert main(["sync", cfg_path]) == 0
+    sync_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sync_out["sync"] == {"events": 0, "nation": 0}
+
+    assert main(["check", cfg_path]) == 0
+    check_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert check_out["check"]["events"]["mismatched"] == 0
