@@ -131,6 +131,44 @@ def parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dest)
 
 
+@register(
+    "parquet_sink_day_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS o_month
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-03-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1997-04-01'
+    """,
+)
+def parquet_sink_day_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's day-partitioned BigQuery destination, as a Hive-layout
+    partitioned parquet sink: write orders partitioned by month, then
+    read back ONE partition — the filter on the partition column must
+    prune at the directory level, never scanning the other months
+    (asserted in tests/test_plans.py).
+
+    Scale (100 TB): partitioned layout is what makes the `check` and
+    `sync` lifecycles cheap — per-day reconciliation reads one partition,
+    and incremental loads append new partitions without touching old
+    ones.  Month granularity here only because the fixture spans ~80
+    months; production would partition by day exactly like BQ
+    `_PARTITIONTIME`."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("o_month"),
+    )
+    dest = _stage_dir(sf_dir, "orders_sink_monthly")
+    src.write.mode("overwrite").partitionBy("o_month").parquet(dest)
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("o_month") == "1997-03")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_month")
+    )
+
+
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 

@@ -60,7 +60,7 @@ def _load_all() -> None:
         windows,
     )
     from migbq_spark.functions import udfs  # noqa: F401
-    from migbq_spark.streaming import batch_equiv  # noqa: F401
+    from migbq_spark.streaming import batch_equiv, structured  # noqa: F401
 
     _LOADED = True
 

@@ -23,11 +23,14 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from migbq_spark.catalog import path_for
+from migbq_spark.catalog import load, path_for
+from migbq_spark.registry import register
 from migbq_spark.session import ensure_runtime_confs
 
 _CHECKPOINT_ROOT = Path(__file__).resolve().parents[2] / ".stage" / "checkpoints"
+_STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,6 +95,80 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     name = _drain(tumbling_counts(sdf), f"tumbling_{sf_dir}", mode="complete")
     return spark.table(name)
+
+
+def _progress_update(key, pdf_iter, state: GroupState):
+    """Stateful update function: migbq's per-table progress row — last
+    migrated PK + cumulative row count — maintained as streaming state.
+
+    State tuple: (last_event_id, n_rows).  Both are monotone, so the
+    final emission per key is independent of micro-batch boundaries."""
+    import pandas as pd
+
+    last_id, n = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            last_id = max(last_id, int(pdf["event_id"].max()))
+    state.update((last_id, n))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "last_event_id": [last_id], "n_rows": [n]}
+    )
+
+
+@register(
+    "stream_stateful_progress",
+    oracle="""
+    SELECT event_type,
+           MAX(event_id) AS last_event_id,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per event_type, track (last PK seen, rows forwarded) across
+    micro-batches — migbq's MigrationMetadataManager progress table as
+    true streaming state rather than an external sqlite row.
+
+    The events table is staged into PK-range chunk files (exactly migbq's
+    ranged sweep) and streamed with maxFilesPerTrigger=1 so state really
+    evolves across multiple micro-batches; the monotone state makes the
+    final answer batching-invariant, hence hash-checkable.
+
+    Scale (100 TB): state is one tuple per event_type key — tiny; with
+    the RocksDB state-store provider this pattern holds per-key state for
+    billions of keys, checkpointed for exactly-once recovery."""
+    ensure_runtime_confs(spark)
+    chunks = str(_STAGE_ROOT / f"events_chunks_{Path(sf_dir).name}")
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id")
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(chunks)
+
+    schema = spark.read.parquet(chunks).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    updated = sdf.groupBy("event_type").applyInPandasWithState(
+        _progress_update,
+        outputStructType="event_type string, last_event_id bigint, n_rows bigint",
+        stateStructType="last_event_id bigint, n_rows bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _drain(updated, f"progress_{sf_dir}", mode="update")
+    # The memory sink holds one row per key per micro-batch it appeared
+    # in; both state fields are monotone, so max() selects the final state.
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("last_event_id").alias("last_event_id"),
+            F.max("n_rows").alias("n_rows"),
+        )
+    )
 
 
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

