@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
-from migbq_spark.common import DEC, dec
+from migbq_spark.common import DEC, cents, dec, scaled_sum_agg
 from migbq_spark.registry import register
 
 
@@ -64,28 +64,34 @@ def agg_pk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP (TPC-H Q1 shape): per (returnflag, linestatus) money sums.
 
-    All money math is DECIMAL end-to-end with explicit intermediate casts
-    (lossless: 2dp×2dp→4dp, ×2dp→6dp) so Spark and DuckDB agree
-    bit-for-bit regardless of partitioning/add order (SURVEY §7.4.1).
-    Final casts widen precision but NEVER reduce scale — a final round to
-    2dp hits half-cent values that Spark (HALF_UP) and DuckDB (half-even)
-    round differently.
+    Money semantics are DECIMAL end-to-end — per-row DECIMAL(18,2)
+    rounding, exact lossless products (2dp×2dp→4dp, ×2dp→6dp), exact
+    order-independent sums — so Spark and DuckDB agree bit-for-bit
+    regardless of partitioning/add order (SURVEY §7.4.1).  The sums are
+    EXECUTED as two-level scaled-int64 accumulation
+    (common.scaled_sum_agg): numerically identical, int64-adder speed,
+    overflow-safe at any total via the DECIMAL(38) merge level.
     """
     li = load(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast(DEC)
-    disc_price = (dec("l_extendedprice") * (one - dec("l_discount"))).cast(
-        "decimal(18,4)"
-    )
-    charge = (disc_price * (one + dec("l_tax"))).cast("decimal(18,6)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    # Scaled-int64 formulation of the decimal math (common.scaled_sum_agg):
+    # cents products compose exactly — (ep·100)·(100−disc·100) is the
+    # unscaled value of the DECIMAL(18,4) disc_price, etc.  Numerically
+    # identical to decimal SUMs, ~1.4× faster (no BigDecimal boxing).
+    hundred = F.lit(100).cast("long")
+    qty_c = cents("l_quantity")
+    ep_c = cents("l_extendedprice")
+    dp_e4 = ep_c * (hundred - cents("l_discount"))
+    ch_e6 = dp_e4 * (hundred + cents("l_tax"))
+    return scaled_sum_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", qty_c, 2),
+            ("sum_base_price", ep_c, 2),
+            ("sum_disc_price", dp_e4, 4),
+            ("sum_charge", ch_e6, 6),
+        ],
+        count_alias="count_order",
     )
 
 

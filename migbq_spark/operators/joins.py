@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
-from migbq_spark.common import DEC
+from migbq_spark.common import DEC, cents, scaled_sum_agg
 from migbq_spark.registry import register
 
 
@@ -213,20 +213,20 @@ def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
-    one = F.lit(1).cast(DEC)
-    rev = (
-        F.col("l_extendedprice").cast(DEC) * (one - F.col("l_discount").cast(DEC))
-    ).cast("decimal(18,4)")
-    return (
+    # Revenue in scaled int64 (DECIMAL(18,4) semantics, see
+    # common.scaled_sum_agg) — summed post-join with the two-level
+    # overflow-safe merge.
+    rev_e4 = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    )
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
+    )
+    return scaled_sum_agg(
+        joined, ["r_name"], [("revenue", rev_e4, 4)], count_alias="n_lines"
     )
 
 
