@@ -236,3 +236,17 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register("agg_approx_percentile")  # rows-only: sketch estimates are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles: `approx_percentile` (KLL-style, single
+    pass, mergeable partials) — the 100 TB twin of the exact-sort
+    `agg_percentile`.  Estimates are engine-specific (rows-only check);
+    tests pin the estimate against the exact percentile within the
+    sketch's accuracy bound."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
+    )

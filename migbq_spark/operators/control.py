@@ -17,7 +17,7 @@ them scan-bound; the FULL OUTER join joins two already-aggregated sides
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
@@ -114,3 +114,59 @@ def retry_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return ranges.join(done, "range_id", "left_anti")
+
+
+@register(
+    "merge_upsert_latest",
+    oracle="""
+    WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+    base AS (
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               'base' AS src
+        FROM events, m WHERE event_id <= mx / 2
+    ),
+    delta AS (
+        SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               'delta' AS src
+        FROM events, m WHERE event_id > mx / 2
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    SELECT user_id, event_type, event_id, src
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM unioned)
+    WHERE rn = 1
+    """,
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE/upsert: apply a delta batch onto a base snapshot,
+    keeping the latest version per merge key (user_id, event_type) —
+    latest by (ts, event_id), so a delta row replaces any older base row
+    for its key, exactly BigQuery's dedup-rewrite that migbq's retry
+    repair performs (`win_rownum_dedup` pushed to BQ — SURVEY.md §3.1
+    EP3), expressed engine-side.
+
+    The base/delta split point is computed in-query (max(event_id)/2,
+    the `incremental_delta` convention) so the fixture is sf-independent.
+
+    Scale (100 TB): union + window is the merge-on-read formulation; a
+    format with MERGE INTO (Delta/Iceberg) does the same logically but
+    rewrites only matched files.  One shuffle on the merge key; AQE
+    handles hot keys.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    mx = ev.agg(F.max("event_id").alias("mx"))
+    tagged = ev.crossJoin(F.broadcast(mx)).withColumn(
+        "src",
+        F.when(F.col("event_id") <= F.col("mx") / 2, "base").otherwise("delta"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "src")
+    )

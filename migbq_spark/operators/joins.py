@@ -269,3 +269,113 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_ts",
         )
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH skewed AS (
+        SELECT event_id, value,
+               CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS skew_key
+        FROM events
+    )
+    SELECT c.c_custkey AS user_key, c.c_name,
+           COUNT(*) AS n_events,
+           SUM(CAST(s.value AS DECIMAL(18,2))) AS sum_value
+    FROM skewed s JOIN customer c ON s.skew_key = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join for a skewed key distribution.
+
+    A third of all events are remapped to key 0 (synthetic hot key); a
+    plain hash join would send that entire key to one reducer.  Salting:
+    the big side gets `salt = event_id % 8`, the small side is exploded
+    ×8 (one copy per salt), and the join runs on (key, salt) — the hot
+    key now spreads over 8 reducers.  The salt never escapes the join:
+    aggregation collapses it, so the result is hash-identical to the
+    unsalted oracle join.
+
+    Scale (100 TB): this is the manual form of what AQE skew-join does
+    adaptively (splitting oversized partitions); explicit salting still
+    matters when the skew is in a shuffle ABOVE a join (grouped agg on a
+    hot key) or when AQE's post-shuffle stats arrive too late.  The ×8
+    dim replication costs 8·|dim| rows — only ever salt against a
+    broadcastable-or-small side.
+    """
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n_salt = 8
+    big = ev.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        F.pmod("event_id", F.lit(n_salt)).alias("salt"),
+    )
+    salted_dim = dim.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    )
+    return (
+        big.join(
+            salted_dim,
+            (big.skew_key == salted_dim.c_custkey) & (big.salt == salted_dim.salt),
+        )
+        .groupBy(F.col("c_custkey").alias("user_key"), "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "join_interval_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(*) AS n_clicks
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within the hour preceding each purchase by
+    the same user — the batch form of a stream-stream time-interval join
+    (attribution window).
+
+    The equi-key (user_id) carries the shuffle; the time predicate then
+    filters within each key's partition, so cost is per-user, not
+    global-cross.  In Structured Streaming the identical predicate pair
+    (`p.ts BETWEEN c.ts AND c.ts + 1h` + watermarks on both sides) is
+    what bounds the join state retention — same plan shape, streaming
+    state GC for free.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.c_user)
+            & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+            & (c.c_ts <= p.p_ts),
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )

@@ -1,0 +1,418 @@
+"""Training-data curation operators (second extension batch, SURVEY.md
+§2.K): PII scrubbing, deterministic corpus splitting / weighted source
+mixing, char-n-gram near-dup, canonical-doc dedup, distribution stats
+(moments, exact percentiles), pivoted activity profiles, rank
+distributions, and a bucket-co-located join.
+
+migbq has none of this surface (it is a config-driven ETL tool,
+SURVEY.md §2.J `[pub:H]`); these are the operations a large-scale
+LLM-training-data pipeline runs after ingestion, expressed as
+declarative Spark plans.
+
+Determinism strategy per SURVEY.md §7.4: integer/decimal arithmetic
+wherever exact parity is needed; single IEEE-double operations (one
+division, one sqrt) where both engines provably execute the identical
+sequence; ROUND(…,4) on anything float-derived.
+
+Scale notes (100 TB): every operator here is scan → narrow transform →
+one hash aggregation (or one bucketed join).  Splits and mixes are
+pure row-local modulo arithmetic — no shuffle at all until the audit
+aggregation; the n-gram join is blocked on `source` exactly like the
+token-Jaccard scale path (LSH variant in pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+# ------------------------------------------------------------- pii_scrub
+
+@register(
+    "pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+           length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+               AS n_digit_chars
+    FROM events
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction pass: digit runs replaced by a sentinel, with
+    a per-row redacted-character audit count.  Spark `regexp_replace` is
+    global by default; the DuckDB oracle needs the explicit 'g' flag.
+    Row-local → embarrassingly parallel at any scale."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "<NUM>").alias("scrubbed"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", "[0-9]", ""))
+        ).alias("n_digit_chars"),
+    )
+
+
+# ------------------------------------------------------- train_test_split
+
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split by PK modulo (stable across
+    runs and engines, unlike `rand()`-based sampling), audited per
+    (split, lang).  The split itself is row-local; only the audit
+    aggregates."""
+    d = load(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(10))
+    split = (
+        F.when(m < 8, "train").when(m == 8, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+# --------------------------------------------------- mix_weighted_sources
+
+@register(
+    "mix_weighted_sources",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INT) % 3 + 1 AS weight
+        FROM documents
+    )
+    SELECT source, weight,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN doc_id % 4 < weight THEN 1 ELSE 0 END) AS n_kept,
+           ROUND(SUM(CASE WHEN doc_id % 4 < weight THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS kept_frac
+    FROM w
+    GROUP BY source, weight
+    """,
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: each source gets a mixture weight (here
+    derived from its id; in production from a mixture config), docs kept
+    by deterministic PK modulo against the weight — reproducible
+    downsampling with an exact per-source audit.  Row-local keep
+    decision → no shuffle before the audit at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    weight = (F.substring("source", 4, 10).cast("int") % 3 + 1).alias("weight")
+    kept = F.when(F.pmod("doc_id", F.lit(4)) < F.col("weight"), 1).otherwise(0)
+    return (
+        d.select("doc_id", "source", weight)
+        .groupBy("source", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "kept_frac"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------ ngram_jaccard
+
+_NGRAM_TAU = 0.6
+_NGRAM_MAX_DOC = 150
+
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, source, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents WHERE doc_id < {_NGRAM_MAX_DOC} AND length(text) >= 3
+    ),
+    g AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS gram FROM pos),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        FROM g a JOIN g b
+          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           ROUND(shared * 1.0 / (na.n + nb.n - shared), 4) AS jac
+    FROM shared
+    JOIN n na ON na.doc_id = a_id
+    JOIN n nb ON nb.doc_id = b_id
+    WHERE shared * 1.0 / (na.n + nb.n - shared) >= {_NGRAM_TAU}
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-duplicates (robust to word
+    reordering where token Jaccard is not), blocked on `source`.
+    Same explode→join→ratio shape as `near_dup_jaccard`; at 100 TB the
+    blocking key bounds the pair space and the MinHash-LSH operator
+    (pipeline.py) replaces the exact join."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < _NGRAM_MAX_DOC) & (F.length("text") >= 3))
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(text) - 2),"
+                       " i -> substring(text, i, 3))")
+            )
+        ).alias("gram"),
+    )
+    n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = n.select(F.col("doc_id").alias("a_id"), F.col("n").alias("an"))
+    nb = n.select(F.col("doc_id").alias("b_id"), F.col("n").alias("bn"))
+    jac = F.col("shared") * F.lit(1.0) / (F.col("an") + F.col("bn") - F.col("shared"))
+    return (
+        shared.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(jac >= _NGRAM_TAU)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jac"))
+    )
+
+
+# --------------------------------------------------- dedup_keep_canonical
+
+@register(
+    "dedup_keep_canonical",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                     list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+                   AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+    FROM fp GROUP BY fp
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per content fingerprint (the
+    keep-one-drop-rest step that follows `doc_fingerprint`): smallest
+    doc_id in each fingerprint group survives.  One hash aggregation on
+    the fingerprint — linear at any scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------- agg_stats_moments
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS s1,
+               SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                   AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean,
+           ROUND((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1), 4) AS variance,
+           ROUND(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                      / (n - 1)), 4) AS stddev
+    FROM s
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev per event_type via exact decimal
+    power sums (SURVEY.md §7.4.1 applied to second moments): the only
+    float arithmetic is the identical final expression on both engines,
+    so 4-dp rounding is bit-stable.  Never hash-check a raw
+    `stddev_samp(double)` — its merge order differs across engines."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    var = (s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(s1d / F.col("n"), 4).alias("mean"),
+        F.round(var, 4).alias("variance"),
+        F.round(F.sqrt(var), 4).alias("stddev"),
+    )
+
+
+# ------------------------------------------------------- agg_percentile
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`: both sort and linearly interpolate at (n-1)·q).
+    Exact-sort percentile is a full sort per group — fine per-group at
+    any scale; for a 100 TB global percentile use
+    `approx_percentile` (KLL/GK sketch, one pass, mergeable) and accept
+    rows-only checking like `agg_approx_distinct`."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
+
+
+# ------------------------------------------------------ pivot_event_counts
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: event_type pivoted to columns.  The
+    pivot values are passed explicitly — with an explicit list Spark
+    skips the extra distinct-values job and the plan is a single hash
+    aggregation, same cost as the CASE-WHEN form at any scale."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# ----------------------------------------------------- win_percent_rank
+
+@register(
+    "win_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 6)
+               AS cume_dist
+    FROM customer
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative rank distribution of customers by balance:
+    `percent_rank` = (rank-1)/(n-1) and `cume_dist` = peers≤current / n.
+    The unique tiebreak (custkey) makes every rank, and therefore the
+    single IEEE division, identical cross-engine (SURVEY.md §7.4.2).
+    Note the unpartitioned window — a single-reducer sort at scale;
+    partition it (as `win_rank_topk_group` does) or pre-aggregate into
+    quantile buckets for 100 TB corpora."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+# -------------------------------------------------- join_bucket_colocated
+
+@register(
+    "join_bucket_colocated",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing: both sides written
+    bucketed+sorted on the join key (8 buckets), so the sort-merge join
+    reads bucket i against bucket i with NO exchange on either side —
+    tests/test_plans.py asserts the exchange-free plan.  This is the
+    100 TB pattern for repeated fact⋈dim joins on a stable key: pay the
+    bucketed write once, skip the shuffle on every subsequent join
+    (migbq's fixed PK-range layout was the same idea for its sweep —
+    SURVEY.md §3.1)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    base = f"/tmp/migbq_bucketed/{tag}"
+    ob, cb = f"orders_b_{tag}", f"customer_b_{tag}"
+    for tbl, name, key, sort in (
+        ("orders", ob, "o_custkey", "o_custkey"),
+        ("customer", cb, "c_custkey", "c_custkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(sort)
+                .option("path", f"{base}/{name}")
+                .saveAsTable(name)
+            )
+    o, c = spark.table(ob), spark.table(cb)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )

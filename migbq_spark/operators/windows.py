@@ -153,3 +153,37 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_et,
+           LAST_VALUE(event_type) OVER w AS last_et,
+           NTH_VALUE(event_type, 2) OVER w AS second_et
+    FROM (SELECT user_id, event_id, event_type,
+                 CAST(ts AS TIMESTAMP) AS ts FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation over the full partition frame: each event annotated
+    with its user's first / last / second event_type.  The explicit
+    UNBOUNDED FOLLOWING frame matters — the default frame stops at
+    CURRENT ROW, which silently turns LAST_VALUE into "current value"
+    on both engines.  Unique (ts, event_id) order → deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(w).alias("last_et"),
+        F.nth_value("event_type", 2).over(w).alias("second_et"),
+    )

@@ -57,6 +57,7 @@ def _load_all() -> None:
         sorting,
         sources,
         textsim,
+        training,
         windows,
     )
     from migbq_spark.functions import udfs  # noqa: F401

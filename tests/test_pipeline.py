@@ -71,3 +71,24 @@ def test_mm_decode_stub_rejects_unknown_format():
 
     with pytest.raises(NotImplementedError):
         _decode_payload(b"WAV|1|2")
+
+
+def test_approx_percentile_within_sketch_bound(spark, sf_dir):
+    exact = {r.event_type: r.p50 for r in Q["agg_percentile"](spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r.p50_approx
+        for r in Q["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, p50 in exact.items():
+        # accuracy=10000 ⇒ rank error ≤ n/10000; values are ~uniform on
+        # [0, 200], so a loose 5% value tolerance is far above the bound
+        assert abs(approx[et] - float(p50)) <= max(5.0, 0.05 * float(p50)), et
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    # the hot key (user_key 0) must carry ≈⅓ of all events — i.e. the
+    # skew the salt exists to spread — and per-key results stay exact
+    rows = {r.user_key: r.n_events for r in Q["join_skew_salted"](spark, sf_dir).collect()}
+    total = sum(rows.values())
+    assert rows[0] / total > 0.3

@@ -78,6 +78,27 @@ def test_vector_kernels_are_arrow_not_rowwise(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{qid} fell to row-wise Python"
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """With both sides bucketed+sorted on the join key, the sort-merge
+    join must read bucket i against bucket i — no Exchange on either
+    join input (broadcast disabled to force SMJ, since a broadcast would
+    also hide a shuffle)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q["join_bucket_colocated"](spark, sf_dir)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    join_inputs = plan.split("SortMergeJoin")[1]
+    # the only exchange allowed is the single-partition one for the final
+    # small aggregation ABOVE the join; below it there must be none
+    assert "Exchange hashpartitioning" not in join_inputs, (
+        "bucketed join still shuffles:\n" + plan
+    )
+
+
 def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
     """The month filter must prune at directory level: the scan's
     partition filter names o_month and the data filters don't re-scan
