@@ -250,3 +250,58 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.expr("approx_percentile(value, 0.99, 10000)").alias("p99_approx"),
     )
+
+
+@register(
+    "corr_moments",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS sx,
+               SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DECIMAL(18,0)))
+                   AS sy,
+               SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+                   AS sxx,
+               SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DECIMAL(18,0))
+                   * CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DECIMAL(18,0)))
+                   AS syy,
+               SUM(CAST(value AS DECIMAL(18,4))
+                   * CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DECIMAL(18,0)))
+                   AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 4) AS corr_vk
+    FROM s
+    """,
+)
+def corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between `value` and the JSON-extracted `k`,
+    per event_type, via exact decimal power sums — the two-variable
+    extension of `agg_stats_moments`.  Never hash-check Spark's
+    `corr()` against another engine: its streaming co-moment update
+    order is engine-specific; exact sums + one identical double
+    expression are bit-stable."""
+    e = load(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,4)")
+    y = F.regexp_extract("props", '"k": (\\d+)', 1).cast("decimal(18,0)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select("event_type", "n", F.round(corr, 4).alias("corr_vk"))

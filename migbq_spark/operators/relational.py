@@ -201,3 +201,53 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7).alias("id_mod"),
         F.pow(F.lit(2), F.col("event_id") % 10).alias("id_pow"),
     )
+
+
+@register(
+    "str_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_head,
+           lpad(p_brand, 12, '*') AS brand_l,
+           rpad(p_brand, 12, '-') AS brand_r,
+           reverse(p_name) AS name_rev,
+           translate(p_name, 'ae', '43') AS name_leet
+    FROM part
+    """,
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string surface: split_part / lpad / rpad / reverse /
+    translate — identical names and semantics on both engines.
+    Row-local, codegen'd, shuffle-free."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad("p_brand", 12, "*").alias("brand_l"),
+        F.rpad("p_brand", 12, "-").alias("brand_r"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_name", "ae", "43").alias("name_leet"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of `pivot_event_counts`): part
+    metrics melted into (metric, val) rows via `stack` — a generator
+    expression, zero shuffles, output is 2× input rows with no
+    arithmetic (exact parity)."""
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE),"
+        " 'size', CAST(p_size AS DOUBLE)) AS (metric, val)",
+    )

@@ -1,0 +1,137 @@
+"""Time-series operators over the events stream (§2.K extension batch 3):
+gap-filled daily series, cumulative-distinct growth, and time-range
+window frames.
+
+migbq's `check` command reasons about per-day counts with missing days
+(a day with no rows simply doesn't appear in its reconciliation query —
+SURVEY.md §3.1 EP3); `ts_gap_fill` produces the dense calendar the
+reconciliation actually wants.  The other two are standard telemetry
+shapes a training-data pipeline reports on (corpus growth, trailing
+activity).
+
+Scale notes (100 TB): the calendar/grid sides are tiny (days ×
+event_types) and broadcast; the fact side contributes one hash
+aggregation each.  `win_range_frame` shuffles once on user_id — the
+range frame is evaluated with a sliding in-partition accumulator, not a
+per-row rescan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.common import dec
+from migbq_spark.registry import register
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+    b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM e),
+    days AS (SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))
+                         AS DATE) AS d
+             FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    c AS (SELECT event_type, d, COUNT(*) AS n_events FROM e GROUP BY 1, 2)
+    SELECT t.event_type, days.d, COALESCE(c.n_events, 0) AS n_events
+    FROM days CROSS JOIN types t
+    LEFT JOIN c ON c.event_type = t.event_type AND c.d = days.d
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series: (event_type × every calendar day in range),
+    zero-filled where no events occurred — the gap-filling step that
+    turns a sparse GROUP BY day into a plottable/reconcilable series.
+    The calendar is generated in-query from the data's own [min, max]
+    span (sf-independent).  Grid side is |days|×|types| rows —
+    broadcast; the fact side is one aggregation."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    counts = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(days.crossJoin(types))
+    return grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+@register(
+    "cum_new_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT first_day, new_users,
+           SUM(new_users) OVER (ORDER BY first_day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_users
+    FROM daily
+    """,
+)
+def cum_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus/user growth curve: first-appearance day per user, daily
+    new-user counts, running cumulative total.  This is the scalable
+    formulation of "cumulative COUNT(DISTINCT)": one aggregation finds
+    each key's first day, then the running sum is over |days| rows —
+    never a per-day distinct rescan.  first_day is unique in the daily
+    series, so the unpartitioned running sum is deterministic and its
+    input is tiny (≤ |days| rows) at any corpus size."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "first_day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP)))
+                             AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_1h
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour value sum per user via a RANGE frame over epoch
+    seconds — a VALUE-based frame (peers at the same second share one
+    frame, so no tiebreak is needed: RANGE semantics are deterministic
+    where ROWS would not be).  Both engines floor the timestamp to whole
+    seconds (Spark `unix_timestamp` truncates; the oracle floors the
+    double epoch explicitly).  One shuffle on user_id; the frame is a
+    sliding accumulator within each sorted partition."""
+    e = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(dec("value")).over(w).alias("trailing_1h"),
+    )

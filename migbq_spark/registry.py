@@ -57,6 +57,7 @@ def _load_all() -> None:
         sorting,
         sources,
         textsim,
+        timeseries,
         training,
         windows,
     )
