@@ -22,7 +22,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 #: Representative spread: scan+agg, star join, window dedup, set logic,
-#: text dedup, vector search, streaming-shaped agg, incremental sync.
+#: text dedup, vector search, streaming-shaped agg, incremental sync,
+#: merge-upsert, n-gram near-dup, pivot.
 HEADLINE = [
     "agg_groupby_sum",
     "join_star_5way",
@@ -34,6 +35,9 @@ HEADLINE = [
     "cosine_topk",
     "stream_tumbling_counts",
     "incremental_delta",
+    "merge_upsert_latest",
+    "ngram_jaccard",
+    "pivot_event_counts",
 ]
 
 
