@@ -1,0 +1,156 @@
+"""Macro benchmark-shaped queries (§2.K extension batch 4): full
+TPC-H-style composite workloads (the shapes analysts actually run) and
+the higher-order array-function surface.
+
+These exercise many operators at once — multi-way joins + selective
+filters + decimal aggregation + total-order top-k — and are the queries
+whose PLANS matter most at 100 TB: filters must reach every scan, dims
+must broadcast, the agg must be partial+final, and the top-k must be
+TakeOrderedAndProject (never a global sort).
+
+Determinism per SURVEY.md §7.4: decimal-exact revenue
+(2dp × 2dp → exact 4dp products, exact sums), unique tiebreaks inside
+every ORDER BY feeding a LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+#: Exact decimal revenue: DECIMAL(18,2) price × (1 − DECIMAL(18,2)
+#: discount) widened to an exact 4-dp product before summing.
+def _revenue() -> F.Column:
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (ep * (F.lit(1).cast("decimal(18,2)") - disc)).cast("decimal(18,4)")
+
+
+_REV_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    " AS DECIMAL(18,4))"
+)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped high-value orders for one market
+    segment — selective filters on all three tables, 3-way join,
+    decimal revenue agg, top-10 under a total order (revenue DESC with
+    unique l_orderkey tiebreak → deterministic LIMIT).
+
+    Plan contract at scale: both date filters push to the parquet
+    scans, customer (filtered) broadcasts, the orders⋈lineitem edge is
+    the only shuffle, and the LIMIT executes as TakeOrderedAndProject
+    (heap of 10 per partition), never a global sort."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top-20.  The returnflag filter pushes into the lineitem scan
+    (prunes ~⅔ of the fact table before the join); nation broadcasts;
+    c_custkey tiebreak makes the LIMIT deterministic."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "vec_hof_norm",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(sqrt(SUM(CAST(u.val AS DOUBLE) * CAST(u.val AS DOUBLE))), 4)
+               AS l2_norm
+    FROM embeddings,
+         LATERAL (SELECT unnest(embedding) AS val) u
+    GROUP BY vec_id, len(embedding)
+    """,
+)
+def vec_hof_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions, JVM-side: per-vector L2 norm via
+    transform + aggregate (no explode, no shuffle — the entire
+    computation is row-local over the array column; the oracle must
+    unnest because ANSI SQL lacks array lambdas).  Validates the
+    fixture's unit-norm contract (FIXTURES.md: norms ∈ [0.9999999,
+    1.0000001] → 1.0 at 4 dp).  At 100 TB this is the pattern for all
+    vector arithmetic that doesn't need cross-row pairs."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+    )

@@ -51,6 +51,7 @@ def _load_all() -> None:
         aggregates,
         control,
         joins,
+        macros,
         multimodal,
         pipeline,
         relational,

@@ -107,3 +107,15 @@ def test_partitioned_sink_readback_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "o_month" in pf
+
+
+def test_tpch_q3_plan_contract(spark, sf_dir):
+    """Q3's scale contract: date filters pushed to scans, top-10 as
+    TakeOrderedAndProject (bounded heap), never a global Sort+Limit."""
+    plan = _plan(Q["tpch_q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("l_shipdate" in p for p in pushed)
+    assert any("c_mktsegment" in p for p in pushed)
