@@ -179,3 +179,47 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
     name = _drain(session_windows(sdf), f"sessions_{sf_dir}", mode="complete")
     return spark.table(name)
+
+
+@register(
+    "stream_foreach_batch_sink",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once custom sink via ``foreachBatch``: each micro-batch is
+    written to its own ``epoch=<id>`` directory, so a replayed epoch
+    (failure between write and checkpoint commit) OVERWRITES rather than
+    duplicates — idempotent writes + checkpointed offsets = effective
+    exactly-once, which is the streaming form of migbq's
+    metadata-DB-plus-dedup-repair delivery story (SURVEY.md §3.1 EP1:
+    load-job log → retry → duplicate-PK cleanup).
+
+    The query returns the sink's read-back; a full drain of the bounded
+    source must equal the source exactly, so this is hash-checked — the
+    one streaming operator whose END-TO-END sink contents are
+    value-verified, batch boundaries notwithstanding.
+
+    Scale (100 TB): foreachBatch hands over a normal DataFrame per
+    epoch — the write inside is a distributed parquet append, and the
+    same pattern drives MERGE INTO upserts (merge_upsert_latest) or
+    JDBC/BigQuery loads per micro-batch."""
+    import shutil
+
+    out = _STAGE_ROOT / f"fes_{Path(sf_dir).name}"
+    shutil.rmtree(out, ignore_errors=True)
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    name = "fes_" + uuid.uuid4().hex[:12]
+    query = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(_CHECKPOINT_ROOT / name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(str(out)).select(
+        "event_id", "user_id", "event_type"
+    )
