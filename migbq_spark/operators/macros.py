@@ -154,3 +154,58 @@ def vec_hof_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
     )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate, big.total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY big.total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate the fact
+    table FIRST (GROUP BY + HAVING shrinks lineitem to qualifying
+    orders), then join the survivors back to orders/customer — the
+    agg-before-join ordering is the scale-defining choice: the join
+    input drops from |lineitem| to |qualifying orders| before any wide
+    row is built.  Deterministic top-20 via the unique o_orderkey
+    tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )

@@ -251,3 +251,27 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'retailprice', CAST(p_retailprice AS DOUBLE),"
         " 'size', CAST(p_size AS DOUBLE)) AS (metric, val)",
     )
+
+
+@register(
+    "explode_outer_tokens",
+    oracle="""
+    SELECT d.doc_id, u.t AS long_token
+    FROM documents d
+    LEFT JOIN LATERAL (
+        SELECT unnest(list_filter(string_split(d.text, ' '),
+                                  x -> length(x) > 6)) AS t
+    ) u ON true
+    """,
+)
+def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: docs with NO long tokens still emit one
+    row (long_token = NULL) — `explode_outer` is the LEFT-JOIN-LATERAL
+    of generators, and the distinction matters whenever downstream
+    counts must not silently drop token-less documents.  The fixture is
+    genuinely mixed (~20% of docs have no token > 6 chars)."""
+    d = load(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split("text", " "), lambda t: F.length(t) > 6)
+    return d.select(
+        "doc_id", F.explode_outer(long_toks).alias("long_token")
+    )
