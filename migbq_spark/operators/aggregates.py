@@ -305,3 +305,38 @@ def corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return s.select("event_type", "n", F.round(corr, 4).alias("corr_vk"))
+
+
+@register(
+    "agg_max_by_struct",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey AS top_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+    FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def agg_max_by_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG-MAX per group without a window: `max(struct(price, key))`
+    selects the lexicographic maximum in ONE aggregation — price ties
+    broken by the unique key, so the answer is deterministic where a
+    bare `max_by(key, price)` would not be.  One partial+final agg
+    carrying a single struct per group — strictly cheaper than the
+    window formulation (which must sort every group) at any scale; the
+    oracle uses the window form precisely because ANSI SQL lacks
+    struct-ordered aggregates."""
+    o = load(spark, sf_dir, "orders")
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    return o.groupBy("o_orderstatus").agg(
+        top.getField("k").alias("top_orderkey"),
+        top.getField("p").alias("top_price"),
+    )

@@ -117,3 +117,22 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (distinct); exceptAll().distinct() would keep
     # values that appear on both sides with higher left multiplicity.
     return f.subtract(p)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag difference with multiplicities — the
+    form migbq's duplicate-PK accounting actually needs: how many
+    EXTRA copies exist, not just which keys).  Spark plans this as one
+    aggregation over tagged counts — linear, one shuffle."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    return views.exceptAll(clicks)
