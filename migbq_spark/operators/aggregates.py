@@ -340,3 +340,47 @@ def agg_max_by_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.getField("k").alias("top_orderkey"),
         top.getField("p").alias("top_price"),
     )
+
+
+@register(
+    "agg_bool_flags",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 10) AS all_gt10,
+           bool_or(value > 190) AS any_gt190,
+           count_if(value > 100) AS n_gt100
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregates: bool_and / bool_or / count_if —
+    predicate rollups (data-quality gates: "did EVERY row pass",
+    "did ANY row trip the alarm").  Partial-aggregable single bits —
+    the cheapest aggregation there is at any scale."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 10).alias("all_gt10"),
+        F.bool_or(F.col("value") > 190).alias("any_gt190"),
+        F.count_if(F.col("value") > 100).alias("n_gt100"),
+    )
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+    SELECT user_id,
+           list(DISTINCT event_type ORDER BY event_type) AS types_seen,
+           len(list(DISTINCT event_type ORDER BY event_type)) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: the distinct set collected then
+    SORTED — `collect_set` alone has engine/partition-dependent order
+    and must never be hash-checked bare; `sort_array` restores a
+    canonical form (SURVEY.md §7.4.2 applied to arrays)."""
+    e = load(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
+    return e.groupBy("user_id").agg(
+        types.alias("types_seen"), F.size(types).alias("n_types")
+    )

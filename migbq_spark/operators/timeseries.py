@@ -135,3 +135,37 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(dec("value")).over(w).alias("trailing_1h"),
     )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT d, n_orders,
+           SUM(n_orders) OVER w * 1.0 / COUNT(*) OVER w AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order volume: integer window sums
+    with ONE final IEEE division (never AVG-of-doubles over a frame —
+    engines disagree on its accumulation order; SUM/COUNT of ints are
+    exact).  The day key is unique, so the unpartitioned frame is
+    deterministic and its input is the tiny daily rollup, not the fact
+    table."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "d",
+        "n_orders",
+        (F.sum("n_orders").over(w) * F.lit(1.0) / F.count(F.lit(1)).over(w)).alias(
+            "avg_7d"
+        ),
+    )
