@@ -223,3 +223,30 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(out)).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, e.event_type
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (migbq forwarded raw rows only; a Spark pipeline enriches
+    in flight).  The static side is re-planned per micro-batch — so at
+    100 TB the dim can even be a slowly-refreshed lakehouse table —
+    and joins broadcast when small, with NO streaming state needed
+    (unlike stream-stream joins).  A full availableNow drain of the
+    bounded source makes the enriched output equal the batch join
+    exactly → hash-checked."""
+    from migbq_spark.catalog import load as _load
+
+    sdf = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    dim = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = sdf.join(dim, sdf.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_name", "event_type"
+    )
+    name = _drain(joined, f"ssj_{sf_dir}")
+    return spark.table(name)
