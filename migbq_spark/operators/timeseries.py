@@ -138,6 +138,69 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_gaps",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL THEN 0
+                    WHEN us - LAG(us) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+        SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS session_id
+        FROM f
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per user, a new session starts after a
+    >30-minute silence — lag-gap flag, running sum of flags as the
+    session id, then a per-session rollup.  The batch twin of
+    `stream_session_window` (same 30-min gap), and the formulation a
+    backfill over historical data uses where streaming state is overkill.
+
+    Gap arithmetic runs on integer epoch-microseconds (`unix_micros` /
+    `epoch_us`) so both engines compare exact integers — never subtract
+    raw timestamps across engines.  ORDER BY ends with event_id, so the
+    lag/running-sum pair is deterministic even for same-µs events.
+
+    Scale (100 TB): one shuffle on user_id serves both window passes and
+    the rollup (same partitioning reused across stages); sessions never
+    cross users, so the op is embarrassingly parallel across the key
+    space and skew is bounded by the hottest single user."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(F.lag("us").over(w).isNull(), 0).otherwise(
+        F.when(F.col("us") - F.lag("us").over(w) > 1_800_000_000, 1).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = e.withColumn("brk", brk)
+    sess = flagged.withColumn("session_id", F.sum("brk").over(run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@register(
     "win_moving_avg",
     oracle="""
     WITH daily AS (
@@ -168,4 +231,48 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_orders").over(w) * F.lit(1.0) / F.count(F.lit(1)).over(w)).alias(
             "avg_7d"
         ),
+    )
+
+
+@register(
+    "locf_impute",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(value AS DECIMAL(18,2)) END AS raw_value,
+           LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL
+                           ELSE CAST(value AS DECIMAL(18,2)) END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_value
+    FROM events
+    """,
+)
+def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: error events carry no
+    usable reading (modeled as NULL), so each user's series is filled
+    with the most recent non-null value — `F.last(ignorenulls=True)`
+    over a running frame / `LAST_VALUE(... IGNORE NULLS)`.  The gap-fill
+    every sensor/feature pipeline needs before training; values pass
+    through exactly (DECIMAL, no arithmetic), so the fill is
+    hash-checkable.
+
+    Scale (100 TB): one shuffle on user_id; the running frame is a
+    single carried register per partition — no per-row rescan, and no
+    state beyond the last non-null value even for year-long series."""
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        dec("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        v.alias("raw_value"),
+        F.last(v, ignorenulls=True).over(w).alias("locf_value"),
     )

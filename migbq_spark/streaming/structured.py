@@ -250,3 +250,58 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain(joined, f"ssj_{sf_dir}")
     return spark.table(name)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks joined to purchases
+    by the same user within the following hour (attribution join).  Both
+    sides carry event-time watermarks and the join condition bounds
+    purchase time to [click, click+1h], so Spark derives state-eviction
+    watermarks for BOTH join buffers — state is O(events within the
+    watermark horizon), not O(stream).  The 30-day delay exceeds the
+    fixture's span, so the bounded availableNow drain evicts nothing and
+    the output equals the batch/oracle join exactly → hash-checked; in
+    production the delay shrinks to the real out-of-orderness bound and
+    eviction is what makes 100 TB/day attribution joins feasible.
+    (migbq forwarded rows one table at a time; cross-stream correlation
+    like this required a post-load BigQuery join — SURVEY.md §3.1.)"""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 days")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 days")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + interval 1 hour"
+        ),
+    ).select("click_id", "purchase_id", "user_id")
+    name = _drain(joined, f"ss_join_{sf_dir}")
+    return spark.table(name)
