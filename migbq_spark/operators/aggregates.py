@@ -384,3 +384,41 @@ def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         types.alias("types_seen"), F.size(types).alias("n_types")
     )
+
+
+@register(
+    "agg_skew_twophase",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase (salted) aggregation for skewed keys: phase 1
+    aggregates per (key, salt=pk%16) so a hot key's rows spread over 16
+    reducers, phase 2 folds the 16 partials per key.  Numerically exact
+    — COUNT and DECIMAL SUM are associative — so it hash-checks against
+    the plain GROUP BY.
+
+    Spark's partial aggregation already does this map-side when
+    upstream partitioning is random; the EXPLICIT salt matters when the
+    input arrives pre-partitioned BY the hot key (e.g. read back from a
+    key-partitioned sink), where map-side combine can't spread it.
+
+    Scale (100 TB): phase-1 output is |keys|×16 rows regardless of
+    input size; the hottest reducer processes 1/16th of the hottest
+    key.  Salt width scales with observed skew; AQE's skew handling
+    does the same re-split at runtime for joins."""
+    ev = load(spark, sf_dir, "events")
+    partial = ev.groupBy(
+        "event_type", F.pmod("event_id", F.lit(16)).alias("salt")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(dec("value")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("decimal(38,2)").alias("sum_value"),
+    )

@@ -170,3 +170,131 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "src")
     )
+
+
+@register(
+    "compact_merge_on_read",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 3 THEN 'U' ELSE o_orderstatus END
+               AS status,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    WHERE o_orderkey % 13 <> 5
+    """,
+)
+def compact_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read table with compaction: a base snapshot plus a delta
+    log of UPDATE rows and DELETE tombstones, resolved at read time
+    (arg-max on version per key, tombstones filtered), then COMPACTED —
+    the resolved view rewritten as a plain parquet snapshot and read
+    back.  This is the Delta/Iceberg MOR lifecycle expressed with stock
+    DataFrame ops: readers pay the union+window merge until compaction
+    folds the log into the base.  The delta sets are derived
+    deterministically from the base (o_orderkey mod rules), so the
+    oracle is a simple CASE/filter over orders.
+
+    Versions are per-key unique by construction (base=0, update=1,
+    tombstone=2 — delete beats update for keys carrying both), so the
+    arg-max window is deterministic without further tiebreaks.
+
+    Scale (100 TB): the read-time merge is one shuffle on the merge key
+    over base+log (log ≪ base, AQE broadcasts it in real MOR formats
+    via file-level pruning); compaction is the same plan ending in a
+    partitioned columnar write, amortizing the merge across all future
+    readers — exactly why lakehouse tables schedule it."""
+    from migbq_spark.operators.sources import _stage_dir
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        dec("o_totalprice").alias("price"),
+    )
+    base = o.select(
+        "o_orderkey", "status", "price",
+        F.lit(0).alias("version"), F.lit(False).alias("deleted"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey", F.lit("U").alias("status"), "price",
+        F.lit(1).alias("version"), F.lit(False).alias("deleted"),
+    )
+    tombstones = o.filter(F.col("o_orderkey") % 13 == 5).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit(2).alias("version"), F.lit(True).alias("deleted"),
+    )
+    log = base.unionByName(updates).unionByName(tombstones)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    resolved = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (~F.col("deleted")))
+        .select("o_orderkey", "status", "price")
+    )
+    dest = _stage_dir(sf_dir, "mor_compacted")
+    resolved.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 17 <> 2
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 3 THEN 'U' ELSE o_orderstatus END
+                   AS status
+        FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.status AS old_status,
+           v2.status AS new_status
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.status <> v2.status
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: FULL OUTER join
+    on the PK emitting insert / delete / update rows with old+new
+    values — the change feed a downstream incremental consumer replays
+    (Delta CDF / Iceberg changelog semantics, and the generalization of
+    migbq's count-based `check`: WHICH rows drifted, not just how
+    many).  Both snapshots are derived deterministically from orders
+    (v1 drops keys ≡2 mod 17, v2 drops keys ≡5 mod 13 and updates keys
+    ≡3 mod 7), so the fixture exercises all three change types.
+
+    Scale (100 TB): one shuffle on the PK for both sides; unchanged
+    rows are filtered before any further stage, so the change feed is
+    |changes|, not |table|.  With snapshots stored bucket-partitioned
+    on the PK the join is co-located and shuffle-free."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 17 != 2).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_orderstatus").alias("old_status")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 13 != 5).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(F.col("o_orderkey") % 7 == 3, "U")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full")
+    return j.filter(
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+    ).select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        F.when(F.col("k1").isNull(), "insert")
+        .when(F.col("k2").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_status",
+        "new_status",
+    )

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from migbq_spark.catalog import load
+from migbq_spark.common import dec
 from migbq_spark.registry import register
 
 _STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
@@ -241,4 +242,119 @@ def bq_sink_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "format string, table string, write_method string, "
         "intermediate_format string, mode string, n_rows bigint",
+    )
+
+
+# ------------------------------------------------------------- z-order
+
+def _z_interleave_expr(x: str, y: str, bits: int = 10) -> str:
+    """Bit-interleaved Morton/Z-value of two non-negative ints — the SAME
+    SQL text runs in Spark and DuckDB (both support & | << >> on
+    bigints), so the oracle exercises the identical bit math."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"(((({x}) >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"(((({y}) >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+_ZEXPR = _z_interleave_expr("o_custkey % 1024", "o_orderkey % 1024")
+
+
+@register(
+    "zorder_cluster_stats",
+    oracle=f"""
+    WITH z AS (
+        SELECT o_orderkey, o_custkey, ({_ZEXPR}) AS zval
+        FROM orders
+    )
+    SELECT zval >> 12 AS zbucket, COUNT(*) AS n_rows,
+           MIN(o_custkey % 1024) AS cust_lo, MAX(o_custkey % 1024) AS cust_hi,
+           MIN(o_orderkey % 1024) AS ord_lo, MAX(o_orderkey % 1024) AS ord_hi
+    FROM z GROUP BY zval >> 12
+    """,
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering for multi-dimensional data skipping:
+    interleave the bits of two filter dimensions, bucket by Z-value
+    prefix, and report each bucket's per-dimension min/max — the
+    footer-statistics ranges a reader would prune against.  Because
+    Z-prefix buckets are axis-aligned squares, BOTH dimensions stay
+    tight per bucket (a single-column sort leaves the second dimension's
+    range at full width), which is what makes `WHERE custkey BETWEEN …
+    AND orderkey BETWEEN …` skip files under Z-layout.
+
+    The production write is `df.repartitionByRange(N, zval)
+    .sortWithinPartitions(zval).write.parquet(...)` — this query is the
+    stats/verification half, hash-checked since the bit math is exact
+    integer arithmetic (the identical generated SQL runs on both
+    engines).
+
+    Scale (100 TB): Z-layout is a one-shuffle range partition at write
+    time that converts full scans into prefix-range reads for ALL
+    clustered dimensions; the per-bucket stats aggregation here is a
+    plain map-side-combinable groupBy."""
+    o = load(spark, sf_dir, "orders")
+    z = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(_ZEXPR).alias("zval"),
+    )
+    return z.groupBy(F.expr("zval >> 12").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.expr("o_custkey % 1024")).alias("cust_lo"),
+        F.max(F.expr("o_custkey % 1024")).alias("cust_hi"),
+        F.min(F.expr("o_orderkey % 1024")).alias("ord_lo"),
+        F.max(F.expr("o_orderkey % 1024")).alias("ord_hi"),
+    )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    WITH gen1 AS (
+        SELECT 1 AS gen, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    gen2 AS (
+        SELECT 2 AS gen, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    u AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+    SELECT gen, COUNT(*) AS n_rows,
+           COUNT(o_orderpriority) AS n_with_priority,
+           CAST(SUM(price) AS DECIMAL(38,2)) AS sum_price
+    FROM u GROUP BY gen
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: an old extract without
+    `o_orderpriority` unioned with a new extract that has it, via
+    `unionByName(allowMissingColumns=True)` — Spark aligns by NAME and
+    null-fills the missing column (positional UNION would silently
+    misalign).  This is how a long-lived ingest keeps reading years of
+    heterogeneous files; the audit rollup proves the null-fill.
+
+    Scale (100 TB): union is a zero-shuffle plan concatenation; the
+    audit is a map-side-combinable groupBy.  The same mechanism backs
+    parquet `mergeSchema` reads over evolving directories."""
+    o = load(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.lit(1).alias("gen"), "o_orderkey", dec("o_totalprice").alias("price")
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.lit(2).alias("gen"),
+        "o_orderkey",
+        dec("o_totalprice").alias("price"),
+        "o_orderpriority",
+    )
+    u = gen1.unionByName(gen2, allowMissingColumns=True)
+    return u.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.sum("price").cast("decimal(38,2)").alias("sum_price"),
     )
