@@ -416,3 +416,248 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------ stratified_sample_exact
+
+@register(
+    "stratified_sample_exact",
+    oracle="""
+    SELECT source, doc_id, lang FROM (
+        SELECT source, doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents) t
+    WHERE rn <= 5
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sampling: exactly k=5 docs per source
+    stratum, selected by ranking on md5(pk) — a cross-engine-identical
+    hash, so the "random" order is deterministic and reproducible
+    (`sample()`/`rand()` are neither, and `sampleBy` is only
+    approximate).  This is the eval-set carve-out a training pipeline
+    needs to be byte-stable across reruns.
+
+    Scale (100 TB): one shuffle on the stratum key; rank-k per group is
+    a TopK (partial per partition under AQE), never a global sort.  For
+    heavy strata, pre-aggregate a per-partition top-k first — the
+    hash-order makes that refinement exact."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------- dup_connected_components
+
+@register(
+    "dup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pos AS (
+        SELECT doc_id, source, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents WHERE doc_id < {_NGRAM_MAX_DOC} AND length(text) >= 3
+    ),
+    g AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS gram FROM pos),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        FROM g a JOIN g b
+          ON a.gram = b.gram AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT a_id, b_id FROM shared
+        JOIN n na ON na.doc_id = a_id
+        JOIN n nb ON nb.doc_id = b_id
+        WHERE shared * 1.0 / (na.n + nb.n - shared) >= {_NGRAM_TAU}
+    ),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def dup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph
+    (`ngram_jaccard` edges): transitive dup clusters, labeled by the
+    smallest doc_id reachable — the step that turns pairwise near-dup
+    hits into keep-one-per-CLUSTER dedup (pairs alone under-delete:
+    A~B, B~C but A≁C must still collapse to one cluster).
+
+    Spark side is ITERATIVE min-label propagation — each round every
+    node takes min(own label, neighbors' labels) — run to convergence
+    with a per-round changed-count check; per-round lineage is cut with
+    localCheckpoint so the plan doesn't grow with iterations.  The
+    oracle is the same fixpoint via a recursive CTE (reachability
+    closure + min) — non-SQL-expressible in single-pass SQL, but DuckDB
+    recursion makes it hash-checkable anyway.
+
+    Scale (100 TB): rounds = graph diameter (near-dup clusters are
+    shallow — a handful); each round is one join+groupBy on the edge
+    list, |E| ≪ |docs|² thanks to the τ-filtered candidate generation
+    (at scale, MinHash-LSH candidates feed the same loop — see
+    dedup_minhash_lsh).  The alternating large-star/small-star variant
+    drops rounds to O(log n) for pathological chains."""
+    pairs = ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .union(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        new_labels = (
+            nbr.union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+# ------------------------------------------------------ tfidf_top_terms
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               tf.tf * ln(nd.n * 1.0 / df.df) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN nd
+    )
+    SELECT doc_id, token, ROUND(tfidf, 4) AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM scored) t
+    WHERE rn <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: term frequency per doc × inverse
+    document frequency over the corpus, top-5 terms per doc — the
+    classic content-signature / relevance-feature op.  Float-sensitive
+    (ln), so scores are rounded to 4 dp and the rank ORDER BY ends with
+    the token tiebreak; equal-score ties (same tf, df) therefore rank
+    identically in both engines.
+
+    Scale (100 TB): tf and df are both map-side-combinable token
+    aggregations; the score join broadcasts nothing bigger than the
+    vocabulary, and top-5-per-doc is a bounded window — no global
+    sorts anywhere."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    nd = toks.agg(F.count_distinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+# ------------------------------------------------------ vocab_top_tokens
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY token
+    )
+    SELECT token, tf, df FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rn
+        FROM counts) t
+    WHERE rn <= 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus-wide token frequencies (total and
+    document frequency), top-100 by count with a lexical tiebreak — the
+    first step of building a tokenizer/vocab from a training corpus.
+
+    Scale (100 TB): token counting is the canonical map-side-combine
+    aggregation (partials shrink to |vocab| per task before the
+    shuffle); global top-k over the vocab uses TakeOrdered semantics —
+    the full vocabulary is never sorted, and the single-partition
+    window below is over |vocab| rows, not |tokens|."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )
