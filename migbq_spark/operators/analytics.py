@@ -1,0 +1,306 @@
+"""Behavioral-analytics macros over the events stream (§2.K extension
+batch: funnel, transition, retention, histogram) — the product-analytics
+workloads a warehouse fed by migbq-style ingestion actually runs
+(migbq only landed the raw rows; these are the downstream queries the
+landing enabled — SURVEY.md §3.1).
+
+Scale notes (100 TB): every op here aggregates the fact table down to a
+small result (per-user firsts, per-pair counts, per-cohort counts,
+per-bucket counts) with map-side-combinable aggregations before any
+join; user-keyed windows shuffle once on user_id and reuse that
+partitioning across dependent stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migbq_spark.catalog import load
+from migbq_spark.registry import register
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after_signup,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users who signed up, then clicked
+    AFTER their first signup, then purchased AFTER that first
+    qualifying click.  Each stage is a per-user MIN(ts) aggregation
+    joined to the previous stage's anchor time — the ordered-sequence
+    semantics `COUNT(DISTINCT CASE ...)` gets wrong (it ignores
+    order).
+
+    Timestamps are compared only WITHIN each engine (anchors come from
+    the same table), so µs truncation cancels and the stage counts are
+    exact.
+
+    Scale (100 TB): three shuffles on user_id, each input shrinking
+    (stage-k users ⊆ stage-k-1 users); the per-stage anchor tables are
+    |users| rows, joined broadcast once cohorts are small.  A one-pass
+    alternative per user is `sessionize`-style collect+scan, but the
+    join form keeps everything JVM-side and combinable."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "sequence_next_event",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def sequence_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (first-order Markov) counts: for each user's
+    time-ordered stream, count (event_type → next event_type) pairs —
+    the input to behavior models and anomaly detection on sequence
+    patterns.  `lead()` ORDER BY ends with event_id, so same-µs
+    neighbors order identically in both engines.
+
+    Scale (100 TB): one shuffle on user_id for the window, then the
+    transition rollup collapses to |types|² rows map-side."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               date_trunc('week', f.first_day) AS cohort_week,
+               CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE))
+                          / 7.0) AS BIGINT) AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week, and
+    for each cohort the distinct users still active k weeks after their
+    own first day.  Offsets count from each USER's first day (floor of
+    day-diff/7), not calendar-week subtraction, so a Sunday signup and
+    Monday signup age consistently.
+
+    Scale (100 TB): first_seen is one user-keyed aggregation; the join
+    back is user-co-partitioned (same key, shuffle reused); DISTINCT
+    collapses to |users|×|weeks| before the final tiny rollup."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7.0
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "histogram_fixed_width",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DECIMAL(18,2)) AS lo,
+           CAST(MAX(value) AS DECIMAL(18,2)) AS hi
+    FROM events GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+    """,
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (bucket = ⌊value/25⌋)
+    with exact per-bucket min/max — distribution profiling for feature
+    QA.  Bucketing divides by an exact binary-representable constant
+    before floor, so both engines bucket identically; min/max pass
+    values through (cast to DECIMAL for canonical rendering), no
+    accumulation-order sensitivity.
+
+    Scale (100 TB): pure map-side-combinable aggregation — partials
+    are |types|×|buckets| per task; no window, no join."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("decimal(18,2)").alias("lo"),
+        F.max("value").cast("decimal(18,2)").alias("hi"),
+    )
+
+
+@register(
+    "embed_label_centroid",
+    oracle="""
+    WITH pos AS (
+        SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    )
+    SELECT label, i - 1 AS dim, COUNT(*) AS n_vecs,
+           SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
+                    AS BIGINT)) AS sum_scaled,
+           ROUND(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
+                          AS BIGINT)) / (COUNT(*) * 10000000.0), 4)
+               AS mean_comp
+    FROM pos GROUP BY label, i
+    """,
+)
+def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, computed EXACTLY: each float32
+    component is widened to double (exact), scaled by 1e7 and FLOORED
+    to an integer, so the per-dimension sums are associative integer
+    arithmetic — hash-checkable (a naive float SUM is
+    accumulation-order-dependent; and float→DECIMAL casts disagree
+    across engines: Spark goes through the float's shortest decimal
+    string, DuckDB through the exact binary expansion — floor-of-scaled
+    -double sidesteps both).  The rounded mean derives from the exact
+    sum with ONE final IEEE division.  Centroids are the building block
+    for k-means/IVF cell updates and label-prototype features.
+
+    Scale (100 TB): posexplode multiplies rows by dim (×64) but each
+    (label, dim) partial collapses map-side; the shuffle carries
+    |labels|×64 integer accumulators per task, independent of corpus
+    size.  The same scaled-int trick makes distributed k-means
+    iterations reproducible run-to-run (cf. common.scaled_sum_agg)."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "comp")
+    )
+    scaled = F.floor(F.col("comp").cast("double") * 10000000).cast("bigint")
+    summed = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(scaled).alias("sum_scaled"),
+    )
+    return summed.select(
+        "label",
+        "dim",
+        "n_vecs",
+        "sum_scaled",
+        F.round(
+            F.col("sum_scaled") / (F.col("n_vecs") * F.lit(10000000.0)), 4
+        ).alias("mean_comp"),
+    )
+
+
+@register(
+    "profile_null_distinct",
+    oracle="""
+    WITH stacked AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_status_nullable', NULLIF(o_orderstatus, 'P') FROM orders
+    )
+    SELECT col_name, COUNT(*) AS n_rows, COUNT(val) AS n_non_null,
+           COUNT(DISTINCT val) AS n_distinct
+    FROM stacked GROUP BY col_name
+    """,
+)
+def profile_null_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling audit (row count / non-null / exact distinct per
+    column) — the data-quality report run before a table is admitted to
+    a training corpus, and the generalization of migbq's count-only
+    `check`.  Columns are stacked to (col_name, val) rows so ONE
+    aggregation pass profiles any number of columns — no per-column
+    rescans; `NULLIF` derives a nullable column so the null branch is
+    genuinely exercised.
+
+    Scale (100 TB): stack is a row-local generator (×k columns, no
+    shuffle); the profile is one groupBy whose partials collapse to
+    |columns| rows map-side — except exact DISTINCT, which shuffles
+    (col_name, val) pairs; swap `count_distinct` for
+    `approx_count_distinct` when cardinalities make exactness
+    unaffordable (see agg_approx_distinct)."""
+    o = load(spark, sf_dir, "orders")
+    stacked = o.select(
+        F.expr(
+            "stack(5,"
+            " 'o_orderkey', cast(o_orderkey as string),"
+            " 'o_custkey', cast(o_custkey as string),"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_status_nullable', nullif(o_orderstatus, 'P')"
+            ") as (col_name, val)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_non_null"),
+        F.count_distinct("val").alias("n_distinct"),
+    )

@@ -49,6 +49,7 @@ def _load_all() -> None:
     # import time; each module's import registers its queries.
     from migbq_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         control,
         joins,
         macros,

@@ -92,3 +92,58 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     rows = {r.user_key: r.n_events for r in Q["join_skew_salted"](spark, sf_dir).collect()}
     total = sum(rows.values())
     assert rows[0] / total > 0.3
+
+
+def test_connected_components_consistent_with_edges(spark, sf_dir):
+    # every near-dup edge must land inside ONE component, and each
+    # component's label must be its smallest member (the fixpoint the
+    # iterative propagation is supposed to reach)
+    from migbq_spark.operators.training import ngram_jaccard
+
+    comp = {
+        r.doc_id: r.component_id
+        for r in Q["dup_connected_components"](spark, sf_dir).collect()
+    }
+    edges = ngram_jaccard(spark, sf_dir).select("a_id", "b_id").collect()
+    assert edges, "fixture should produce at least one near-dup edge"
+    for e in edges:
+        assert comp[e.a_id] == comp[e.b_id], (e.a_id, e.b_id)
+    members: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs), (c, docs)
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    row = Q["events_funnel"](spark, sf_dir).collect()[0]
+    assert row.n_signup >= row.n_click_after_signup >= row.n_purchase_after_click
+    assert row.n_signup > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    # the availableNow drain with an over-wide watermark must equal the
+    # batch formulation of the same attribution join exactly
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = clicks.join(
+        purch,
+        F.expr("user_id = p_user AND p_ts >= c_ts"
+               " AND p_ts <= c_ts + interval 1 hour"),
+    ).select("click_id", "purchase_id")
+    expected = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in Q["stream_stream_join"](spark, sf_dir).collect()
+    }
+    assert got == expected and expected
