@@ -304,3 +304,82 @@ def profile_null_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("val").alias("n_non_null"),
         F.count_distinct("val").alias("n_distinct"),
     )
+
+
+@register(
+    "active_users_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT days.d,
+           COUNT(DISTINCT daily.user_id) AS wau
+    FROM days JOIN daily
+      ON daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the sliding DISTINCT
+    that a plain window frame cannot compute (COUNT(DISTINCT) isn't
+    frame-able): deduplicate to (day, user) grain first, then a
+    day-grid range join re-counts each user's days into every window
+    it falls in.
+
+    Scale (100 TB): the (day,user) dedup collapses the fact table to
+    |users|×|days| BEFORE the ×7 range-join fan-out, and the grid side
+    is |days| rows — broadcast; so the expensive stage is bounded by
+    active-pairs×7, independent of event volume.  (For approximate
+    WAU at extreme user counts, per-day HLL sketches union across the
+    window instead — see agg_approx_distinct.)"""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = F.broadcast(daily.select(F.col("d").alias("win_d")).distinct())
+    return (
+        days.join(
+            daily,
+            (F.col("d") >= F.date_sub("win_d", 6)) & (F.col("d") <= F.col("win_d")),
+        )
+        .groupBy(F.col("win_d").alias("d"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "percent_change_wow",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT wk, n_events,
+           LAG(n_events) OVER (ORDER BY wk) AS prev_n,
+           ROUND((n_events - LAG(n_events) OVER (ORDER BY wk)) * 100.0
+                 / LAG(n_events) OVER (ORDER BY wk), 4) AS pct_change
+    FROM weekly
+    """,
+)
+def percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week percent change of event volume: weekly rollup +
+    lag, one IEEE division on exact integers, 4-dp rounded.  The wk key
+    is unique so the unpartitioned lag is deterministic, and its input
+    is the tiny weekly series, never the fact table.
+
+    Scale (100 TB): the weekly rollup is map-side-combinable; the lag
+    runs on |weeks| rows on one task — negligible at any scale."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("wk")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "wk",
+        "n_events",
+        prev.alias("prev_n"),
+        F.round((F.col("n_events") - prev) * 100.0 / prev, 4).alias(
+            "pct_change"
+        ),
+    )

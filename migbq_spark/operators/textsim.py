@@ -323,3 +323,52 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.col("lang_counts")).alias("n_langs"),
         )
     )
+
+
+@register(
+    "edit_distance_pairs",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, substr(text, 1, 80) AS prefix
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.prefix, b.prefix) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 20
+    """,
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-duplicate pairs on a bounded
+    prefix, blocked by source — the char-level complement to token/
+    n-gram Jaccard (catches small in-place edits that shift every
+    n-gram).  Both engines implement the same unit-cost Levenshtein
+    recurrence, so distances are integers and hash-exact.  The prefix
+    cap bounds the O(len²) DP per pair; the doc_id cap bounds the
+    fixture pair space.
+
+    Scale (100 TB): never run all-pairs — the blocking key (here
+    `source`; in production an LSH bucket from dedup_minhash_lsh)
+    bounds candidates, and the prefix cap bounds per-pair cost;
+    remaining pairs are embarrassingly parallel."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "source", F.substring("text", 1, 80).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            dist.alias("edit_dist"),
+        )
+    )
