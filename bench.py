@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 #: Representative spread: scan+agg, star join, window dedup, set logic,
 #: text dedup, vector search, streaming-shaped agg, incremental sync,
-#: merge-upsert, n-gram near-dup, pivot.
+#: merge-upsert, n-gram near-dup, pivot, sessionization, lakehouse
+#: MOR+CDC, rolling distinct, and wide-frame feature assembly.
 HEADLINE = [
     "agg_groupby_sum",
     "join_star_5way",
@@ -38,6 +39,11 @@ HEADLINE = [
     "merge_upsert_latest",
     "ngram_jaccard",
     "pivot_event_counts",
+    "sessionize_gaps",
+    "compact_merge_on_read",
+    "cdc_snapshot_diff",
+    "active_users_7d",
+    "features_order_wide",
 ]
 
 

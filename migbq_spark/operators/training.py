@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
+from migbq_spark.common import dec
 from migbq_spark.registry import register
 
 # ------------------------------------------------------------- pii_scrub
@@ -660,4 +661,85 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 100)
         .drop("rn")
+    )
+
+
+# ------------------------------------------------- features_order_wide
+
+@register(
+    "features_order_wide",
+    oracle="""
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
+           COUNT(l.l_orderkey) AS n_items,
+           COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)), 0) AS sum_qty,
+           MAX(CAST(l.l_shipdate AS DATE)) AS last_ship
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2))
+    """,
+)
+def features_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-table feature assembly: denormalize the child table into
+    per-parent aggregate features (item count, exact quantity sum, last
+    ship date) LEFT-joined so parents with no children keep a row with
+    zero/NULL features — the standard "build the training frame" step
+    that turns a normalized schema into one row per example.
+
+    Aggregate-THEN-join: the child rollup collapses lineitem to one row
+    per order before the join, so the join carries |orders| rows on
+    both sides instead of fanning out |lineitem| — at 100 TB that
+    ordering is the difference between a bounded shuffle and a fact-
+    table-sized one; both sides hash-partition on the same key so AQE
+    plans a single co-located exchange pair."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", dec("o_totalprice").alias("total_price")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    child = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_items_raw"),
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty_raw"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+    return o.join(child, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_custkey",
+        "total_price",
+        F.coalesce("n_items_raw", F.lit(0)).alias("n_items"),
+        F.coalesce(
+            "sum_qty_raw", F.lit(0).cast("decimal(38,2)")
+        ).alias("sum_qty"),
+        "last_ship",
+    )
+
+
+# ------------------------------------------------- class_balance_report
+
+@register(
+    "class_balance_report",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM embeddings), 4)
+               AS frac
+    FROM embeddings GROUP BY label
+    """,
+)
+def class_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit over the labeled embedding set: per-label
+    count and corpus fraction — the imbalance check run before
+    training or resampling (pairs with mix_weighted_sources to fix
+    what it finds).  One map-combinable aggregation plus a broadcast
+    scalar total; exact integers, one rounded division."""
+    e = load(spark, sf_dir, "embeddings")
+    total = e.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        e.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 4).alias("frac"),
+        )
     )
