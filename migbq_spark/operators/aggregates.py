@@ -422,3 +422,48 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("psum").cast("decimal(38,2)").alias("sum_value"),
     )
+
+
+@register(
+    "robust_median_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(med.m, 4) AS median_value,
+           ROUND(quantile_cont(abs(e.value - med.m), 0.5), 4) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type, med.m
+    """,
+)
+def robust_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion stats: per-type median and median absolute
+    deviation (MAD) — the outlier-resistant alternative to mean/stddev
+    for data-quality gates (stddev is dominated by the very outliers a
+    gate should catch).  Two-pass: exact interpolated median per group,
+    broadcast back, median of absolute deviations (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, cf. agg_percentile); 4-dp rounded,
+    float-sensitive.
+
+    Scale (100 TB): pass 1's output is |types| rows (broadcast); each
+    pass is one per-group exact percentile — a per-group sort.  At
+    extreme group sizes swap both for `approx_percentile` sketches and
+    accept rows-only checking."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.round(F.expr("percentile(abs(value - m), 0.5)"), 4).alias("mad")
+        )
+        .select(
+            "event_type",
+            F.round("m", 4).alias("median_value"),
+            "mad",
+        )
+    )

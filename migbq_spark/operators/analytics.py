@@ -383,3 +383,45 @@ def percent_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+@register(
+    "top_pairs_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def top_pairs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users did both — the support counts feeding
+    association rules / feature crosses.  Deduplicate to (user, type)
+    grain FIRST, so the per-user self-join fans out |types-per-user|²,
+    never |events-per-user|².
+
+    Scale (100 TB): the dedup shuffles once per branch (AQE broadcasts
+    the deduped side at small SF — observed in the plan; at scale the
+    sort-merge path hash-partitions BOTH branches on user_id and
+    ReuseExchange collapses the duplicated dedup subplan); fan-out is
+    bounded by |types-per-user|², and the output collapses to |types|²
+    rows map-side."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -379,3 +379,38 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks"))
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k
+               FROM orders),
+    d AS (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k FROM orders)
+    SELECT d.k, COUNT(o.o_orderkey) AS n
+    FROM d JOIN o ON d.k IS NOT DISTINCT FROM o.k
+    GROUP BY d.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    dimension join needs when "unknown" is itself a category (a plain
+    equi-join loses every NULL-keyed fact row).  The nullable key is
+    derived with NULLIF so the fixture genuinely exercises the NULL
+    branch.
+
+    Scale (100 TB): null-safe equality still hash-partitions (NULL
+    hashes to one partition — if "unknown" is a HOT key, pre-split it
+    with a salt exactly like join_skew_salted); here the distinct dim
+    side is tiny and broadcasts."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("k")
+    )
+    d = o.select("k").distinct()
+    return (
+        d.alias("d")
+        .join(o.alias("o"), F.col("d.k").eqNullSafe(F.col("o.k")))
+        .groupBy(F.col("d.k").alias("k"))
+        .agg(F.count(F.col("o.o_orderkey")).alias("n"))
+    )
