@@ -209,3 +209,46 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q12_priority_split",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority split by line class): date-filtered
+    lineitem joined to orders, conditional counts by priority class.
+    (The fixture's lineitem has no l_shipmode, so the Q12 grouping axis
+    is l_returnflag — same join + conditional-aggregation shape.)  The
+    ship-date filter is pushed to the parquet scan (partition/row-group
+    pruning at scale); the conditional SUMs are exact integer CASE
+    aggregations — no decimal needed.
+
+    Scale (100 TB): filter-before-join shrinks the fact side first;
+    the join shuffles on orderkey (or is co-located under bucketing —
+    join_bucket_colocated); the rollup collapses to |flags| rows
+    map-side."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

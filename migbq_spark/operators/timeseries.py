@@ -276,3 +276,60 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("raw_value"),
         F.last(v, ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+@register(
+    "anomaly_zscore_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT d, n,
+               AVG(n * 1.0) OVER w AS mu,
+               STDDEV_SAMP(n * 1.0) OVER w AS sd,
+               COUNT(*) OVER w AS n_prior
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, n, ROUND(mu, 4) AS mu_7d,
+           ROUND((n - mu) / sd, 4) AS zscore,
+           (abs(n - mu) > 2 * sd) AS is_anomaly
+    FROM stats WHERE n_prior >= 7 AND sd > 0
+    """,
+)
+def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags on daily volume: each day scored
+    against the mean/stddev of the PRECEDING 7 days (frame excludes the
+    current row — a self-inclusive baseline dilutes the very anomaly it
+    scores).  Days without a full 7-day baseline are dropped.  Counts
+    are exact ints; the mean/std/z are one float pass over a ≤7-row
+    frame, 4-dp rounded (float-sensitive).
+
+    Scale (100 TB): the daily rollup is map-side-combinable; the window
+    runs over |days| rows on one task.  Per-key variants (per table /
+    per tenant) partition the same window by the key — this is the
+    volume-drop alarm migbq's `check` approximates with exact count
+    reconciliation (SURVEY §3.1 EP3), generalized to a statistical
+    gate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    nf = F.col("n") * 1.0
+    stats = daily.select(
+        "d",
+        "n",
+        F.avg(nf).over(w).alias("mu"),
+        F.stddev_samp(nf).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    return stats.filter((F.col("n_prior") >= 7) & (F.col("sd") > 0)).select(
+        "d",
+        "n",
+        F.round("mu", 4).alias("mu_7d"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("is_anomaly"),
+    )

@@ -743,3 +743,69 @@ def class_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("total"), 4).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------- ngram_lm_bigram_probs
+
+@register(
+    "ngram_lm_bigram_probs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2
+    ),
+    bi AS (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS n_pair
+        FROM pos GROUP BY 1, 2
+    ),
+    uni AS (SELECT w1, SUM(n_pair) AS n_w1 FROM bi GROUP BY w1)
+    SELECT bi.w1, bi.w2, bi.n_pair,
+           ROUND(bi.n_pair * 1.0 / uni.n_w1, 4) AS p_w2_given_w1
+    FROM bi JOIN uni USING (w1)
+    WHERE bi.n_pair >= 3
+    """,
+)
+def ngram_lm_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: corpus bigram counts and the
+    conditional probability P(w2|w1) = n(w1,w2)/Σ_w n(w1,w), kept where
+    support ≥ 3 — the counting backbone of n-gram LMs and of
+    perplexity-based quality filtering.  The unigram denominator is
+    derived FROM the bigram table (sum over following words), so
+    numerator and denominator share one counting pass.
+
+    Scale (100 TB): bigram extraction is row-local (adjacent-pair
+    transform, no shuffle); counts collapse map-side to |bigram vocab|;
+    the denominator join is on w1 — co-partitioned with the bigram
+    count shuffle, and the support filter prunes the long tail before
+    the join."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = bi.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    return (
+        bi.join(uni, "w1")
+        .filter(F.col("n_pair") >= 3)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair") * 1.0 / F.col("n_w1"), 4).alias(
+                "p_w2_given_w1"
+            ),
+        )
+    )
