@@ -298,3 +298,45 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_status",
         "new_status",
     )
+
+
+@register(
+    "table_checksum_md5",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           SUM(CAST(concat('0x',
+                 substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
+                                           CAST(user_id AS VARCHAR),
+                                           event_type, props)), 1, 12))
+               AS BIGINT)) AS checksum
+    FROM events GROUP BY event_type
+    """,
+)
+def table_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum per logical table: each row is
+    hashed (md5 of a '|'-joined canonical rendering of its stable
+    columns), the 48-bit hash prefix summed per group — migbq's `check`
+    compared only COUNTS; a sum-of-hashes catches value drift at equal
+    counts, and being a commutative SUM it is partition-order-proof and
+    cheap to maintain incrementally (add/subtract per changed row).
+    md5 is cross-engine-identical; Spark parses the hex prefix with
+    `conv(,16,10)`, DuckDB with a 0x-cast — 12 hex digits keep the sum
+    far from BIGINT overflow at any realistic row count.
+
+    Scale (100 TB): row-local hashing + map-side-combinable SUM — one
+    scan, no shuffle beyond |groups| partials; the per-PK-range variant
+    (group by pk div stride) localizes a mismatch to one retry range."""
+    ev = load(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    prefix_int = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(prefix_int).alias("checksum"),
+    )

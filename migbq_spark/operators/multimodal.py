@@ -109,3 +109,41 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_no", "frame_idx"
         ),
     ).select("doc_id", "frame_no", "frame_idx")
+
+
+@register(
+    "mm_meta_audit",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_records,
+           SUM(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),
+                                CAST(n_chars AS VARCHAR)))) AS total_bytes,
+           MIN(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),
+                                CAST(n_chars AS VARCHAR)))) AS min_bytes,
+           MAX(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),
+                                CAST(n_chars AS VARCHAR)))) AS max_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def mm_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage audit over the packed multimodal records (mm_pack_binary's
+    carrier schema): per source, record count and payload byte totals
+    from the typed metadata struct — the blob-store capacity/QA report.
+    The binary payloads themselves are not oracle-hashable, but their
+    LENGTHS are deterministic functions of the source row, so this
+    audit hash-checks the multimodal plumbing end-to-end (schema,
+    packing, metadata) without comparing raw bytes.
+
+    Scale (100 TB): runs entirely on the metadata struct — the binary
+    column is never read (columnar pruning elides it from the scan);
+    one map-side-combinable aggregation."""
+    packed = mm_pack_binary(spark, sf_dir)
+    return packed.select(
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

@@ -136,3 +136,41 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = e.filter(F.col("event_type") == "view").select("user_id")
     clicks = e.filter(F.col("event_type") == "click").select("user_id")
     return views.exceptAll(clicks)
+
+
+@register(
+    "range_partition_boundaries",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, NTILE(32) OVER (ORDER BY o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+           COUNT(*) AS n
+    FROM t GROUP BY bucket
+    """,
+)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range-partition boundary computation: NTILE(32) over
+    the PK yields 32 equal-row buckets whose [lo, hi] bounds are the
+    split points `repartitionByRange` / migbq's PK sweep want — an
+    EXACT version of Spark's sampled RangePartitioner (deterministic,
+    so hash-checkable; the sampled one is not).  Equal-ROW buckets beat
+    equal-WIDTH strides when PKs have gaps or hot ranges — every
+    partition gets the same row budget.
+
+    Scale (100 TB): computing exact ntiles needs a global sort of the
+    KEY COLUMN ONLY (pruned scan) — acceptable for planning-time
+    boundary jobs; at extreme sizes swap in `approx_percentile` over
+    the key for sampled-but-mergeable boundaries."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.withColumn("bucket", F.ntile(32).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -119,3 +119,41 @@ def test_tpch_q3_plan_contract(spark, sf_dir):
     assert any("o_orderdate" in p for p in pushed)
     assert any("l_shipdate" in p for p in pushed)
     assert any("c_mktsegment" in p for p in pushed)
+
+
+def test_features_order_wide_aggregates_before_join(spark, sf_dir):
+    # agg-then-join contract: the lineitem rollup (partial+final pair)
+    # must sit BELOW the join, and the aggregated child side broadcasts
+    plan = _plan(Q["features_order_wide"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+    # both scans pruned to the columns actually used
+    for scan_schema in plan.split("ReadSchema:")[1:]:
+        first = scan_schema.splitlines()[0]
+        assert "o_orderdate" not in first and "l_extendedprice" not in first
+
+
+def test_q12_pushes_date_filter_to_scan(spark, sf_dir):
+    plan = _plan(Q["tpch_q12_priority_split"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed
+
+
+def test_zorder_stats_partial_aggregates(spark, sf_dir):
+    plan = _plan(Q["zorder_cluster_stats"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # both window passes and the rollup must reuse ONE shuffle on user_id
+    plan = _plan(Q["sessionize_gaps"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mm_meta_audit_prunes_text_column(spark, sf_dir):
+    # the audit derives byte counts from doc_id/n_chars/source only —
+    # column pruning must keep the wide `text` column out of the scan
+    plan = _plan(Q["mm_meta_audit"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
