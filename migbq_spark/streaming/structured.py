@@ -305,3 +305,47 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", "user_id")
     name = _drain(joined, f"ss_join_{sf_dir}")
     return spark.table(name)
+
+
+@register("kafka_source_adapter")  # rows-only: kafka connector jar absent offline
+def kafka_source_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production Kafka ingestion surface — the modern counterpart of
+    migbq's RDBMS polling loop: the reader plan is configured exactly as
+    production would, and the post-source transformation (JSON value →
+    typed columns via from_json with an explicit schema) is applied to a
+    structurally identical in-memory frame so the parsing path really
+    executes offline.
+
+    Production call (requires the spark-sql-kafka package):
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", brokers)
+          .option("subscribe", "events")
+          .option("startingOffsets", "earliest")
+          .option("maxOffsetsPerTrigger", 100000)   # batch_size analogue
+          .load()
+          .select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
+          .select("r.*")
+
+    Scale (100 TB/day): parallelism = Kafka partitions; backpressure via
+    maxOffsetsPerTrigger; exactly-once via checkpointed offsets + the
+    foreachBatch idempotent sink (stream_foreach_batch_sink)."""
+    ensure_runtime_confs(spark)
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "broker-1:9092,broker-2:9092")
+        .option("subscribe", "events")
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", 100000)
+    )
+    assert reader is not None  # plan builds; .load() needs the kafka jar
+    schema = "event_id bigint, user_id bigint, event_type string"
+    raw = load(spark, sf_dir, "events").select(
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("value")
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value"), schema).alias("r")
+    ).select("r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("event_id").alias("max_event_id"),
+    )
