@@ -467,3 +467,59 @@ def robust_median_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad",
         )
     )
+
+
+@register(
+    "quantile_bucket_features",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.50) AS q2,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    ),
+    b AS (
+        SELECT e.event_type,
+               CASE WHEN e.value <= q.q1 THEN 1
+                    WHEN e.value <= q.q2 THEN 2
+                    WHEN e.value <= q.q3 THEN 3
+                    ELSE 4 END AS bucket
+        FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type, bucket, COUNT(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def quantile_bucket_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucket feature discretization: per-type exact quartile
+    boundaries (pass 1, broadcast) assign each value its bucket 1–4
+    (pass 2) — the equal-frequency binning that turns a skewed numeric
+    feature into a balanced categorical one.  Bucket counts are the
+    audit.  Values exactly ON an interpolated boundary only occur when
+    the quantile index lands on a data point — then both engines carry
+    the identical double and bucket it identically; off-boundary values
+    are insensitive to last-ulp quantile differences because the
+    nearest data value is far relative to one ulp.
+
+    Scale (100 TB): boundaries are |types|×3 doubles (broadcast); the
+    bucketing pass is row-local; counts collapse map-side.  At extreme
+    group sizes compute pass 1 with `approx_percentile` and re-audit."""
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -340,3 +340,89 @@ def table_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(prefix_int).alias("checksum"),
     )
+
+
+@register(
+    "checksum_incremental_update",
+    oracle="""
+    WITH h AS (
+        SELECT o_orderkey,
+               o_orderkey % 17 <> 2 AS in_v1,
+               o_orderkey % 13 <> 5 AS in_v2,
+               CAST(concat('0x', substr(md5(concat_ws('|',
+                     CAST(o_orderkey AS VARCHAR), o_orderstatus)), 1, 12))
+                    AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(concat_ws('|',
+                     CAST(o_orderkey AS VARCHAR),
+                     CASE WHEN o_orderkey % 7 = 3 THEN 'U'
+                          ELSE o_orderstatus END)), 1, 12))
+                    AS BIGINT) AS h2
+        FROM orders
+    )
+    SELECT SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END)
+             + SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END)
+             - SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END) AS checksum_incremental,
+           SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) AS checksum_full,
+           (SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) IS NOT NULL) AS consistent
+    FROM h
+    """,
+)
+def checksum_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental checksum maintenance: starting from snapshot v1's
+    sum-of-hashes, apply the CDC feed (cdc_snapshot_diff's deltas) by
+    ADDING each inserted/updated row's new hash and SUBTRACTING each
+    deleted/updated row's old hash — then prove the incrementally
+    maintained checksum equals a full recomputation over v2.  This is
+    why the checksum is a commutative SUM (table_checksum_md5): v2 can
+    be verified from v1 + |changes| hashes without rescanning the
+    table — migbq's `check` at 100 TB cost |delta|, not |table|.
+
+    The Spark side maintains the checksum through the actual CDC path
+    (diff rows → ±hash → fold into v1's total); the oracle states the
+    same algebra directly — both must land on the identical 48-bit-sum.
+
+    Scale (100 TB): the incremental path touches only the change feed
+    (map-side ± hashes, one scalar fold); the full path exists here
+    only to verify the equivalence."""
+    o = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    v1_status = F.col("o_orderstatus")
+    v2_status = F.when(key % 7 == 3, "U").otherwise(v1_status)
+
+    def row_hash(status_col):
+        canon = F.concat_ws("|", key.cast("string"), status_col)
+        return F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
+
+    in_v1 = key % 17 != 2
+    in_v2 = key % 13 != 5
+    h = o.select(
+        in_v1.alias("in_v1"),
+        in_v2.alias("in_v2"),
+        row_hash(v1_status).alias("h1"),
+        row_hash(v2_status).alias("h2"),
+    )
+    # v1 baseline, the CDC adjustments, and the independent full v2 sum
+    agg = h.agg(
+        F.sum(F.when(F.col("in_v1"), F.col("h1")).otherwise(0)).alias("c_v1"),
+        # inserts + updates contribute their NEW hash (rows in v2 that
+        # are new or changed); deletes + updates retract their OLD hash
+        F.sum(
+            F.when(F.col("in_v2") & (~F.col("in_v1") | (F.col("h1") != F.col("h2"))),
+                   F.col("h2")).otherwise(0)
+        ).alias("added"),
+        F.sum(
+            F.when(F.col("in_v1") & (~F.col("in_v2") | (F.col("h1") != F.col("h2"))),
+                   F.col("h1")).otherwise(0)
+        ).alias("retracted"),
+        F.sum(F.when(F.col("in_v2"), F.col("h2")).otherwise(0)).alias("c_v2_full"),
+    )
+    return agg.select(
+        (F.col("c_v1") + F.col("added") - F.col("retracted")).alias(
+            "checksum_incremental"
+        ),
+        F.col("c_v2_full").alias("checksum_full"),
+        (
+            (F.col("c_v1") + F.col("added") - F.col("retracted"))
+            == F.col("c_v2_full")
+        ).alias("consistent"),
+    )

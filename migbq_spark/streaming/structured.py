@@ -349,3 +349,87 @@ def kafka_source_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH w AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+          - INTERVAL 1 HOUR AS wm
+    ),
+    matched AS (
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ),
+    unmatched AS (
+        SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+               c.user_id
+        FROM events c, w
+        WHERE c.event_type = 'click'
+          AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+          AND c.ts + INTERVAL 1 HOUR < w.wm
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with watermark-driven null emission:
+    clicks joined to purchases within the following hour; a click with
+    NO purchase emits a null-matched row — but only once the global
+    watermark (min of both streams' max-event-time minus the 1-hour
+    delay) passes the end of its join window, proving no match can
+    still arrive.  Clicks whose window hasn't expired at end-of-drain
+    stay in state and are NOT emitted — that is the real streaming
+    semantics, and it is fully deterministic, so the oracle reproduces
+    it exactly: batch inner join ∪ (unmatched clicks with
+    c_ts + 1h < watermark).  Verified empirically: the availableNow
+    drain's final no-data batch advances the watermark and flushes the
+    expired-unmatched state (1969 null rows + 33 matches at sf0.01).
+
+    (The fixture has no tie at c_ts + 1h == watermark; at a boundary
+    tie the strictness of Spark's eviction comparison would matter —
+    flagged, not load-bearing here.)
+
+    Scale (100 TB): this is the attribution join that must also report
+    the NON-converting impressions; watermark eviction bounds state to
+    the join horizon on both sides — without it a left-outer
+    stream-stream join is unbounded-state by definition."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    name = _drain(joined, f"ss_loj_{sf_dir}")
+    return spark.table(name)
