@@ -147,3 +147,13 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         for r in Q["stream_stream_join"](spark, sf_dir).collect()
     }
     assert got == expected and expected
+
+
+def test_hll_wau_tracks_exact(spark, sf_dir):
+    # sketch union across the 7-day window must estimate the exact WAU
+    # within HLL error (lgK default 12 → ~1.6% rse; allow 5%)
+    exact = {r.d: r.wau for r in Q["active_users_7d"](spark, sf_dir).collect()}
+    est = {r.d: r.wau_est for r in Q["active_users_7d_hll"](spark, sf_dir).collect()}
+    assert set(exact) == set(est)
+    for d, wau in exact.items():
+        assert abs(est[d] - wau) <= max(3, 0.05 * wau), (d, wau, est[d])
