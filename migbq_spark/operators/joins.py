@@ -414,3 +414,65 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.k").alias("k"))
         .agg(F.count(F.col("o.o_orderkey")).alias("n"))
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pus
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS sus
+        FROM events WHERE event_type = 'signup'
+    ),
+    cand AS (
+        SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+               abs(p.pus - s.sus) AS dist_us,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY abs(p.pus - s.sus), s.event_id)
+                   AS rn
+        FROM p JOIN s ON p.user_id = s.user_id
+                     AND abs(p.pus - s.sus) <= 7200000000
+    )
+    SELECT purchase_id, signup_id, dist_us FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-either-direction as-of join with tolerance: each purchase
+    matched to the same user's CLOSEST signup within ±2 hours —
+    backward-only as-of (`join_asof`) misses the sensor/correction
+    reading that arrives just AFTER the anchor.  Distance runs on
+    integer epoch-µs; the argmin is a per-anchor rank with the
+    candidate's event_id as tiebreak, so equidistant-before/after picks
+    deterministically.
+
+    Scale (100 TB): the tolerance bounds the candidate pair space
+    (user-co-partitioned join, one shuffle each side); the rank-1
+    window is per-anchor TopK, never a global sort.  For dense series,
+    pre-bucketing both sides by time-bucket (±1 neighbor bucket) turns
+    the tolerance predicate into an equi-join on (user, bucket) — the
+    interval-join trick of join_interval_events."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+    )
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.unix_micros("ts").alias("sus"),
+    )
+    dist = F.abs(F.col("pus") - F.col("sus"))
+    cand = p.join(
+        s,
+        (F.col("user_id") == F.col("s_user")) & (dist <= 7_200_000_000),
+    ).select("purchase_id", "signup_id", dist.alias("dist_us"))
+    w = Window.partitionBy("purchase_id").orderBy("dist_us", "signup_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
