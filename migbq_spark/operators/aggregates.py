@@ -523,3 +523,40 @@ def quantile_bucket_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           CASE GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                WHEN 0 THEN 'detail' WHEN 1 THEN 'flag_subtotal'
+                ELSE 'grand_total' END AS level_label,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING-id labels: subtotal rows carry an explicit
+    aggregation-level marker, so a NULL group key is distinguishable
+    from a NULL-valued key — the disambiguation every BI consumer of
+    rollup output needs (`agg_rollup` alone can't tell "subtotal over
+    flags" from "flag IS NULL").  `grouping_id()` ≡ DuckDB's
+    GROUPING()-bit arithmetic.
+
+    Scale (100 TB): same single-pass rollup as agg_rollup — Spark
+    expands grouping sets map-side, partials stay combinable."""
+    li = load(spark, sf_dir, "lineitem")
+    gid = F.grouping_id()
+    label = (
+        F.when(gid == 0, "detail")
+        .when(gid == 1, "flag_subtotal")
+        .otherwise("grand_total")
+    )
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        gid.alias("gid"),
+        label.alias("level_label"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -333,3 +333,60 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("is_anomaly"),
     )
+
+
+@register(
+    "anomaly_zscore_by_key",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, d, n,
+               AVG(n * 1.0) OVER w AS mu,
+               STDDEV_SAMP(n * 1.0) OVER w AS sd,
+               COUNT(*) OVER w AS n_prior
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, n, ROUND(mu, 4) AS mu_7d,
+           ROUND((n - mu) / sd, 4) AS zscore,
+           (abs(n - mu) > 2 * sd) AS is_anomaly
+    FROM stats WHERE n_prior >= 7 AND sd > 0
+    """,
+)
+def anomaly_zscore_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trailing z-score anomaly flags: `anomaly_zscore_daily`
+    partitioned by event_type — each logical table/tenant/stream gets
+    its own baseline, so a volume drop in one key isn't masked by
+    growth in another.  Same self-exclusive 7-day frame, same 4-dp
+    float rounding.
+
+    Scale (100 TB): the daily rollup collapses map-side to
+    |keys|×|days| rows; the windows then run per key in parallel — this
+    is the per-table volume alarm migbq's `check` loop would run across
+    thousands of tables, in one plan."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    nf = F.col("n") * 1.0
+    stats = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.avg(nf).over(w).alias("mu"),
+        F.stddev_samp(nf).over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    return stats.filter((F.col("n_prior") >= 7) & (F.col("sd") > 0)).select(
+        "event_type",
+        "d",
+        "n",
+        F.round("mu", 4).alias("mu_7d"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("is_anomaly"),
+    )
