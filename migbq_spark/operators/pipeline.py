@@ -490,3 +490,86 @@ def active_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est")
         )
     )
+
+
+# ---------------------------------------------------- dup_cc_twostar
+
+def _cc_canon(E: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (min, max), no self-loops, deduped."""
+    return (
+        E.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_large_star(E: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u re-attaches to min(Γ(u) ∪ {u})."""
+    und = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return und.join(m, "u").filter(F.col("v") > F.col("u")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+
+
+def _cc_small_star(E: DataFrame) -> DataFrame:
+    """Small-star: every smaller neighbor (and u itself) re-attaches to
+    the minimum of u's smaller neighborhood."""
+    lo = E.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = lo.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return lo.join(m, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    ).union(m.select("u", F.col("m").alias("v")))
+
+
+@register(
+    "dup_cc_twostar",
+    oracle=None,  # set below: identical fixpoint to dup_connected_components
+)
+def dup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contractions (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round scale path for
+    `dup_connected_components`, whose plain min-label propagation needs
+    O(diameter) rounds and degrades on long chains.  Each round is two
+    groupBy+join passes over the edge list; the fixpoint is the star
+    graph rooting every node at its component minimum, extracted
+    directly from the final edges (root = the `least` side of each
+    canonical star edge).
+
+    Hash-checked against the SAME recursive-CTE fixpoint oracle as the
+    propagation variant — both algorithms must land on identical
+    components.
+
+    Scale (100 TB): round count is logarithmic in the largest component
+    (pathological chains included); per-round cost is |E| shuffled on
+    node id; lineage is cut per round with localCheckpoint."""
+    from migbq_spark.operators.training import ngram_jaccard
+
+    pairs = ngram_jaccard(spark, sf_dir).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    E = _cc_canon(pairs).localCheckpoint()
+    for _ in range(16):
+        E2 = _cc_canon(_cc_small_star(_cc_large_star(E))).localCheckpoint()
+        changed = E2.exceptAll(E).count() + E.exceptAll(E2).count()
+        prev, E = E, E2
+        if changed == 0:
+            break
+    # fixpoint is a star: canonical edges are (root, member)
+    return (
+        E.select(F.col("v").alias("doc_id"), F.col("u").alias("component_id"))
+        .union(
+            E.select(F.col("u").alias("doc_id"), F.col("u").alias("component_id"))
+        )
+        .distinct()
+    )
+
+
+# the two-star fixpoint must equal the propagation fixpoint — reuse the
+# identical recursive-CTE oracle text (import training first: this module
+# loads before it in registry._load_all)
+from migbq_spark import registry as _registry  # noqa: E402
+from migbq_spark.operators import training as _training  # noqa: E402, F401
+
+_registry.ORACLES["dup_cc_twostar"] = _registry.ORACLES["dup_connected_components"]
