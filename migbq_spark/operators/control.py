@@ -426,3 +426,39 @@ def checksum_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("c_v2_full")
         ).alias("consistent"),
     )
+
+
+@register(
+    "pk_gap_detection",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+        FROM orders
+    )
+    SELECT o_orderkey + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - o_orderkey - 1 AS n_missing
+    FROM s WHERE nxt - o_orderkey > 1
+    """,
+)
+def pk_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PK gap detection: every maximal missing range [gap_start,
+    gap_end] in the key sequence, via a single lead() pass over the
+    sorted PK — the precise version of migbq's stride-based
+    `retry_missing_ranges` (which can only flag a whole stride; this
+    pinpoints the exact keys a re-extract must fetch, and TPC-H
+    orderkeys are genuinely sparse, so the fixture exercises it hard).
+
+    Scale (100 TB): the scan is pruned to the PK column; the lead()
+    needs neighboring keys adjacent — a RANGE-partitioned sort keeps it
+    parallel (gaps spanning partition boundaries are caught by
+    comparing per-partition min/max, the repartitionByRange contract);
+    the single-task window here is the local[*] formulation."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    s = o.withColumn("nxt", F.lead("o_orderkey").over(w))
+    return s.filter(F.col("nxt") - F.col("o_orderkey") > 1).select(
+        (F.col("o_orderkey") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("o_orderkey") - 1).alias("n_missing"),
+    )
