@@ -560,3 +560,44 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("level_label"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,4)) AS weighted_sum,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS total_weight,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                 4) AS weighted_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted average (price weighted by quantity): numerator
+    and denominator are DECIMAL sums — associative, engine-exact — with
+    ONE final IEEE division rounded to 4 dp.  Never compute a weighted
+    mean as AVG of ratios or with float accumulators: both are
+    accumulation-order-dependent and simply wrong under reweighting.
+
+    Scale (100 TB): a single map-side-combinable aggregation; the
+    decimal×decimal products stay in unscaled-long codegen until the
+    final merge (cf. common.scaled_sum_agg for the two-level variant
+    when the product width risks BigDecimal boxing)."""
+    li = load(spark, sf_dir, "lineitem")
+    wsum = F.sum(dec("l_extendedprice") * dec("l_quantity")).cast(
+        "decimal(38,4)"
+    )
+    wtot = F.sum(dec("l_quantity")).cast("decimal(38,2)")
+    return li.groupBy("l_returnflag").agg(
+        wsum.alias("weighted_sum"),
+        wtot.alias("total_weight"),
+        F.round(
+            wsum.cast("double") / wtot.cast("double"), 4
+        ).alias("weighted_avg"),
+    )
