@@ -174,3 +174,27 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (bag intersection: each key kept
+    min(count_left, count_right) times) — completes the bag-semantics
+    set family with `set_except_all`/`set_union_all`.  The multiplicity
+    form matters for event accounting: "how many view events have a
+    paired click event per user", not just which users have both.
+
+    Scale (100 TB): Spark plans intersectAll as one aggregation over
+    tagged per-side counts plus a generate — linear, one shuffle on the
+    key, no join."""
+    e = load(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    return views.intersectAll(clicks)

@@ -187,3 +187,37 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_et"),
         F.nth_value("event_type", 2).over(w).alias("second_et"),
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           NTH_VALUE(event_id, 3) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_event_id
+    FROM events
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user third event (`nth_value` over the full partition frame):
+    the "what was the user's Nth action" question — onboarding analyses
+    key on it.  The frame is explicitly unbounded-both-sides (default
+    frames end at CURRENT ROW, where rows before the 3rd see NULL);
+    ORDER BY carries the event_id tiebreak; DISTINCT collapses the
+    per-row window output to one row per user (users with <3 events
+    keep a NULL marker row).
+
+    Scale (100 TB): one shuffle on user_id; an unbounded frame means
+    one pass per partition with a 3-deep buffer, not a rescan."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.nth_value("event_id", 3).over(w).alias("third_event_id"),
+    ).distinct()
