@@ -275,3 +275,40 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(long_toks).alias("long_token")
     )
+
+
+@register(
+    "map_roundtrip_audit",
+    oracle="""
+    SELECT event_type, SUM(cnt) AS n FROM (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type) t
+    GROUP BY event_type
+    """,
+)
+def map_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round trip, hash-checked: per-user activity profiles are
+    packed into a map<event_type, count> (entries SORTED before
+    map_from_entries — bare collect_list order is partition-dependent),
+    then exploded back with map_entries and re-aggregated; the result
+    must equal the direct per-type counts.  This is the
+    deterministic-map-construction pattern (`map_funcs` alone is
+    rows-only precisely because unordered maps don't hash stably).
+
+    Scale (100 TB): the map packing is one user-keyed aggregation; maps
+    stay bounded by the type vocabulary per key."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    packed = per_user.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("profile")
+    )
+    unpacked = packed.select(
+        F.explode(F.map_entries("profile")).alias("kv")
+    ).select(
+        F.col("kv.key").alias("event_type"), F.col("kv.value").alias("cnt")
+    )
+    return unpacked.groupBy("event_type").agg(F.sum("cnt").alias("n"))

@@ -390,3 +390,87 @@ def anomaly_zscore_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sd")).alias("is_anomaly"),
     )
+
+
+@register(
+    "interval_union_duration",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max_e
+        FROM iv
+    ),
+    g AS (
+        SELECT user_id, s, e,
+               CASE WHEN prev_max_e IS NULL THEN 0
+                    WHEN s > prev_max_e THEN 1 ELSE 0 END AS brk
+        FROM f
+    ),
+    h AS (
+        SELECT user_id, s, e,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS island
+        FROM g
+    ),
+    islands AS (
+        SELECT user_id, island, MIN(s) AS island_s, MAX(e) AS island_e
+        FROM h GROUP BY user_id, island
+    )
+    SELECT user_id, COUNT(*) AS n_islands,
+           SUM(island_e - island_s) AS busy_us
+    FROM islands GROUP BY user_id
+    """,
+)
+def interval_union_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge-overlaps) per user: each event opens a
+    10-minute activity interval; overlapping intervals merge into
+    islands, and the output is each user's island count and total
+    distinct busy time — the utilization/coverage metric a naive
+    SUM(duration) double-counts.  Island detection is the running-max
+    trick: a new island starts where an interval's start exceeds the
+    max end of ALL prior intervals (not just the previous row's — that
+    misses intervals nested inside a long one).
+
+    All arithmetic is integer epoch-µs; ORDER BYs carry tiebreaks.
+
+    Scale (100 TB): one shuffle on user_id feeds the running-max
+    window, the island rollup, and the per-user rollup (co-partitioned
+    throughout); state per partition is one running max."""
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+    brk = F.when(F.col("prev_max_e").isNull(), 0).otherwise(
+        F.when(F.col("s") > F.col("prev_max_e"), 1).otherwise(0)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = f.withColumn("brk", brk).withColumn("island", F.sum("brk").over(w_run))
+    islands = h.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s")).alias("busy_us"),
+    )
