@@ -157,3 +157,42 @@ def test_mm_meta_audit_prunes_text_column(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "n_chars" in read_schema
     assert "text" not in read_schema
+
+
+# Queries allowed to carry Python/Arrow execution nodes: the declared
+# UDF surface + the vectorized numpy similarity kernels.
+_PY_ALLOWED = {
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_pandas_grouped",
+    "udtf_grouped_map",
+    "cosine_topk",
+    "near_dup_jaccard",
+    "near_dup_embedding",
+    "ann_ivf_topk",
+}
+# Skipped in the sweep: plan construction would execute side effects
+# (streaming drains, sink writes, JDBC, driver-loop iteration) already
+# exercised elsewhere in the suite.
+_PY_SWEEP_SKIP_PREFIX = ("stream_", "kafka_")
+_PY_SWEEP_SKIP = {
+    "parquet_sink", "parquet_sink_day_partitioned", "csv_export",
+    "jsonl_gz_export", "compact_merge_on_read", "jdbc_source",
+    "bq_sink_adapter", "dup_connected_components", "dup_cc_twostar",
+    "mm_decode_stub", "mm_frame_sample",
+}
+
+
+def test_registry_wide_jvm_purity(spark, sf_dir):
+    # engine-wide invariant: Python execution nodes appear ONLY in the
+    # declared Python surface — every other operator must stay inside
+    # whole-stage-codegen-able JVM plans at any scale
+    markers = ("EvalPython", "InPandas", "PythonMapInArrow")
+    offenders = []
+    for qid, fn in sorted(Q.items()):
+        if qid.startswith(_PY_SWEEP_SKIP_PREFIX) or qid in _PY_SWEEP_SKIP:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if any(m in plan for m in markers) and qid not in _PY_ALLOWED:
+            offenders.append(qid)
+    assert not offenders, f"undeclared Python in plans: {offenders}"
