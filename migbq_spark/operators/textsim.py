@@ -372,3 +372,52 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "vec_pair_dot_hof",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding FROM embeddings),
+    b AS (SELECT vec_id - 1 AS prev_id, embedding AS emb_b FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id, a.embedding AS emb_a, b.emb_b
+        FROM a JOIN b ON b.prev_id = a.vec_id
+    ),
+    pos AS (
+        SELECT vec_id, emb_a, emb_b,
+               unnest(generate_series(1, len(emb_a))) AS i
+        FROM pairs
+    )
+    SELECT vec_id,
+           ROUND(SUM(CAST(emb_a[i] AS DOUBLE) * CAST(emb_b[i] AS DOUBLE)),
+                 4) AS dot
+    FROM pos GROUP BY vec_id
+    """,
+)
+def vec_pair_dot_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dot product of consecutive embeddings via higher-order
+    functions only: `zip_with` multiplies components, `aggregate` folds
+    the sum — the all-JVM vector kernel (no UDF, stays inside codegen),
+    complementing the Arrow-batched numpy path of cosine_topk.
+    Components widen float→double exactly before multiplying; the
+    rounded 4-dp score absorbs last-ulp accumulation differences
+    between Spark's sequential fold and the oracle's SUM (the
+    float-sensitive convention, SURVEY §7.4).
+
+    Scale (100 TB): the self-join on adjacent ids is co-partitioned
+    (same key ± 1 → range-partition both sides); per-row cost is one
+    fused 64-wide multiply-add chain in generated code."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", F.col("embedding").alias("emb_a"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("prev_id"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, a.vec_id == b.prev_id)
+    prod = F.zip_with(
+        "emb_a", "emb_b",
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot = F.aggregate(
+        prod, F.lit(0.0), lambda acc, v: acc + v
+    )
+    return pairs.select("vec_id", F.round(dot, 4).alias("dot"))

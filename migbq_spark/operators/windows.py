@@ -221,3 +221,69 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.nth_value("event_id", 3).over(w).alias("third_event_id"),
     ).distinct()
+
+
+@register(
+    "running_total_reset",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS rst
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, event_id, us, v,
+               SUM(rst) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS epoch
+        FROM f
+    )
+    SELECT user_id, event_id, epoch,
+           CAST(SUM(v) OVER (PARTITION BY user_id, epoch
+                             ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS run_since_signup
+    FROM g
+    """,
+)
+def running_total_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-able running accumulator: per-user cumulative value that
+    restarts at every 'signup' event — the counter-with-reset pattern
+    (spend since last login, usage since plan change) that a plain
+    running SUM cannot express.  Two stacked windows on ONE partition
+    key: a running count of reset markers defines the epoch, then the
+    running DECIMAL sum partitions by (user, epoch).  Integer-µs
+    ordering with event_id tiebreaks; DECIMAL accumulation is
+    order-exact.
+
+    Scale (100 TB): both windows and the epoch sub-partitioning reuse
+    a single shuffle on user_id (epoch is a derived column, not a new
+    distribution); state per partition is two running registers."""
+    e = load(spark, sf_dir, "events")
+    f = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.when(F.col("event_type") == "signup", 1).otherwise(0).alias("rst"),
+    )
+    w_epoch = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = f.withColumn("epoch", F.sum("rst").over(w_epoch))
+    w_run = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "user_id",
+        "event_id",
+        "epoch",
+        F.sum("v").over(w_run).cast("decimal(38,2)").alias("run_since_signup"),
+    )
