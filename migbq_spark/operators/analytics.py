@@ -425,3 +425,103 @@ def top_pairs_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "user_path_string",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path,
+           COUNT(*) AS n_steps
+    FROM o WHERE rn <= 8
+    GROUP BY user_id
+    """,
+)
+def user_path_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User journey path: each user's first 8 events concatenated in
+    time order ('view>click>purchase…') — the path-analysis input for
+    funnel mining and sequence clustering.  Order is pinned end-to-end:
+    an explicit row_number (ts, event_id) both truncates to 8 and
+    drives the ordered aggregation (Spark: sort_array of (rn, type)
+    structs then transform+concat; bare collect_list is
+    partition-order-dependent and never hash-safe).
+
+    Scale (100 TB): one shuffle on user_id; the 8-step cap bounds both
+    state and output row width regardless of per-user volume."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 8)
+    )
+    return o.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+
+
+@register(
+    "decile_lift_table",
+    oracle="""
+    WITH scored AS (
+        SELECT value AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               NTILE(10) OVER (ORDER BY value DESC, event_id) AS decile
+        FROM events
+    ),
+    base AS (SELECT AVG(y * 1.0) AS base_rate FROM scored)
+    SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos,
+           ROUND(AVG(y * 1.0), 4) AS pos_rate,
+           ROUND(AVG(y * 1.0) / base.base_rate, 4) AS lift
+    FROM scored, base GROUP BY decile, base.base_rate
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard model-evaluation report: rank
+    all examples by score (here `value` proxies a model score, purchase
+    is the positive label), split into 10 equal-count bins, and compare
+    each bin's positive rate to the corpus base rate.  NTILE order
+    carries the event_id tiebreak so bin assignment is deterministic;
+    rates are integer-count ratios with one rounded division each.
+
+    Scale (100 TB): exact global NTILE needs a total order — fine for
+    eval sets (≤ millions of rows on one task); for full-corpus scoring
+    swap in approx_percentile score boundaries (the
+    quantile_bucket_features pattern) and keep this exact path for the
+    held-out table."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("value"), "event_id")
+    scored = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    base = scored.agg(F.avg(F.col("y") * 1.0).alias("base_rate"))
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.avg(F.col("y") * 1.0), 4).alias("pos_rate"),
+            F.avg(F.col("y") * 1.0).alias("_raw_rate"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            "pos_rate",
+            F.round(F.col("_raw_rate") / F.col("base_rate"), 4).alias("lift"),
+        )
+    )
