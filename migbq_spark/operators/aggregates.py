@@ -601,3 +601,62 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             wsum.cast("double") / wtot.cast("double"), 4
         ).alias("weighted_avg"),
     )
+
+
+@register(
+    "outlier_iqr_bounds",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(q.q1, 4) AS q1, ROUND(q.q3, 4) AS q3,
+           ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence,
+           SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                      OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           COUNT(*) AS n
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type, q.q1, q.q3
+    """,
+)
+def outlier_iqr_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier gate: per-type quartiles, 1.5×IQR fences, and
+    the count of values outside them — the robust outlier screen run
+    before a column is admitted as a training feature (pairs with
+    robust_median_mad; both ignore the outliers a stddev gate is
+    dominated by).  Two-pass broadcast-quartiles pattern
+    (quantile_bucket_features); fences are identical double arithmetic
+    on identical quartiles, so the flag counts agree — values exactly
+    ON a derived fence would be the only divergence risk (none in the
+    fixture; float-sensitive per SURVEY §7.4).
+
+    Scale (100 TB): pass 1 output is |types|×2 doubles (broadcast);
+    the flagging pass is row-local with a map-side-combinable count."""
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    flagged = e.join(F.broadcast(q), "event_type")
+    return flagged.groupBy("event_type", "q1", "q3").agg(
+        F.sum(
+            F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        F.round("q1", 4).alias("q1"),
+        F.round("q3", 4).alias("q3"),
+        F.round(lo, 4).alias("lo_fence"),
+        F.round(hi, 4).alias("hi_fence"),
+        "n_outliers",
+        "n",
+    )

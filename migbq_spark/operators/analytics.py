@@ -525,3 +525,34 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_raw_rate") / F.col("base_rate"), 4).alias("lift"),
         )
     )
+
+
+@register(
+    "seasonality_dow_hour",
+    oracle="""
+    SELECT isodow(CAST(ts AS TIMESTAMP)) - 1 AS weekday,
+           hour(CAST(ts AS TIMESTAMP)) AS hr,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event volume and distinct actives on the
+    (weekday × hour) grid — the traffic-shape matrix behind capacity
+    planning and seasonally-adjusted anomaly baselines
+    (anomaly_zscore_daily compares to a flat trailing window; this is
+    the input for a weekday-aware one).  Weekday numbering is pinned
+    cross-engine: Spark `weekday()` (0 = Monday) ≡ DuckDB isodow − 1 —
+    bare `dayofweek` DISAGREES between engines (Sunday-1 vs Sunday-0).
+
+    Scale (100 TB): pure map-side-combinable counts to a fixed 7×24
+    grid; the exact DISTINCT shuffles (weekday, hr, user) triples —
+    swap for HLL per cell at extreme user counts."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").alias("weekday"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
