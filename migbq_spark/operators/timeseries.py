@@ -474,3 +474,52 @@ def interval_union_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("island_e") - F.col("island_s")).alias("busy_us"),
     )
+
+
+@register(
+    "interarrival_histogram",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey,
+               date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(gap_days // 7 AS BIGINT) AS gap_weeks,
+           COUNT(*) AS n_gaps,
+           MIN(gap_days) AS min_days,
+           MAX(gap_days) AS max_days
+    FROM s WHERE gap_days IS NOT NULL
+    GROUP BY CAST(gap_days // 7 AS BIGINT)
+    """,
+)
+def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution: days between each customer's
+    consecutive orders, rolled into week-wide buckets — the
+    repeat-behavior profile behind churn models and reorder
+    forecasting.  Gap arithmetic is integer day-diffs (lag ORDER BY
+    carries the o_orderkey tiebreak for same-day orders); first orders
+    (NULL lag) are excluded.
+
+    Scale (100 TB): one shuffle on the customer key for the lag, then
+    the histogram collapses map-side to |buckets| rows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate"), "o_orderkey"
+    )
+    s = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return s.groupBy(
+        F.expr("gap_days div 7").alias("gap_weeks")
+    ).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").alias("min_days"),
+        F.max("gap_days").alias("max_days"),
+    )

@@ -287,3 +287,47 @@ def running_total_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         F.sum("v").over(w_run).cast("decimal(38,2)").alias("run_since_signup"),
     )
+
+
+@register(
+    "percent_of_total_window",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                   AS type_sum
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, type_sum,
+           ROUND(CAST(type_sum AS DOUBLE)
+                 / CAST(SUM(type_sum) OVER () AS DOUBLE), 4) AS share
+    FROM g
+    """,
+)
+def percent_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each group's share of the grand total via an
+    unpartitioned empty-frame window over the ALREADY-AGGREGATED rollup
+    — the share-of-wallet / mix-percentage report.  The window input is
+    |groups| rows (never the fact table), numerator and denominator are
+    exact DECIMAL sums, one rounded IEEE division per row.
+
+    Scale (100 TB): the fact-table pass is one map-side-combinable
+    aggregation; the OVER () total runs on the tiny rollup in a single
+    task — the pattern that makes global-share windows scale is
+    aggregating FIRST."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("type_sum")
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "event_type",
+        "type_sum",
+        F.round(
+            F.col("type_sum").cast("double")
+            / F.sum("type_sum").over(w).cast("double"),
+            4,
+        ).alias("share"),
+    )
