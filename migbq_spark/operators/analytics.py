@@ -556,3 +556,153 @@ def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "abc_pareto_class",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_rev,
+               SUM(revenue) OVER () AS total_rev
+        FROM rev
+    ),
+    classed AS (
+        SELECT o_custkey, revenue,
+               CASE WHEN CAST(cum_rev AS DOUBLE)
+                         <= CAST(total_rev AS DOUBLE) * 0.8 THEN 'A'
+                    WHEN CAST(cum_rev AS DOUBLE)
+                         <= CAST(total_rev AS DOUBLE) * 0.95 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc, COUNT(*) AS n_customers,
+           CAST(SUM(revenue) AS DECIMAL(38,2)) AS class_revenue
+    FROM classed GROUP BY abc
+    """,
+)
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: customers ranked by revenue, running
+    cumulative share splits them into A (first 80% of revenue), B (to
+    95%), C (tail) — the 80/20 segmentation behind tiering and
+    retention spend.  The cumulative window runs over the per-customer
+    ROLLUP (|customers| rows) with a custkey tiebreak; revenue sums are
+    exact DECIMAL, class boundaries one double comparison each (same
+    cum/total values both engines → same class).
+
+    Scale (100 TB): the fact pass is one combinable aggregation; the
+    ranked scan is |customers| rows — if even that is too large for one
+    task, pre-bucket by revenue range and run the cumulative pass over
+    bucket subtotals first (two-level Pareto)."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(w_cum).cast("double").alias("cum_rev"),
+        F.sum("revenue").over(w_all).cast("double").alias("total_rev"),
+    )
+    abc = (
+        F.when(F.col("cum_rev") <= F.col("total_rev") * 0.8, "A")
+        .when(F.col("cum_rev") <= F.col("total_rev") * 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("revenue", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("revenue").cast("decimal(38,2)").alias("class_revenue"),
+        )
+    )
+
+
+@register(
+    "distribution_drift",
+    oracle="""
+    WITH bounds AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+    tagged AS (
+        SELECT e.event_type,
+               CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                         <= (epoch_us(CAST(b.lo AS TIMESTAMP))
+                             + epoch_us(CAST(b.hi AS TIMESTAMP))) // 2
+                    THEN 'ref' ELSE 'cur' END AS win
+        FROM events e, bounds b
+    ),
+    counts AS (
+        SELECT event_type, win, COUNT(*) AS n FROM tagged GROUP BY 1, 2
+    ),
+    tot AS (SELECT win, SUM(n) AS total FROM counts GROUP BY win),
+    shares AS (
+        SELECT c.event_type, c.win, c.n * 1.0 / t.total AS share
+        FROM counts c JOIN tot t USING (win)
+    )
+    SELECT r.event_type,
+           ROUND(r.share, 4) AS ref_share,
+           ROUND(c.share, 4) AS cur_share,
+           ROUND(abs(c.share - r.share), 4) AS abs_drift
+    FROM shares r JOIN shares c
+      ON r.event_type = c.event_type AND r.win = 'ref' AND c.win = 'cur'
+    """,
+)
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: the event-type mix of the data's
+    second (current) half compared against its first (reference) half —
+    per-category share delta, the ingredient of PSI/chi-square drift
+    alarms a production pipeline runs before trusting new data.  The
+    split point is derived in-query (midpoint of the time span, integer
+    µs), so the check is sf-independent; shares are integer-count
+    ratios, one rounded division each.
+
+    Scale (100 TB): two combinable aggregations over one scan (window
+    tag is row-local); the share join runs on |categories| rows."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts")
+            <= F.expr("(lo + hi) div 2"),
+            "ref",
+        ).otherwise("cur").alias("win"),
+    )
+    counts = tagged.groupBy("event_type", "win").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("win").agg(F.sum("n").alias("total"))
+    shares = counts.join(tot, "win").select(
+        "event_type", "win", (F.col("n") * 1.0 / F.col("total")).alias("share")
+    )
+    r = shares.filter(F.col("win") == "ref").select(
+        "event_type", F.col("share").alias("ref_share_raw")
+    )
+    c = shares.filter(F.col("win") == "cur").select(
+        "event_type", F.col("share").alias("cur_share_raw")
+    )
+    return r.join(c, "event_type").select(
+        "event_type",
+        F.round("ref_share_raw", 4).alias("ref_share"),
+        F.round("cur_share_raw", 4).alias("cur_share"),
+        F.round(F.abs(F.col("cur_share_raw") - F.col("ref_share_raw")), 4).alias(
+            "abs_drift"
+        ),
+    )
