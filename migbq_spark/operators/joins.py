@@ -476,3 +476,69 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "parts_unshipped_by_region",
+    oracle="""
+    WITH r AS (SELECT MIN(r_name) AS rname FROM region),
+    region_sups AS (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        JOIN r ON rg.r_name = r.rname
+    ),
+    shipped AS (
+        SELECT DISTINCT l.l_partkey
+        FROM lineitem l JOIN region_sups rs ON l.l_suppkey = rs.s_suppkey
+    )
+    SELECT p.p_brand,
+           COUNT(*) AS n_parts,
+           SUM(CASE WHEN sh.l_partkey IS NULL THEN 1 ELSE 0 END)
+               AS n_unshipped
+    FROM part p LEFT JOIN shipped sh ON p.p_partkey = sh.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def parts_unshipped_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage/assortment gap report across the full dimension chain
+    (region → nation → supplier → lineitem → part): per brand, how many
+    parts were never shipped by any supplier of the alphabetically
+    first region — the catalog-coverage question a supply planner asks.
+    The probe region is derived in-query (MIN(r_name)) so the fixture
+    stays sf-independent.
+
+    Scale (100 TB): the dim chain (region/nation/supplier) collapses to
+    a broadcast supplier-key set; lineitem is semi-reduced to DISTINCT
+    shipped partkeys BEFORE touching part (|parts| rows, not |fact|);
+    the final LEFT JOIN + conditional count is |parts|-sized."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rname = region.agg(F.min("r_name").alias("rname"))
+    region_sups = (
+        supplier.join(
+            nation, supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(rname), F.col("r_name") == F.col("rname"))
+        .select("s_suppkey")
+    )
+    shipped = (
+        li.join(F.broadcast(region_sups), li.l_suppkey == F.col("s_suppkey"))
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        part.join(shipped, part.p_partkey == shipped.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(F.col("l_partkey").isNull(), 1).otherwise(0)
+            ).alias("n_unshipped"),
+        )
+    )

@@ -523,3 +523,53 @@ def interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_days"),
         F.max("gap_days").alias("max_days"),
     )
+
+
+@register(
+    "rolling_max_drawdown",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               MAX(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(peak - v) AS DECIMAL(18,2)) AS max_drawdown,
+           CAST(MAX(peak) AS DECIMAL(18,2)) AS final_peak
+    FROM s GROUP BY user_id
+    """,
+)
+def rolling_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: running peak (cumulative MAX)
+    minus current value, maximized — the worst peak-to-trough drop, the
+    stability metric for any monitored quantity (account balance, queue
+    depth, quality score).  All DECIMAL comparisons/subtractions —
+    exact; ordering carries the event_id tiebreak (ties don't affect a
+    running MAX, but pinned order is the house rule).
+
+    Scale (100 TB): one shuffle on user_id feeds the running-max window
+    AND the final rollup (same partitioning); per-partition state is a
+    single peak register."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = e.select(
+        "user_id",
+        v.alias("v"),
+        F.max(v).over(w).alias("peak"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("v")).cast("decimal(18,2)").alias(
+            "max_drawdown"
+        ),
+        F.max("peak").cast("decimal(18,2)").alias("final_peak"),
+    )
