@@ -462,3 +462,73 @@ def pk_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("o_orderkey") - 1).alias("n_missing"),
     )
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+    WITH v0 AS (
+        SELECT o_orderkey, o_orderstatus AS status,
+               CAST(o_orderdate AS DATE) AS eff_date
+        FROM orders
+    ),
+    v1 AS (
+        SELECT o_orderkey, 'U' AS status,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS change_date
+        FROM orders WHERE o_orderkey % 7 = 3
+    )
+    SELECT v0.o_orderkey, v0.status,
+           v0.eff_date AS valid_from,
+           CAST(v1.change_date AS DATE) AS valid_to,
+           (v1.o_orderkey IS NULL) AS is_current
+    FROM v0 LEFT JOIN v1 ON v0.o_orderkey = v1.o_orderkey
+    UNION ALL
+    SELECT v1.o_orderkey, v1.status,
+           CAST(v1.change_date AS DATE) AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM v1
+    """,
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: applying a change batch
+    to a dimension produces history rows — the superseded version gets
+    `valid_to` = change date and `is_current` = false, the new version
+    opens an unbounded interval — so facts can always join "the status
+    as of THEIR date" (pairs with join_asof for the as-of lookup).
+    Changes are derived deterministically (keys ≡3 mod 7 update to 'U'
+    30 days after the order date), so the full history table is
+    oracle-checkable.
+
+    Scale (100 TB): one key-partitioned LEFT JOIN (change batch ≪
+    dimension → broadcast) plus a union with the change rows; history
+    grows by |changes| per batch, never rewritten — the append-only
+    property that makes SCD2 cheap in a lakehouse."""
+    o = load(spark, sf_dir, "orders")
+    v0 = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.to_date("o_orderdate").alias("eff_date"),
+    )
+    v1 = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        F.col("o_orderkey").alias("chg_key"),
+        F.lit("U").alias("new_status"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("change_date"),
+    )
+    hist_old = v0.join(
+        F.broadcast(v1), v0.o_orderkey == v1.chg_key, "left"
+    ).select(
+        "o_orderkey",
+        "status",
+        F.col("eff_date").alias("valid_from"),
+        F.col("change_date").alias("valid_to"),
+        F.col("chg_key").isNull().alias("is_current"),
+    )
+    hist_new = v1.select(
+        F.col("chg_key").alias("o_orderkey"),
+        F.col("new_status").alias("status"),
+        F.col("change_date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist_old.unionByName(hist_new)
