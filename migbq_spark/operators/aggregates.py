@@ -660,3 +660,81 @@ def outlier_iqr_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "n",
     )
+
+
+@register(
+    "ab_test_welch",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS grp,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    stats AS (
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM g GROUP BY grp
+    ),
+    m AS (
+        SELECT grp, n, s1 / n AS mean,
+               (s2 - s1 * s1 / n) / (n - 1) AS var
+        FROM stats
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean, 4) AS mean_a, ROUND(b.mean, 4) AS mean_b,
+           ROUND((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat
+    FROM m a JOIN m b ON a.grp = 'A' AND b.grp = 'B'
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic between two cohorts (click vs view values) —
+    the A/B-test primitive a data platform evaluates experiments with.
+    Sums and sums-of-squares accumulate as exact DECIMALs, converted to
+    double ONCE; mean/variance/t are then a fixed sequence of IEEE ops
+    on identical inputs (4-dp rounded, float-sensitive).  The same
+    moments pattern as corr_moments — never stream floats through a
+    variance accumulator when cross-engine equality matters.
+
+    Scale (100 TB): two map-side-combinable aggregations (one per
+    cohort in the same pass); the t computation is a 2-row join."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    g = e.select(
+        F.when(F.col("event_type") == "click", "A").otherwise("B").alias("grp"),
+        v.alias("v"),
+    )
+    stats = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "grp",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.filter(F.col("grp") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("grp") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )

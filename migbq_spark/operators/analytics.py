@@ -706,3 +706,61 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_drift"
         ),
     )
+
+
+@register(
+    "gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM rev
+    )
+    SELECT MAX(n) AS n_customers,
+           ROUND(2.0 * SUM(CAST(i AS DOUBLE) * CAST(revenue AS DOUBLE))
+                 / (MAX(n) * SUM(CAST(revenue AS DOUBLE)))
+                 - (MAX(n) + 1.0) / MAX(n), 4) AS gini
+    FROM ranked
+    """,
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration — the single-number
+    inequality summary behind abc_pareto_class (G = 2·Σ i·xᵢ /(n·Σxᵢ)
+    − (n+1)/n over ascending-sorted values): 0 = evenly spread,
+    →1 = winner-takes-all.  Rank order carries the custkey tiebreak
+    (ties in revenue don't change the sum, but pinned order is the
+    house rule); the rank-weighted sum is a double reduction — the SUM
+    accumulation order is engine-internal, but each addend is a product
+    of identical doubles, and the 4-dp rounding absorbs reduction-order
+    ulps (float-sensitive per SURVEY §7.4).
+
+    Scale (100 TB): the rollup is combinable; the ranked pass is
+    |customers| rows — pre-aggregate to revenue buckets first when even
+    that is too large (bucket-Gini bounds the true one)."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = rev.select(
+        F.col("revenue").cast("double").alias("x"),
+        F.row_number().over(w).cast("double").alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )
