@@ -764,3 +764,56 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+@register(
+    "attribution_first_last",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, event_type,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS) OVER w AS first_click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_click_id
+        FROM events WHERE event_type IN ('click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, first_click_id, last_click_id
+    FROM s WHERE event_type = 'purchase'
+    """,
+)
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch AND last-touch attribution in ONE window pass: clicks
+    and purchases interleave per user in time order; each purchase row
+    reads the first and the most recent preceding click from carried
+    window registers — the two attribution models marketers compare,
+    computed without any self-join (the join_asof formulation does one
+    anchor per pass; this does both at once and keeps purchases with no
+    prior click, attributed NULL).
+
+    Scale (100 TB): one shuffle on user_id; state per partition is two
+    registers (first seen, last seen click id) — independent of
+    per-user volume."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.first(click_id, ignorenulls=True).over(w).alias("first_click_id"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+    )
+    return s.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "first_click_id",
+        "last_click_id",
+    )
