@@ -817,3 +817,80 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_click_id",
         "last_click_id",
     )
+
+
+@register(
+    "pair_affinity_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    singles AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND((p.n_both * 1.0 / nu.n_users)
+                 / ((sa.n * 1.0 / nu.n_users) * (sb.n * 1.0 / nu.n_users)),
+                 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN nu
+    """,
+)
+def pair_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association lift per event-type pair: P(A∧B) / (P(A)·P(B)) over
+    the user population — the normalization that turns raw
+    co-occurrence counts (top_pairs_cooccurrence) into an affinity
+    signal (lift > 1 ⇒ the behaviors attract; ≈1 ⇒ independent).  All
+    probabilities are integer-count ratios over the same user base;
+    one rounded division chain per pair.
+
+    Scale (100 TB): singles and the population count ride the same
+    (user,type) dedup as the pair join; the lift join runs on |types|²
+    rows — broadcast."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * 1.0 / F.col("n_users"))
+                / (
+                    (F.col("na") * 1.0 / F.col("n_users"))
+                    * (F.col("nb") * 1.0 / F.col("n_users"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -573,3 +573,62 @@ def rolling_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("peak").cast("decimal(18,2)").alias("final_peak"),
     )
+
+
+@register(
+    "daily_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT n AS x, LAG(n) OVER (ORDER BY d) AS y FROM daily
+    ),
+    p AS (SELECT x, y FROM lagged WHERE y IS NOT NULL),
+    m AS (
+        SELECT COUNT(*) AS k,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM p
+    )
+    SELECT k,
+           ROUND((k * sxy - sx * sy)
+                 / (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy)),
+                 4) AS autocorr_lag1
+    FROM m
+    """,
+)
+def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume — the persistence
+    diagnostic that says whether yesterday predicts today (inputs to
+    forecasting-model choice and to how wide anomaly bands should be).
+    Pearson correlation over (xₜ, xₜ₋₁) pairs from EXACT integer sums
+    (the corr_moments pattern shifted in time): all moments are int64
+    aggregations, converted to double once for the closed-form r,
+    4-dp rounded.
+
+    Scale (100 TB): the daily rollup is combinable; the lag + moments
+    run over |days| rows on one task."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d")
+    p = daily.select(
+        F.col("n").alias("x"), F.lag("n").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = p.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select("k", F.round(num / den, 4).alias("autocorr_lag1"))
