@@ -809,3 +809,72 @@ def ngram_lm_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------ zipf_fit_slope
+
+@register(
+    "zipf_fit_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+    ranked AS (
+        SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS r
+        FROM counts
+    ),
+    top AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+        FROM ranked WHERE r <= 100
+    ),
+    m AS (
+        SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM top
+    )
+    SELECT k,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope
+    FROM m
+    """,
+)
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token distribution: least-squares
+    slope of ln(frequency) against ln(rank) for the top-100 vocabulary
+    (natural text ≈ −1; strong deviation flags templated/duplicated or
+    synthetic content — a corpus-quality fingerprint).  Ranks carry the
+    lexical tiebreak (vocab_top_tokens convention); the closed-form
+    slope runs on exact counts through ln once per term, 4-dp rounded
+    (float-sensitive: ln is libm, but 100-term sums keep ulps far below
+    the rounding grid).
+
+    Scale (100 TB): token counting is the canonical combinable
+    aggregation; the regression runs on 100 rows."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        )
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), "token")
+    top = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+        )
+    )
+    m = top.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select("k", F.round(slope, 4).alias("zipf_slope"))
