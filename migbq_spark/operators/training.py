@@ -878,3 +878,62 @@ def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return m.select("k", F.round(slope, 4).alias("zipf_slope"))
+
+
+# ---------------------------------------------------- entropy_by_source
+
+@register(
+    "entropy_by_source",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, token, COUNT(*) AS n FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(n) AS total FROM counts GROUP BY source)
+    SELECT c.source,
+           MAX(t.total) AS n_tokens,
+           COUNT(*) AS vocab,
+           ROUND(-SUM((c.n * 1.0 / t.total) * ln(c.n * 1.0 / t.total)),
+                 4) AS entropy_nats
+    FROM counts c JOIN tot t USING (source)
+    GROUP BY c.source
+    """,
+)
+def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (nats) —
+    the lexical-diversity fingerprint that separates natural text from
+    templated/boilerplate sources (low entropy ⇒ repetitive; pairs
+    with zipf_fit_slope for corpus QA and with mix_weighted_sources
+    for deciding source weights).  Probabilities are exact-count
+    ratios; the −Σ p·ln p reduction is 4-dp rounded (float-sensitive:
+    per-term values are identical, reduction-order ulps are far below
+    the grid).
+
+    Scale (100 TB): per-source token counts are combinable; the
+    entropy join is on the per-source totals (|sources| rows,
+    broadcast) and the final reduction is per-source-vocab sized."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n") * 1.0 / F.col("total")
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+    )
