@@ -970,3 +970,69 @@ def kl_divergence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kl_ref_cur"),
         F.count(F.lit(1)).alias("n_categories"),
     )
+
+
+@register(
+    "dau_stickiness_jaccard",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    sizes AS (SELECT d, COUNT(*) AS n FROM daily GROUP BY d),
+    overlap AS (
+        SELECT a.d AS d_prev, b.d AS d_cur, COUNT(*) AS n_both
+        FROM daily a JOIN daily b
+          ON b.d = a.d + INTERVAL 1 DAY AND a.user_id = b.user_id
+        GROUP BY a.d, b.d
+    )
+    SELECT o.d_cur AS d, sp.n AS n_prev, sc.n AS n_cur, o.n_both,
+           ROUND(o.n_both * 1.0 / (sp.n + sc.n - o.n_both), 4)
+               AS jaccard
+    FROM overlap o
+    JOIN sizes sp ON sp.d = o.d_prev
+    JOIN sizes sc ON sc.d = o.d_cur
+    """,
+)
+def dau_stickiness_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day stickiness: Jaccard similarity between consecutive
+    days' active-user sets — the returning-vs-churning pulse a product
+    team tracks daily (high ⇒ the same users return; low ⇒ the
+    audience churns through).  Set sizes and intersections are exact
+    integer counts from the (day, user) dedup; one rounded division
+    per day pair.
+
+    Scale (100 TB): the dedup collapses the fact table first; the
+    adjacent-day self-join is co-partitioned on user_id (day shift is
+    a join predicate, not a new key) and the size join runs on |days|
+    rows — broadcast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    sizes = daily.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    overlap = (
+        a.join(
+            b,
+            (F.col("b.d") == F.date_add(F.col("a.d"), 1))
+            & (F.col("a.user_id") == F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.d").alias("d_prev"), F.col("b.d").alias("d_cur"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sp = sizes.select(F.col("d").alias("d_prev"), F.col("n").alias("n_prev"))
+    sc = sizes.select(F.col("d").alias("d_cur"), F.col("n").alias("n_cur"))
+    return (
+        overlap.join(F.broadcast(sp), "d_prev")
+        .join(F.broadcast(sc), "d_cur")
+        .select(
+            F.col("d_cur").alias("d"),
+            "n_prev",
+            "n_cur",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                * 1.0
+                / (F.col("n_prev") + F.col("n_cur") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
