@@ -1036,3 +1036,64 @@ def dau_stickiness_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "conversion_time_distribution",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id,
+               MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_purchase
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s.t_signup
+        GROUP BY e.user_id
+    )
+    SELECT CAST((p.t_purchase - s.t_signup) // 3600000000 // 24 AS BIGINT)
+               AS days_to_convert,
+           COUNT(*) AS n_users,
+           MIN((p.t_purchase - s.t_signup) // 3600000000) AS min_hours,
+           MAX((p.t_purchase - s.t_signup) // 3600000000) AS max_hours
+    FROM p JOIN s ON p.user_id = s.user_id
+    GROUP BY 1
+    """,
+)
+def conversion_time_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: time from each user's first
+    signup to their first subsequent purchase, bucketed by whole days —
+    the funnel-velocity histogram that tells a growth team WHERE the
+    lag sits (events_funnel counts who converts; this measures how
+    fast).  All arithmetic is integer epoch-µs floor-divided to hours
+    then days — exact in both engines.
+
+    Scale (100 TB): two user-keyed anchor aggregations (second one
+    join-filtered by the first, shuffle reused on user_id); the
+    histogram collapses map-side to |day-buckets| rows."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.unix_micros("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_purchase"))
+    )
+    j = p.join(s, "user_id")
+    hours = F.expr("(t_purchase - t_signup) div 3600000000")
+    return j.groupBy(
+        F.expr("(t_purchase - t_signup) div 3600000000 div 24").alias(
+            "days_to_convert"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min(hours).alias("min_hours"),
+        F.max(hours).alias("max_hours"),
+    )
