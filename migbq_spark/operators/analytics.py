@@ -1097,3 +1097,58 @@ def conversion_time_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(hours).alias("min_hours"),
         F.max(hours).alias("max_hours"),
     )
+
+
+@register(
+    "streak_longest_active_days",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS grp
+        FROM daily
+    ),
+    streaks AS (
+        SELECT user_id, grp, COUNT(*) AS len,
+               MIN(d) AS streak_start
+        FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           MIN(CASE WHEN len = ml THEN streak_start END) AS earliest_longest
+    FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM streaks) t
+    GROUP BY user_id
+    """,
+)
+def streak_longest_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement/gamification metric — via the date-minus-rank trick:
+    within a user's distinct active days, consecutive dates share a
+    constant (date − row_number), so one GROUP BY on that constant
+    yields every streak without a lag-flag cascade (the OTHER
+    gaps-and-islands formulation; sessionize_gaps shows the lag-based
+    one).  Ties on streak length resolve to the earliest start date —
+    deterministic.
+
+    Scale (100 TB): the dedup and both windowed passes share one
+    shuffle on user_id; arithmetic is date-integer exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = daily.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    wm = Window.partitionBy("user_id")
+    t = streaks.withColumn("ml", F.max("len").over(wm))
+    return t.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.min(
+            F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
+        ).alias("earliest_longest"),
+    )
