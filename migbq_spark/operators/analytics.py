@@ -1152,3 +1152,55 @@ def streak_longest_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
         ).alias("earliest_longest"),
     )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice))))
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM d)
+    SELECT d.digit, COUNT(*) AS n_values,
+           ROUND(COUNT(*) * 1.0 / tot.n, 4) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / d.digit), 4) AS benford_expected
+    FROM d, tot GROUP BY d.digit, tot.n
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order amounts: observed
+    leading-digit shares against the log₁₀(1+1/d) expectation — the
+    classic anomaly/fraud smell test for any organically-generated
+    monetary column (fabricated numbers over-sample middle digits).
+    The digit is extracted arithmetically (⌊x/10^⌊log₁₀x⌋⌋), NEVER from
+    the string rendering — engines format doubles differently; the
+    log₁₀-floor is ulp-stable except exactly at powers of ten, which
+    cent-valued prices don't hit.
+
+    Scale (100 TB): row-local digit extraction + one combinable count
+    to 9 buckets."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("bigint")
+    d = o.select(digit.alias("digit"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            F.round(F.col("n_values") * 1.0 / F.col("n"), 4).alias(
+                "observed_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias(
+                "benford_expected"
+            ),
+        )
+    )
