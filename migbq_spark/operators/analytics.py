@@ -1204,3 +1204,82 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    base AS (
+        SELECT o.o_custkey,
+               date_diff('day', MAX(CAST(o.o_orderdate AS DATE)), a.mx)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS monetary
+        FROM orders o, anchor a
+        GROUP BY o.o_custkey, a.mx
+    ),
+    scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+               monetary
+        FROM base
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary) AS DECIMAL(38,2)) AS segment_revenue
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE classic customer scoring: recency (days
+    since last order, vs the dataset's own max-date anchor), frequency
+    (order count) and monetary (exact DECIMAL revenue), each
+    quartile-scored 1–4 (1 = best: most recent / most frequent /
+    highest spend) with custkey tiebreaks making every NTILE
+    deterministic; the rollup reports customers and revenue per (R,F,M)
+    cell — the 64-segment map marketing actions target.
+
+    Scale (100 TB): the base rollup is one combinable aggregation; the
+    three NTILEs run over |customers| rows (single total order each —
+    swap in approx-quantile score boundaries at extreme cardinality,
+    cf. decile_lift_table); the segment rollup is 64 rows."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "mx")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias(
+            "r_score"
+        ),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("frequency"), "o_custkey")
+        ).alias("f_score"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("monetary"), "o_custkey")
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("decimal(38,2)").alias("segment_revenue"),
+    )
