@@ -632,3 +632,63 @@ def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
     )
     return m.select("k", F.round(num / den, 4).alias("autocorr_lag1"))
+
+
+@register(
+    "control_chart_bands",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    bands AS (
+        SELECT d, n,
+               quantile_cont(n, 0.10) OVER w AS p10,
+               quantile_cont(n, 0.50) OVER w AS p50,
+               quantile_cont(n, 0.90) OVER w AS p90,
+               COUNT(*) OVER w AS n_window
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, n,
+           ROUND(p10, 4) AS p10, ROUND(p50, 4) AS p50, ROUND(p90, 4) AS p90,
+           (n < p10 OR n > p90) AS out_of_band
+    FROM bands WHERE n_window >= 14
+    """,
+)
+def control_chart_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile control chart: each day's volume against the trailing
+    14-day p10/p50/p90 bands, out-of-band days flagged — the
+    non-parametric alternative to z-score alarms (anomaly_zscore_daily)
+    that survives heavy-tailed or skewed volumes where mean±kσ lies.
+    Exact interpolated percentiles run per frame (Spark `percentile`
+    as a window ≡ DuckDB `quantile_cont OVER`, the agg_percentile
+    equivalence); days without a full window are dropped; 4-dp rounded
+    (float-sensitive at interpolation).
+
+    Scale (100 TB): the rollup is combinable; the banded window sorts
+    ≤14 values per day over |days| rows on one task — per-key variants
+    partition the same window."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-13, Window.currentRow)
+    bands = daily.select(
+        "d",
+        "n",
+        F.expr("percentile(n, 0.10)").over(w).alias("p10"),
+        F.expr("percentile(n, 0.50)").over(w).alias("p50"),
+        F.expr("percentile(n, 0.90)").over(w).alias("p90"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    return bands.filter(F.col("n_window") >= 14).select(
+        "d",
+        "n",
+        F.round("p10", 4).alias("p10"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p90", 4).alias("p90"),
+        ((F.col("n") < F.col("p10")) | (F.col("n") > F.col("p90"))).alias(
+            "out_of_band"
+        ),
+    )
