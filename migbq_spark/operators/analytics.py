@@ -1283,3 +1283,72 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary").cast("decimal(38,2)").alias("segment_revenue"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_day
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week,
+               CAST(floor(date_diff('day', f.first_day,
+                                    CAST(o.o_orderdate AS DATE)) / 7.0)
+                    AS BIGINT) AS week_offset,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS revenue
+        FROM orders o JOIN first_seen f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort_week, week_offset, revenue,
+           CAST(SUM(revenue) OVER (PARTITION BY cohort_week
+                                   ORDER BY week_offset
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS cum_revenue
+    FROM rev
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: revenue per (first-order-week cohort ×
+    customer-anchored week offset) with the running cumulative — the
+    lifetime-value trajectory that tells whether newer cohorts monetize
+    faster (the revenue twin of retention_cohorts' activity triangle).
+    All revenue arithmetic is exact DECIMAL; offsets are integer
+    day-diffs; week_offset is unique within a cohort so the running
+    sum needs no extra tiebreak.
+
+    Scale (100 TB): first_seen and the revenue rollup share the
+    customer-key shuffle; the cumulative window runs over the tiny
+    (cohort × offset) grid."""
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_day")
+    )
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("o_orderdate"), F.col("first_day")) / 7.0
+            ).alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_week",
+        "week_offset",
+        "revenue",
+        F.sum("revenue").over(w).cast("decimal(38,2)").alias("cum_revenue"),
+    )
