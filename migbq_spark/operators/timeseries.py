@@ -692,3 +692,87 @@ def control_chart_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_of_band"
         ),
     )
+
+
+@register(
+    "share_of_voice_7d",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+    b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM e),
+    days AS (SELECT CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))
+                         AS DATE) AS d FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    c AS (SELECT event_type, d, COUNT(*) AS n FROM e GROUP BY 1, 2),
+    dense AS (
+        SELECT t.event_type, days.d, COALESCE(c.n, 0) AS n
+        FROM days CROSS JOIN types t
+        LEFT JOIN c ON c.event_type = t.event_type AND c.d = days.d
+    ),
+    rolled AS (
+        SELECT event_type, d,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS n_7d,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS n_days
+        FROM dense
+    ),
+    tot AS (
+        SELECT d, SUM(n_7d) AS total_7d FROM rolled GROUP BY d
+    )
+    SELECT r.event_type, r.d, r.n_7d,
+           ROUND(r.n_7d * 1.0 / t.total_7d, 4) AS share_7d
+    FROM rolled r JOIN tot t USING (d)
+    WHERE r.n_days = 7
+    """,
+)
+def share_of_voice_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day share-of-voice: each event type's trailing-week
+    volume as a fraction of ALL types' trailing-week volume — the
+    composition trend that separates "my category grew" from
+    "everything grew".  The (day × type) grid is gap-filled FIRST
+    (ts_gap_fill's dense-calendar trick) so trailing frames see zeros,
+    not missing rows — a ROWS frame over a sparse series silently
+    widens its time span; days without a full week are dropped.
+
+    Scale (100 TB): the dense grid is |days|×|types| (tiny); trailing
+    sums partition by type; the per-day total is a |grid|-sized rollup;
+    shares are integer-count ratios, one rounded division."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(F.to_date("ts").alias("d"), "event_type")
+    counts = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    days = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    dense = (
+        F.broadcast(days.crossJoin(types))
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    rolled = dense.select(
+        "event_type",
+        "d",
+        F.sum("n").over(w).alias("n_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
+    tot = rolled.groupBy("d").agg(F.sum("n_7d").alias("total_7d"))
+    return (
+        rolled.filter(F.col("n_days") == 7)
+        .join(tot, "d")
+        .select(
+            "event_type",
+            "d",
+            "n_7d",
+            F.round(F.col("n_7d") * 1.0 / F.col("total_7d"), 4).alias(
+                "share_7d"
+            ),
+        )
+    )
