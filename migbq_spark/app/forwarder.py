@@ -153,33 +153,38 @@ class Forwarder:
 
         # Plan the migbq-style ranges and their row counts in ONE
         # distributed pass (groupBy on pk div batch_size) — the log keeps
-        # migbq's range granularity without serializing execution.
+        # migbq's range granularity without serializing execution.  The
+        # per-range rows never touch the driver: the log is a distributed
+        # parquet append, and only MIN/MAX/COUNT scalars come back (one
+        # row) for the progress update.
         bs = self.cfg.batch_size
-        ranges = (
-            src.groupBy((pk - 1 - (pk - 1) % bs).alias("range_lo"))
-            .agg(F.count(F.lit(1)).alias("n_rows"), F.max(pk).alias("max_pk"))
-            .collect()
+        ranges = src.groupBy((pk - 1 - (pk - 1) % bs).alias("range_lo")).agg(
+            F.count(F.lit(1)).alias("n_rows"), F.max(pk).alias("max_pk")
         )
-        if not ranges:
-            return 0
+        ranges.persist()
+        try:
+            totals = ranges.agg(
+                F.sum("n_rows").alias("n_rows"), F.max("max_pk").alias("last_pk")
+            ).collect()[0]
+            if totals.n_rows is None:
+                return 0
 
-        src.write.mode("append").parquet(self._dest_path(table))
+            src.write.mode("append").parquet(self._dest_path(table))
 
-        self.meta.append_jobs(
-            [
-                (
-                    table.name,
-                    int(r.range_lo),
-                    int(r.range_lo) + bs,
-                    int(r.n_rows),
-                    "done",
-                    run_id,
+            self.meta.append_jobs_df(
+                ranges.select(
+                    F.lit(table.name).alias("table_name"),
+                    F.col("range_lo"),
+                    (F.col("range_lo") + bs).alias("range_hi"),
+                    F.col("n_rows"),
+                    F.lit("done").alias("state"),
+                    F.lit(run_id).alias("run_id"),
                 )
-                for r in ranges
-            ]
-        )
-        n_rows = sum(int(r.n_rows) for r in ranges)
-        last_pk = max(int(r.max_pk) for r in ranges)
+            )
+        finally:
+            ranges.unpersist()
+        n_rows = int(totals.n_rows)
+        last_pk = int(totals.last_pk)
         prev = self.meta.progress().filter(
             F.col("table_name") == table.name
         ).collect()

@@ -89,8 +89,17 @@ class MetadataStore:
         return self._read("job_log", JOB_LOG_SCHEMA)
 
     def append_jobs(self, rows: list[tuple]) -> None:
-        new = self.spark.createDataFrame(rows, JOB_LOG_SCHEMA)
-        self._swap_write(self.job_log().unionByName(new), "job_log")
+        self.append_jobs_df(self.spark.createDataFrame(rows, JOB_LOG_SCHEMA))
+
+    def append_jobs_df(self, df: DataFrame) -> None:
+        """Distributed job-log append: a plain parquet `append` write —
+        O(new ranges) executor work, nothing through the driver.  At
+        100 TB / 50k-row batches the log is ~10⁷ rows; the r1 design
+        (collect ranges → Python list → rewrite whole log) funneled all
+        of it through the driver on every run."""
+        df.select(
+            [F.col(f.name).cast(f.dataType) for f in JOB_LOG_SCHEMA.fields]
+        ).write.mode("append").parquet(str(self.root / "job_log"))
 
     def missing_ranges(self, table: str) -> DataFrame:
         """migbq's retry scan: ranges recorded but never completed —

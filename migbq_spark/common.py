@@ -50,7 +50,12 @@ def scaled_sum_agg(df, group_cols, measures, count_alias: str | None = None):
     Numerically IDENTICAL to ``SUM(CAST(x AS DECIMAL))``: decimal
     arithmetic is integer arithmetic on unscaled values, and every step
     here (int64 partial sum, decimal merge, division by 10^scale with
-    result scale ≥ needed) is exact.
+    result scale ≥ needed) is exact.  The TERMINAL type is DOUBLE — one
+    correctly-rounded conversion of the exact decimal — because the
+    driver's hash compares pandas frames, where DuckDB's ``.df()``
+    renders DECIMAL as float64 ("5.0") while a Spark Decimal renders
+    "5.00"; emitting double on both sides makes the hash
+    representation-stable (r1 VERDICT item 1).
 
     Overflow bound (the reason for two levels): a level-1 partial is
     bounded by rows-per-partition × max-row-value.  At 128 MB scan
@@ -68,6 +73,7 @@ def scaled_sum_agg(df, group_cols, measures, count_alias: str | None = None):
     final = [
         (F.sum(F.col(f"_{alias}").cast("decimal(38,0)")) / (10**scale))
         .cast(f"decimal(38,{scale})")
+        .cast("double")
         .alias(alias)
         for alias, _, scale in measures
     ]

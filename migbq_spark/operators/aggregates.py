@@ -114,7 +114,7 @@ def agg_avg_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_bal = F.sum(dec("c_acctbal"))
     cnt = F.count(F.lit(1))
     return c.groupBy("c_mktsegment").agg(
-        sum_bal.cast("decimal(38,2)").alias("sum_bal"),
+        sum_bal.cast("decimal(38,2)").cast("double").alias("sum_bal"),
         cnt.alias("cnt"),
         (sum_bal.cast("double") / cnt).alias("avg_bal"),
     )
@@ -195,8 +195,10 @@ def agg_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # terminal double: driver hashes pandas frames where DuckDB DECIMAL
+    # arrives as float64 — the exact decimal sum gets ONE final rounding
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
@@ -231,7 +233,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                    AS DOUBLE) AS sum_price
         FROM mq_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
@@ -338,7 +341,7 @@ def agg_max_by_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy("o_orderstatus").agg(
         top.getField("k").alias("top_orderkey"),
-        top.getField("p").alias("top_price"),
+        top.getField("p").cast("double").alias("top_price"),
     )
 
 
@@ -348,7 +351,7 @@ def agg_max_by_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            bool_and(value > 10) AS all_gt10,
            bool_or(value > 190) AS any_gt190,
-           count_if(value > 100) AS n_gt100
+           CAST(count_if(value > 100) AS BIGINT) AS n_gt100
     FROM events GROUP BY event_type
     """,
 )
@@ -369,8 +372,10 @@ def agg_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     oracle="""
     SELECT user_id,
-           list(DISTINCT event_type ORDER BY event_type) AS types_seen,
-           len(list(DISTINCT event_type ORDER BY event_type)) AS n_types
+           array_to_string(list(DISTINCT event_type ORDER BY event_type),
+                           ',') AS types_seen,
+           CAST(len(list(DISTINCT event_type ORDER BY event_type))
+                AS BIGINT) AS n_types
     FROM events GROUP BY user_id
     """,
 )
@@ -378,11 +383,15 @@ def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: the distinct set collected then
     SORTED — `collect_set` alone has engine/partition-dependent order
     and must never be hash-checked bare; `sort_array` restores a
-    canonical form (SURVEY.md §7.4.2 applied to arrays)."""
+    canonical form (SURVEY.md §7.4.2 applied to arrays).  The sorted
+    list is RENDERED as a ','-joined string: a bare array column crashes
+    the driver's pandas canonicalizer (unhashable ndarray, r1), and the
+    join is lossless given sorted distinct members."""
     e = load(spark, sf_dir, "events")
     types = F.array_sort(F.collect_set("event_type"))
     return e.groupBy("user_id").agg(
-        types.alias("types_seen"), F.size(types).alias("n_types")
+        F.array_join(types, ",").alias("types_seen"),
+        F.size(types).cast("bigint").alias("n_types"),
     )
 
 
@@ -420,7 +429,7 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("psum").cast("decimal(38,2)").alias("sum_value"),
+        F.sum("psum").cast("decimal(38,2)").cast("double").alias("sum_value"),
     )
 
 
@@ -595,8 +604,8 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wtot = F.sum(dec("l_quantity")).cast("decimal(38,2)")
     return li.groupBy("l_returnflag").agg(
-        wsum.alias("weighted_sum"),
-        wtot.alias("total_weight"),
+        wsum.cast("double").alias("weighted_sum"),
+        wtot.cast("double").alias("total_weight"),
         F.round(
             wsum.cast("double") / wtot.cast("double"), 4
         ).alias("weighted_avg"),
@@ -616,9 +625,9 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(q.q1, 4) AS q1, ROUND(q.q3, 4) AS q3,
            ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo_fence,
            ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence,
-           SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
-                      OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            COUNT(*) AS n
     FROM events e JOIN q USING (event_type)
     GROUP BY e.event_type, q.q1, q.q3

@@ -192,10 +192,12 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     are |types|×|buckets| per task; no window, no join."""
     ev = load(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    # decimal fixes the 2-dp rounding; terminal double is the
+    # driver-hash-stable rendering (DuckDB .df() emits float64)
     return ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("value").cast("decimal(18,2)").alias("lo"),
-        F.max("value").cast("decimal(18,2)").alias("hi"),
+        F.min("value").cast("decimal(18,2)").cast("double").alias("lo"),
+        F.max("value").cast("decimal(18,2)").cast("double").alias("hi"),
     )
 
 
@@ -208,8 +210,8 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, i - 1 AS dim, COUNT(*) AS n_vecs,
-           SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
-                    AS BIGINT)) AS sum_scaled,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
+                         AS BIGINT)) AS BIGINT) AS sum_scaled,
            ROUND(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
                           AS BIGINT)) / (COUNT(*) * 10000000.0), 4)
                AS mean_comp
@@ -482,7 +484,7 @@ def user_path_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     base AS (SELECT AVG(y * 1.0) AS base_rate FROM scored)
-    SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos,
+    SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
            ROUND(AVG(y * 1.0), 4) AS pos_rate,
            ROUND(AVG(y * 1.0) / base.base_rate, 4) AS lift
     FROM scored, base GROUP BY decile, base.base_rate
@@ -628,7 +630,8 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("revenue").cast("decimal(38,2)").alias("class_revenue"),
+            F.sum("revenue").cast("decimal(38,2)").cast("double")
+            .alias("class_revenue"),
         )
     )
 
@@ -1281,7 +1284,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum("monetary").cast("decimal(38,2)").alias("segment_revenue"),
+        F.sum("monetary").cast("decimal(38,2)").cast("double")
+        .alias("segment_revenue"),
     )
 
 
@@ -1346,9 +1350,11 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("week_offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # cumulate over the exact decimals; terminal double for driver hash
     return rev.select(
         "cohort_week",
         "week_offset",
-        "revenue",
-        F.sum("revenue").over(w).cast("decimal(38,2)").alias("cum_revenue"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("decimal(38,2)").cast("double")
+        .alias("cum_revenue"),
     )

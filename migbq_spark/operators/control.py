@@ -43,7 +43,7 @@ def meta_progress_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.col("event_type").alias("table_name")).agg(
         F.max("event_id").alias("last_pk"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(dec("value")).cast("decimal(38,2)").alias("sum_value"),
+        F.sum(dec("value")).cast("decimal(38,2)").cast("double").alias("sum_value"),
     )
 
 
@@ -208,7 +208,8 @@ def compact_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderstatus").alias("status"),
-        dec("o_totalprice").alias("price"),
+        # decimal fixes per-row rounding; double is the hash-stable type
+        dec("o_totalprice").cast("double").alias("price"),
     )
     base = o.select(
         "o_orderkey", "status", "price",
@@ -221,7 +222,7 @@ def compact_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstones = o.filter(F.col("o_orderkey") % 13 == 5).select(
         "o_orderkey",
         F.lit(None).cast("string").alias("status"),
-        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit(None).cast("double").alias("price"),
         F.lit(2).alias("version"), F.lit(True).alias("deleted"),
     )
     log = base.unionByName(updates).unionByName(tombstones)
@@ -305,11 +306,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_rows,
-           SUM(CAST(concat('0x',
+           CAST(SUM(CAST(concat('0x',
                  substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
                                            CAST(user_id AS VARCHAR),
                                            event_type, props)), 1, 12))
-               AS BIGINT)) AS checksum
+               AS BIGINT)) AS BIGINT) AS checksum
     FROM events GROUP BY event_type
     """,
 )
@@ -359,10 +360,12 @@ def table_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS h2
         FROM orders
     )
-    SELECT SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END)
+    SELECT CAST(SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END)
              + SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END)
-             - SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END) AS checksum_incremental,
-           SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) AS checksum_full,
+             - SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END) AS BIGINT)
+               AS checksum_incremental,
+           CAST(SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) AS BIGINT)
+               AS checksum_full,
            (SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) IS NOT NULL) AS consistent
     FROM h
     """,
@@ -515,20 +518,23 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("new_status"),
         F.date_add(F.to_date("o_orderdate"), 30).alias("change_date"),
     )
+    # valid_from/valid_to as TIMESTAMP: NULL valid_to (the open interval)
+    # must render NaT like DuckDB's DATE→datetime64 — a Spark date object
+    # column renders NULL as 'None' and breaks the driver hash
     hist_old = v0.join(
         F.broadcast(v1), v0.o_orderkey == v1.chg_key, "left"
     ).select(
         "o_orderkey",
         "status",
-        F.col("eff_date").alias("valid_from"),
-        F.col("change_date").alias("valid_to"),
+        F.col("eff_date").cast("timestamp").alias("valid_from"),
+        F.col("change_date").cast("timestamp").alias("valid_to"),
         F.col("chg_key").isNull().alias("is_current"),
     )
     hist_new = v1.select(
         F.col("chg_key").alias("o_orderkey"),
         F.col("new_status").alias("status"),
-        F.col("change_date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
+        F.col("change_date").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
     return hist_old.unionByName(hist_new)

@@ -328,7 +328,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_custkey").alias("user_key"), "c_name")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
     )
 
@@ -495,8 +495,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.p_brand,
            COUNT(*) AS n_parts,
-           SUM(CASE WHEN sh.l_partkey IS NULL THEN 1 ELSE 0 END)
-               AS n_unshipped
+           CAST(SUM(CASE WHEN sh.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unshipped
     FROM part p LEFT JOIN shipped sh ON p.p_partkey = sh.l_partkey
     GROUP BY p.p_brand
     """,

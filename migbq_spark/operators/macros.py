@@ -81,7 +81,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .agg(
+            F.sum(_revenue()).cast("decimal(38,4)").cast("double")
+            .alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -117,7 +120,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("revenue"))
+        .agg(
+            F.sum(_revenue()).cast("decimal(38,4)").cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -190,6 +196,7 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_qty")
         )
         .filter(F.col("total_qty") > 150)
@@ -215,10 +222,10 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_split",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
     GROUP BY l.l_returnflag

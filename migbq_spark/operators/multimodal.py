@@ -116,8 +116,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_records,
-           SUM(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),
-                                CAST(n_chars AS VARCHAR)))) AS total_bytes,
+           CAST(SUM(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),
+                                CAST(n_chars AS VARCHAR)))) AS BIGINT) AS total_bytes,
            MIN(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),
                                 CAST(n_chars AS VARCHAR)))) AS min_bytes,
            MAX(length(concat_ws('|', 'IMG', CAST(doc_id AS VARCHAR),

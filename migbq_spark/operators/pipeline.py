@@ -368,7 +368,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
         SELECT doc_id, COUNT(*) AS n_tokens,
                COUNT(DISTINCT token) AS n_distinct,
-               SUM(CASE WHEN token IN ('the','a','of','and') THEN 1 ELSE 0 END) AS n_stop
+               CAST(SUM(CASE WHEN token IN ('the','a','of','and') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
         FROM tok GROUP BY doc_id
     )
     SELECT d.doc_id, s.n_tokens, s.n_distinct, s.n_stop,
@@ -415,8 +415,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens,
-           list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
-                                   t -> (length(t) + 3) // 4)) AS n_bpe_est,
+           CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                        t -> (length(t) + 3) // 4)) AS BIGINT) AS n_bpe_est,
            (length(replace(text, ' ', '')) + 3) // 4 AS n_char4_est
     FROM documents
     """,

@@ -52,9 +52,11 @@ def project_cast_typemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §1.1 MSSQL→BigQuery type map as a cast projection
     (int→BIGINT, money→DECIMAL(18,2), datetime→DATE, varchar→STRING)."""
     o = load(spark, sf_dir, "orders")
+    # the DEC cast applies the type-map's 2-dp rounding; terminal double
+    # is the driver-hash-stable rendering (DuckDB .df() emits float64)
     return o.select(
         F.col("o_orderkey").cast("bigint").alias("orderkey"),
-        F.col("o_totalprice").cast(DEC).alias("totalprice_dec"),
+        F.col("o_totalprice").cast(DEC).cast("double").alias("totalprice_dec"),
         F.col("o_orderdate").cast("date").alias("order_date"),
         F.col("o_orderstatus").cast("string").alias("status_str"),
     )
@@ -280,7 +282,7 @@ def explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_roundtrip_audit",
     oracle="""
-    SELECT event_type, SUM(cnt) AS n FROM (
+    SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM (
         SELECT user_id, event_type, COUNT(*) AS cnt
         FROM events GROUP BY user_id, event_type) t
     GROUP BY event_type

@@ -356,5 +356,5 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("gen").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_orderpriority").alias("n_with_priority"),
-        F.sum("price").cast("decimal(38,2)").alias("sum_price"),
+        F.sum("price").cast("decimal(38,2)").cast("double").alias("sum_price"),
     )

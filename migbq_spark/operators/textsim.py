@@ -261,7 +261,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS n_len_valid,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_valid,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY lang

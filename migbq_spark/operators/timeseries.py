@@ -75,9 +75,10 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM first_seen GROUP BY first_day
     )
     SELECT first_day, new_users,
-           SUM(new_users) OVER (ORDER BY first_day
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND CURRENT ROW) AS cum_users
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)
+                AS BIGINT) AS cum_users
     FROM daily
     """,
 )
@@ -133,7 +134,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.sum(dec("value")).over(w).alias("trailing_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_1h"),
     )
 
 
@@ -155,9 +156,10 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, us,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS session_id
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM f
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -270,11 +272,13 @@ def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # terminal double: NULL raw_value must render 'nan' (float64) like
+    # DuckDB's .df(), not 'None' (object Decimal) — driver-hash stability
     return e.select(
         "user_id",
         "event_id",
-        v.alias("raw_value"),
-        F.last(v, ignorenulls=True).over(w).alias("locf_value"),
+        v.cast("double").alias("raw_value"),
+        F.last(v, ignorenulls=True).over(w).cast("double").alias("locf_value"),
     )
 
 
@@ -426,7 +430,7 @@ def anomaly_zscore_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM h GROUP BY user_id, island
     )
     SELECT user_id, COUNT(*) AS n_islands,
-           SUM(island_e - island_s) AS busy_us
+           CAST(SUM(island_e - island_s) AS BIGINT) AS busy_us
     FROM islands GROUP BY user_id
     """,
 )
@@ -568,10 +572,9 @@ def rolling_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(v).over(w).alias("peak"),
     )
     return s.groupBy("user_id").agg(
-        F.max(F.col("peak") - F.col("v")).cast("decimal(18,2)").alias(
-            "max_drawdown"
-        ),
-        F.max("peak").cast("decimal(18,2)").alias("final_peak"),
+        F.max(F.col("peak") - F.col("v")).cast("decimal(18,2)").cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("decimal(18,2)").cast("double").alias("final_peak"),
     )
 
 
@@ -721,7 +724,7 @@ def control_chart_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
         SELECT d, SUM(n_7d) AS total_7d FROM rolled GROUP BY d
     )
-    SELECT r.event_type, r.d, r.n_7d,
+    SELECT r.event_type, r.d, CAST(r.n_7d AS BIGINT) AS n_7d,
            ROUND(r.n_7d * 1.0 / t.total_7d, 4) AS share_7d
     FROM rolled r JOIN tot t USING (d)
     WHERE r.n_days = 7

@@ -67,7 +67,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS n_chars
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY 1, 2
     """,
@@ -101,7 +101,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, weight,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN doc_id % 4 < weight THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN doc_id % 4 < weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            ROUND(SUM(CASE WHEN doc_id % 4 < weight THEN 1 ELSE 0 END) * 1.0
                  / COUNT(*), 4) AS kept_frac
     FROM w
@@ -319,11 +319,11 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "pivot_event_counts",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
 )
@@ -414,7 +414,8 @@ def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -673,8 +674,8 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            o.o_custkey,
            CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_price,
            COUNT(l.l_orderkey) AS n_items,
-           COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
-                         AS DECIMAL(38,2)), 0) AS sum_qty,
+           CAST(COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+                              AS DECIMAL(38,2)), 0) AS DOUBLE) AS sum_qty,
            MAX(CAST(l.l_shipdate AS DATE)) AS last_ship
     FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DECIMAL(18,2))
@@ -694,7 +695,9 @@ def features_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-sized one; both sides hash-partition on the same key so AQE
     plans a single co-located exchange pair."""
     o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", dec("o_totalprice").alias("total_price")
+        "o_orderkey",
+        "o_custkey",
+        dec("o_totalprice").cast("double").alias("total_price"),
     )
     li = load(spark, sf_dir, "lineitem")
     child = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
@@ -707,10 +710,12 @@ def features_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "total_price",
         F.coalesce("n_items_raw", F.lit(0)).alias("n_items"),
-        F.coalesce(
-            "sum_qty_raw", F.lit(0).cast("decimal(38,2)")
-        ).alias("sum_qty"),
-        "last_ship",
+        F.coalesce("sum_qty_raw", F.lit(0).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        # timestamp, not date: NULL last_ship (orders with no lineitems)
+        # must render NaT like DuckDB's DATE→datetime64, not 'None'
+        F.col("last_ship").cast("timestamp").alias("last_ship"),
     )
 
 
@@ -896,7 +901,7 @@ def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT source, SUM(n) AS total FROM counts GROUP BY source)
     SELECT c.source,
-           MAX(t.total) AS n_tokens,
+           CAST(MAX(t.total) AS BIGINT) AS n_tokens,
            COUNT(*) AS vocab,
            ROUND(-SUM((c.n * 1.0 / t.total) * ln(c.n * 1.0 / t.total)),
                  4) AS entropy_nats

@@ -131,7 +131,8 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.to_date("o_orderdate").alias("order_day"),
-        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(38,2)")
+        .cast("double").alias("running_spend"),
     )
 
 
@@ -240,7 +241,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AND CURRENT ROW) AS epoch
         FROM f
     )
-    SELECT user_id, event_id, epoch,
+    SELECT user_id, event_id, CAST(epoch AS BIGINT) AS epoch,
            CAST(SUM(v) OVER (PARTITION BY user_id, epoch
                              ORDER BY us, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
@@ -285,7 +286,8 @@ def running_total_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "epoch",
-        F.sum("v").over(w_run).cast("decimal(38,2)").alias("run_since_signup"),
+        F.sum("v").over(w_run).cast("decimal(38,2)").cast("double")
+        .alias("run_since_signup"),
     )
 
 
@@ -324,7 +326,7 @@ def percent_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()
     return g.select(
         "event_type",
-        "type_sum",
+        F.col("type_sum").cast("double").alias("type_sum"),
         F.round(
             F.col("type_sum").cast("double")
             / F.sum("type_sum").over(w).cast("double"),

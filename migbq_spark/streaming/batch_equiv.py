@@ -35,7 +35,8 @@ def tumbling_counts(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec("value")).cast("decimal(38,2)").alias("sum_value"),
+            F.sum(dec("value")).cast("decimal(38,2)").cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

@@ -68,6 +68,75 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _pd_canon(pdf) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Driver-faithful canonicalization of a pandas frame: columns sorted
+    by name, each column rendered with pandas ``astype(str)`` (verified
+    against the r1 driver outcomes: midnight datetime64 renders date-only
+    — so Spark ``date`` objects match DuckDB DATE→datetime64 — while
+    ``Decimal("5.00")`` vs ``5.0`` and int64 ``5`` vs float64 ``5.0``
+    stay distinct, exactly the splits the driver's hash showed), rows
+    sorted.  Returns (cols, rows, dtypes, unsafe) where ``unsafe`` lists
+    columns holding ndarray/list/dict cells — those crash the driver's
+    sort-based canonicalizer outright (r1 ``array_agg_sorted``)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    unsafe = []
+    for c in cols:
+        if pdf[c].dtype == object:
+            for v in pdf[c].head(50):
+                if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                    unsafe.append(c)
+                    break
+    if len(pdf):
+        body = pdf.astype(str)
+        rows = sorted(
+            "|".join(t) for t in body.itertuples(index=False, name=None)
+        )
+    else:
+        rows = []
+    return cols, rows, [str(t) for t in pdf.dtypes], unsafe
+
+
+def compare_driver(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
+    """Strict, driver-faithful compare: ``spark_df.toPandas()`` against
+    ``con.execute(sql).df()`` — the exact frames the driver's t2 harness
+    hashes.  The r1 gap was using ``fetchall()`` (which preserves Decimal
+    and date objects DuckDB's ``.df()`` does not); this closes it.
+
+    ok requires: same sorted column names, same row count, identical
+    ``str()``-rendered sorted rows, and no driver-unsafe (array/map)
+    cells on either side.  ``dtype_diffs`` is advisory (ns- vs
+    µs-timestamps stringify identically and are fine)."""
+    spdf = spark_df.toPandas()
+    dpdf = con.execute(sql).df()
+    sn, sv, sd, su = _pd_canon(spdf)
+    dn, dv, dd, du = _pd_canon(dpdf)
+    res = {
+        "cols_match": sn == dn,
+        "count_match": len(sv) == len(dv),
+        "values_match": sv == dv,
+        "unsafe_cols": sorted(set(su) | set(du)),
+        "dtype_diffs": [
+            (c, a, b) for c, a, b in zip(sn, sd, dd) if a != b
+        ] if sn == dn else list(zip(sn, sd)) + list(zip(dn, dd)),
+        "spark_cols": sn,
+        "duck_cols": dn,
+        "spark_count": len(sv),
+        "duck_count": len(dv),
+    }
+    if not res["values_match"]:
+        res["first_diffs"] = [(a, b) for a, b in zip(sv, dv) if a != b][:3]
+        res["only_spark"] = sorted(set(sv) - set(dv))[:3]
+        res["only_duck"] = sorted(set(dv) - set(sv))[:3]
+    res["ok"] = (
+        res["cols_match"]
+        and res["count_match"]
+        and res["values_match"]
+        and not res["unsafe_cols"]
+    )
+    return res
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     """Compare a Spark DataFrame against DuckDB SQL output; returns a dict
     with match flags and first-diff context for debugging."""

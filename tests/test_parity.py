@@ -1,13 +1,17 @@
 """Pre-flight mirror of the driver's t2 harness: every hash-checked query
-is compared against its DuckDB oracle (row-count + column names +
-order-insensitive canonical values); rows-only queries must at least run
-and return a stable schema twice.
+is compared against its DuckDB oracle under the DRIVER-FAITHFUL pandas
+canonicalizer (``testing.compare_driver``: ``toPandas()`` vs duckdb
+``.df()``, astype(str) rendering — the exact frames the driver hashes).
+The r1 gap was comparing ``collect()`` vs ``fetchall()``, which preserves
+Decimal/date objects the driver never sees and hid 14 hash failures +
+one canonicalizer crash.  Rows-only queries must at least run and return
+a stable schema twice.
 """
 
 import pytest
 
 from migbq_spark import registry
-from migbq_spark.testing import compare
+from migbq_spark.testing import compare_driver
 
 QUERIES = registry.queries()
 ORACLES = registry.oracle_sql()
@@ -19,7 +23,7 @@ ROWS_ONLY_IDS = sorted(set(QUERIES) - set(ORACLES))
 @pytest.mark.parametrize("qid", HASH_IDS)
 def test_hash_parity(qid, spark, duck, sf_dir):
     df = QUERIES[qid](spark, sf_dir)
-    res = compare(df, duck, ORACLES[qid])
+    res = compare_driver(df, duck, ORACLES[qid])
     assert res["ok"], {k: v for k, v in res.items() if k != "ok"}
 
 

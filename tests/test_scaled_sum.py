@@ -33,7 +33,8 @@ def test_scaled_sum_equals_decimal_sum(spark, rows):
     df = spark.createDataFrame(rows, "k int, v double").repartition(5)
     got = scaled_sum_agg(df, ["k"], [("s", cents("v"), 2)], count_alias="n")
     ref = df.groupBy("k").agg(
-        F.sum(dec("v")).cast("decimal(38,2)").alias("s"),
+        # same terminal double cast as scaled_sum_agg (driver-hash type)
+        F.sum(dec("v")).cast("decimal(38,2)").cast("double").alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     _, a = canon_rows(got.columns, [tuple(r) for r in got.collect()])
