@@ -237,12 +237,18 @@ class Forwarder:
         is independent of the range reconciliation: duplicate PKs leave
         distinct-count reconciliation green (§2 `agg_having_dups` is the
         reference's separate duplicate check)."""
-        bad = [int(r.range_lo) for r in report.filter("mismatch").collect()]
-        if bad:
+        # The mismatched-range set stays distributed: a broadcast semi-join
+        # selects the rows to re-forward (at 100 TB a fully-corrupt dest
+        # would make a collected isin() list |table|/batch_size long).
+        bad_ranges = report.filter("mismatch").select("range_lo")
+        n_bad = bad_ranges.limit(1).count()
+        if n_bad:
             pk = F.col(table.pk)
             bs = self.cfg.batch_size
-            fix = self.read_source(table).filter(
-                (pk - 1 - (pk - 1) % bs).isin(bad)
+            fix = self.read_source(table).join(
+                F.broadcast(bad_ranges),
+                (pk - 1 - (pk - 1) % bs) == F.col("range_lo"),
+                "left_semi",
             )
             fix.write.mode("append").parquet(self._dest_path(table))
 
@@ -253,7 +259,7 @@ class Forwarder:
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(F.col(table.pk)).alias("nd"),
         ).collect()[0]
-        if int(totals.n) == int(totals.nd) and not bad:
+        if int(totals.n) == int(totals.nd) and not n_bad:
             return
         # keep-one-per-pk rewrite (atomic swap through a temp dir)
         dest_path = self._dest_path(table)

@@ -42,15 +42,24 @@ def path_for(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table as a DataFrame with normalized schema.
 
-    ``events.ts`` arrives as INT64 nanoseconds (legacy.parquet.nanosAsLong)
-    and is converted to a proper microsecond TimestampType with integer
-    division — float division would quantize epoch-ns magnitudes to ~190 ns
-    steps (FIXTURES.md harness notes).
+    ``events.ts`` has shipped in two physical encodings across driver
+    fixture generations: INT64 nanoseconds (handled via
+    legacy.parquet.nanosAsLong + integer division — float division would
+    quantize epoch-ns magnitudes to ~190 ns steps, FIXTURES.md harness
+    notes) and plain ``timestamp[us]`` parquet, which Spark 4 surfaces as
+    TIMESTAMP_NTZ.  Both normalize to session-tz TimestampType (LTZ):
+    the session tz is pinned UTC (session.RUNTIME_CONFS), so the NTZ→LTZ
+    cast is wall-clock identity, and epoch helpers (``unix_micros``)
+    accept the column everywhere downstream.
     """
     ensure_runtime_confs(spark)
     df = spark.read.parquet(path_for(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -213,7 +213,7 @@ def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
                          AS BIGINT)) AS BIGINT) AS sum_scaled,
            ROUND(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000)
-                          AS BIGINT)) / (COUNT(*) * 10000000.0), 4)
+                          AS BIGINT)) / (COUNT(*) * 10000000.0), 4) + 0.0
                AS mean_comp
     FROM pos GROUP BY label, i
     """,
@@ -246,11 +246,16 @@ def embed_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return summed.select(
         "label",
-        "dim",
+        # posexplode pos is int32; DuckDB generate_series is BIGINT —
+        # driver hashes pandas dtypes, so widen to match (r1 VERDICT)
+        F.col("dim").cast("bigint").alias("dim"),
         "n_vecs",
         "sum_scaled",
-        F.round(
-            F.col("sum_scaled") / (F.col("n_vecs") * F.lit(10000000.0)), 4
+        # + 0.0 canonicalizes IEEE -0.0 (DuckDB ROUND keeps the sign of a
+        # tiny negative, Spark drops it; the driver hashes the rendering)
+        (
+            F.round(F.col("sum_scaled") / (F.col("n_vecs") * F.lit(10000000.0)), 4)
+            + F.lit(0.0)
         ).alias("mean_comp"),
     )
 

@@ -25,6 +25,11 @@ from migbq_spark.catalog import load
 from migbq_spark.common import dec
 from migbq_spark.registry import register
 
+#: Tile width for the blocked jaccard kernel: peak per-task memory is
+#: O(2 × CHUNK × tile_vocab × 4 B) — at 1024 docs × ~100k-token tile
+#: vocab that's ≲ 800 MB worst-case, independent of block size.
+_JACCARD_CHUNK = 1024
+
 
 def _tokens(col: str = "text") -> F.Column:
     """Non-empty whitespace tokens (trailing-space fixture caveat)."""
@@ -128,47 +133,100 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     docs = d.select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
 
-    # One applyInPandas per source block: the O(|block|²) intersect is a
-    # single boolean matrix product (docs × block-vocab) in numpy —
-    # integer counts, so the jaccard doubles are bit-identical to the
-    # oracle's.  A JVM array_intersect pair-join does the same work ~5×
-    # slower because collection functions allocate per call and skip
-    # whole-stage codegen.  Blocks shuffle by `source`, so block size —
-    # not corpus size — bounds memory; for unbounded blocks use
-    # dedup_minhash_lsh (the 100 TB candidate generator).
+    # One applyInPandas per source block: the O(|block|²) intersect runs
+    # as boolean matrix products in numpy — integer counts, so the
+    # jaccard doubles are bit-identical to the oracle's.  A JVM
+    # array_intersect pair-join does the same work ~5× slower because
+    # collection functions allocate per call and skip whole-stage
+    # codegen.
+    #
+    # Memory is bounded regardless of block size: docs are processed in
+    # CHUNK-row tiles, and each (tile_i, tile_j) product is computed over
+    # tile_i's vocabulary only (exact — a shared token is by definition
+    # in both docs, hence in tile_i's vocab).  Peak per-task memory is
+    # O(CHUNK × tile_vocab) ints + the COO token lists, never
+    # O(|block| × |block_vocab|) — one hot source at 100× data streams
+    # through tiles instead of OOMing the task.  For truly unbounded
+    # blocks use dedup_minhash_lsh (the 100 TB candidate generator).
+    chunk = _JACCARD_CHUNK
+    threshold = 0.8
+
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["doc_id"].to_numpy()
-        vocab: dict[str, int] = {}
-        rows, cols = [], []
-        for i, toks in enumerate(pdf["toks"]):
-            for t in toks:
-                j = vocab.setdefault(t, len(vocab))
-                rows.append(i)
-                cols.append(j)
-        m = np.zeros((len(ids), len(vocab)), dtype=np.int64)
-        m[rows, cols] = 1
-        shared = m @ m.T                       # |A ∩ B| for every pair
-        sizes = m.sum(axis=1)
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        # doc_id order, not block order, defines (a, b)
-        swap = ids[a_idx] > ids[b_idx]
-        a_ids = np.where(swap, ids[b_idx], ids[a_idx])
-        b_ids = np.where(swap, ids[a_idx], ids[b_idx])
-        s = shared[a_idx, b_idx]
-        n_a = np.where(swap, sizes[b_idx], sizes[a_idx])
-        n_b = np.where(swap, sizes[a_idx], sizes[b_idx])
-        jac = s * 1.0 / (n_a + n_b - s)
-        keep = jac >= 0.8
-        return pd.DataFrame(
-            {
-                "a_id": a_ids[keep],
-                "b_id": b_ids[keep],
-                "shared": s[keep],
-                "n_a": n_a[keep],
-                "n_b": n_b[keep],
-                "jaccard": jac[keep],
-            }
-        )
+        toks = pdf["toks"].tolist()
+        n = len(ids)
+        sizes = np.array([len(t) for t in toks], dtype=np.int64)
+        outs = []
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            vocab: dict[str, int] = {}
+            ri, ci = [], []
+            for r in range(i0, i1):
+                for t in toks[r]:
+                    c = vocab.setdefault(t, len(vocab))
+                    ri.append(r - i0)
+                    ci.append(c)
+            mi = np.zeros((i1 - i0, max(len(vocab), 1)), dtype=np.int32)
+            if ri:
+                mi[ri, ci] = 1
+            for j0 in range(i0, n, chunk):
+                j1 = min(j0 + chunk, n)
+                if j0 == i0:
+                    mj = mi
+                else:
+                    rj, cj = [], []
+                    for r in range(j0, j1):
+                        for t in toks[r]:
+                            c = vocab.get(t)
+                            if c is not None:
+                                rj.append(r - j0)
+                                cj.append(c)
+                    mj = np.zeros((j1 - j0, mi.shape[1]), dtype=np.int32)
+                    if rj:
+                        mj[rj, cj] = 1
+                shared = mi @ mj.T            # |A ∩ B| for this tile pair
+                if j0 == i0:
+                    a_idx, b_idx = np.triu_indices(i1 - i0, k=1)
+                else:
+                    a_idx, b_idx = np.meshgrid(
+                        np.arange(i1 - i0), np.arange(j1 - j0), indexing="ij"
+                    )
+                    a_idx, b_idx = a_idx.ravel(), b_idx.ravel()
+                ga, gb = a_idx + i0, b_idx + j0
+                s = shared[a_idx, b_idx].astype(np.int64)
+                n_a, n_b = sizes[ga], sizes[gb]
+                jac = s * 1.0 / (n_a + n_b - s)
+                keep = jac >= threshold
+                if not keep.any():
+                    continue
+                ga, gb, s = ga[keep], gb[keep], s[keep]
+                n_a, n_b, jac = n_a[keep], n_b[keep], jac[keep]
+                # doc_id order, not block order, defines (a, b)
+                swap = ids[ga] > ids[gb]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a_id": np.where(swap, ids[gb], ids[ga]),
+                            "b_id": np.where(swap, ids[ga], ids[gb]),
+                            "shared": s,
+                            "n_a": np.where(swap, n_b, n_a),
+                            "n_b": np.where(swap, n_a, n_b),
+                            "jaccard": jac,
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a_id": np.array([], dtype=np.int64),
+                    "b_id": np.array([], dtype=np.int64),
+                    "shared": np.array([], dtype=np.int64),
+                    "n_a": np.array([], dtype=np.int64),
+                    "n_b": np.array([], dtype=np.int64),
+                    "jaccard": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return docs.groupBy("source").applyInPandas(
         block_pairs,

@@ -157,3 +157,42 @@ def test_hll_wau_tracks_exact(spark, sf_dir):
     assert set(exact) == set(est)
     for d, wau in exact.items():
         assert abs(est[d] - wau) <= max(3, 0.05 * wau), (d, wau, est[d])
+
+
+def test_jaccard_tiling_invariant_under_skew(spark, monkeypatch):
+    """The blocked jaccard kernel must return identical pairs whatever the
+    tile width — including a degenerate tile smaller than any block — and
+    under heavy source skew (one source holds ~80% of docs), the scenario
+    where the unbounded r1 kernel would have built one huge dense matrix."""
+    from migbq_spark.operators import textsim
+
+    rows = []
+    # hot source: 40 docs, several exact near-dup clusters
+    for i in range(40):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        extra = f"tok{i % 5}"
+        rows.append((i, f"{base} {extra}", "en", "hot", 0))
+    # two cold sources
+    for i in range(40, 50):
+        rows.append((i, f"unique{i} words here only {i}", "en", f"cold{i % 2}", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+        def pairs(chunk):
+            monkeypatch.setattr(textsim, "_JACCARD_CHUNK", chunk)
+            out = {
+                (r.a_id, r.b_id): (r.shared, r.n_a, r.n_b, r.jaccard)
+                for r in textsim.near_dup_jaccard(spark, d).collect()
+            }
+            return out
+
+        big = pairs(10_000)   # one tile covers everything (r1 semantics)
+        tiny = pairs(3)       # many tiles, diagonal + off-diagonal paths
+        assert big, "skewed fixture should produce near-dup pairs"
+        assert big == tiny
