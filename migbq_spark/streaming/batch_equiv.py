@@ -136,6 +136,76 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(load(spark, sf_dir, "events"))
 
 
+def session_correlate(ev: DataFrame) -> DataFrame:
+    """Shared transformation: per-user 10-min-gap sessions with the
+    event-type mix inside each session — the streaming form groups by
+    ``session_window`` exactly like this on a watermarked stream."""
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "click").alias("n_clicks"),
+            F.count_if(F.col("event_type") == "view").alias("n_views"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "n_clicks",
+            "n_views",
+            "n_purchases",
+            (
+                (F.col("n_purchases") > 0)
+                & ((F.col("n_clicks") > 0) | (F.col("n_views") > 0))
+            ).alias("converted"),
+        )
+    )
+
+
+@register(
+    "stream_session_correlate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 10 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_views,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS n_purchases,
+           COUNT(*) FILTER (event_type = 'purchase') > 0
+             AND (COUNT(*) FILTER (event_type = 'click') > 0
+                  OR COUNT(*) FILTER (event_type = 'view') > 0) AS converted
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type correlation: for every per-user 10-min-gap
+    session, the click/view/purchase mix and a browse→purchase conversion
+    flag — the session-window form of funnel conversion (SURVEY §7.2 r2
+    candidate: session-window stream correlation).
+
+    Scale (100 TB stream): identical code runs on a watermarked stream —
+    ``session_window`` keeps one open-session accumulator per active user,
+    bounded by the watermark horizon; counts are map-side-combinable, so
+    state per session is four integers regardless of session length."""
+    return session_correlate(load(spark, sf_dir, "events"))
+
+
 @register("stream_dedup_watermark")  # rows-only: watermark semantics not in SQL
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming dedup: readStream over the events

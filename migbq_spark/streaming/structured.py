@@ -175,6 +175,106 @@ def stream_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RocksDB state-store provider (SURVEY §7.2 r2 candidate): off-heap,
+#: disk-backed streaming state with incremental (changelog) checkpoints —
+#: the provider a 100 TB stateful stream needs, where per-key state across
+#: billions of keys cannot live on the JVM heap (the default
+#: HDFSBackedStateStoreProvider keeps every key in executor memory).
+ROCKSDB_STATE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+}
+
+
+class _state_store_confs:
+    """Scoped state-store override: the providerClass conf is read when a
+    streaming query STARTS, so setting it around the start+drain of one
+    query pins the provider for exactly that query's checkpoint."""
+
+    def __init__(self, spark: SparkSession, confs: dict[str, str]):
+        self.spark, self.confs, self.saved = spark, confs, {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            self.saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, old in self.saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+
+
+def _user_progress_update(key, pdf_iter, state: GroupState):
+    """Per-user state tuple (n_events, last_event_id) — both monotone, so
+    the final emission is micro-batch-boundary-invariant."""
+    import pandas as pd
+
+    n, last_id = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        if len(pdf):
+            last_id = max(last_id, int(pdf["event_id"].max()))
+    state.update((n, last_id))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "last_event_id": [last_id]}
+    )
+
+
+@register(
+    "stream_stateful_rocksdb",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_stateful_progress` keyed per USER and executed under the
+    RocksDB state-store provider with changelog checkpointing
+    (ROCKSDB_STATE_CONFS) — per-user keys give the store real key
+    cardinality, and the state lives off-heap in RocksDB SSTs instead of
+    the default in-heap HashMap provider.
+
+    Semantics are identical to the SQL oracle (monotone state ⇒
+    batching-invariant ⇒ hash-checkable); what this query pins is that
+    the ENGINE runs stateful streams on the provider that survives
+    100 TB-scale key cardinality, and that the provider swap is a pure
+    config change — no operator rewrite."""
+    ensure_runtime_confs(spark)
+    chunks = str(_STAGE_ROOT / f"events_chunks_user_{Path(sf_dir).name}")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(chunks)
+
+    schema = spark.read.parquet(chunks).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(chunks)
+    )
+    updated = sdf.groupBy("user_id").applyInPandasWithState(
+        _user_progress_update,
+        outputStructType="user_id bigint, n_events bigint, last_event_id bigint",
+        stateStructType="n_events bigint, last_event_id bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
+        name = _drain(updated, f"rocksdb_progress_{sf_dir}", mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    )
+
+
 def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows — the streaming twin of
     `stream_session_window` (same transformation function)."""

@@ -196,3 +196,44 @@ def test_jaccard_tiling_invariant_under_skew(spark, monkeypatch):
         tiny = pairs(3)       # many tiles, diagonal + off-diagonal paths
         assert big, "skewed fixture should produce near-dup pairs"
         assert big == tiny
+
+
+def test_tdigest_rolling_quantiles_track_exact(spark, sf_dir):
+    """Merged-sketch rolling quantiles must track the exact rolling
+    percentile: K=64 equal-weight centroids bound rank error by ~1/64 per
+    sketch; after a 7-way merge the p50/p95 must land within a few value
+    percentiles of exact."""
+    from pyspark.sql import functions as F
+
+    est = {
+        r.win_d: (r.n_est, r.p50, r.p95)
+        for r in Q["rolling_quantile_tdigest"](spark, sf_dir).collect()
+    }
+    ev = registry.queries  # noqa: F841  (readability)
+    from migbq_spark.catalog import load
+
+    days = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "value"
+    )
+    exact_rows = days.collect()
+    import collections
+
+    by_day = collections.defaultdict(list)
+    for r in exact_rows:
+        by_day[r.d].append(r.value)
+    import datetime
+    import statistics
+
+    assert est, "should produce full 7-day windows"
+    for win_d, (n_est, p50, p95) in est.items():
+        pool = []
+        for off in range(7):
+            pool.extend(by_day.get(win_d - datetime.timedelta(days=off), []))
+        assert pool, win_d
+        assert n_est == len(pool)
+        pool.sort()
+        exact_p50 = statistics.quantiles(pool, n=100)[49]
+        exact_p95 = statistics.quantiles(pool, n=100)[94]
+        spread = pool[-1] - pool[0] or 1.0
+        assert abs(p50 - exact_p50) <= 0.05 * spread, (win_d, p50, exact_p50)
+        assert abs(p95 - exact_p95) <= 0.05 * spread, (win_d, p95, exact_p95)
