@@ -573,3 +573,140 @@ from migbq_spark import registry as _registry  # noqa: E402
 from migbq_spark.operators import training as _training  # noqa: E402, F401
 
 _registry.ORACLES["dup_cc_twostar"] = _registry.ORACLES["dup_connected_components"]
+
+
+# -------------------------------------------- contamination / repetition
+
+_SHINGLE_MIN_TOKS = 3
+
+
+@register(
+    "contamination_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, mod(doc_id, 10) AS m,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, m, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM tok WHERE len(t) >= 3
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, m,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM sh
+    ),
+    train_g AS (SELECT DISTINCT gram FROM g WHERE m < 8),
+    test_g AS (SELECT doc_id, gram FROM g WHERE m = 9)
+    SELECT tg.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(*) FILTER (t.gram IS NOT NULL) AS BIGINT)
+               AS n_contaminated,
+           ROUND(COUNT(*) FILTER (t.gram IS NOT NULL) * 1.0 / COUNT(*), 4)
+               AS contamination,
+           COUNT(*) FILTER (t.gram IS NOT NULL) * 1.0 / COUNT(*) >= 0.5
+               AS flagged
+    FROM test_g tg LEFT JOIN train_g t USING (gram)
+    GROUP BY tg.doc_id
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination screen: for every TEST-split document
+    (deterministic pk-modulo split, the `train_test_split` convention),
+    the fraction of its word-trigram shingles that also occur anywhere in
+    the TRAIN split — the standard benchmark-leakage check run before an
+    LLM training run ships an eval set.
+
+    Scale (100 TB): both sides reduce to DISTINCT (doc, shingle) /
+    (shingle) sets; the only wide op is one shuffle join keyed on the
+    shingle, and the train side deduplicates BEFORE the join so the
+    probe is |vocab|, not |corpus|.  At extreme scale hash the shingle
+    to a 64-bit key (`xxhash64`) to shrink the shuffle payload — kept
+    as raw text here so the DuckDB oracle stays byte-identical."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select(
+        "doc_id", F.pmod("doc_id", F.lit(10)).alias("m"), toks.alias("t")
+    ).filter(F.size("t") >= _SHINGLE_MIN_TOKS)
+    grams = base.select(
+        "doc_id",
+        "m",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                )
+            )
+        ).alias("gram"),
+    )
+    train_g = grams.filter(F.col("m") < 8).select("gram").distinct()
+    test_g = grams.filter(F.col("m") == 9).select("doc_id", "gram")
+    hit = test_g.join(
+        train_g.withColumn("in_train", F.lit(1)), "gram", "left"
+    )
+    n_cont = F.count_if(F.col("in_train").isNotNull())
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "contamination"
+        ),
+        (n_cont * F.lit(1.0) / F.count(F.lit(1)) >= 0.5).alias("flagged"),
+    )
+
+
+@register(
+    "repeated_ngram_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM tok WHERE len(t) >= 3
+    ),
+    g AS (SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+          FROM sh)
+    SELECT doc_id, COUNT(*) AS n_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - COUNT(DISTINCT gram) * 1.0 / COUNT(*), 4)
+               AS dup_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document n-gram repetition: 1 − distinct/total word
+    trigrams — the degenerate-text quality signal (boilerplate, template
+    spam, decoding loops repeat n-grams; clean prose almost never does).
+    Used as a filter threshold alongside `quality_score`.
+
+    Scale (100 TB): the explode is row-local and the aggregation is a
+    single per-doc groupBy — distinct-within-group runs as a partial
+    (doc, gram) dedup before the count, all map-side combinable; no
+    second shuffle, no window."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).filter(
+        F.size("t") >= _SHINGLE_MIN_TOKS
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("gram"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("gram") * F.lit(1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )
