@@ -285,6 +285,20 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_streaming_session_correlate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked session-window correlation — the streaming twin of
+    `stream_session_correlate` (same transformation function)."""
+    from migbq_spark.streaming.batch_equiv import session_correlate
+
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    name = _drain(
+        session_correlate(sdf), f"session_corr_{sf_dir}", mode="complete"
+    )
+    return spark.table(name)
+
+
 @register(
     "stream_foreach_batch_sink",
     oracle="SELECT event_id, user_id, event_type FROM events",

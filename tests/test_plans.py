@@ -170,6 +170,7 @@ _PY_ALLOWED = {
     "near_dup_jaccard",
     "near_dup_embedding",
     "ann_ivf_topk",
+    "rolling_quantile_tdigest",  # two-phase sketch build/merge kernels
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
@@ -196,3 +197,29 @@ def test_registry_wide_jvm_purity(spark, sf_dir):
         if any(m in plan for m in markers) and qid not in _PY_ALLOWED:
             offenders.append(qid)
     assert not offenders, f"undeclared Python in plans: {offenders}"
+
+
+def test_dynamic_partition_pruning_on_month_join(spark, sf_dir):
+    """Joining the partitioned sink on its partition column against a
+    filtered dim must plan a DPP subquery: the fact scan's partition
+    filter is fed by the dim at runtime (SubqueryAdaptiveBroadcast
+    dynamicpruning#N), so only matching month directories are read —
+    the mechanism that keeps partition-wise joins cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.catalog import load
+    from migbq_spark.operators.sources import _stage_dir
+
+    Q["parquet_sink_day_partitioned"](spark, sf_dir).count()  # stage sink
+    fact = spark.read.parquet(_stage_dir(sf_dir, "orders_sink_monthly"))
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("m")
+        )
+        .distinct()
+        .filter(F.col("m").startswith("1997"))
+    )
+    j = fact.join(dim, fact.o_month == dim.m).groupBy("m").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()

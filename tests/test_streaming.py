@@ -7,6 +7,7 @@ aggregations) or ⊆ batch-distinct (for dedup).
 from migbq_spark import registry
 from migbq_spark.streaming.structured import (
     run_streaming_dedup,
+    run_streaming_session_correlate,
     run_streaming_sessions,
     run_streaming_tumbling,
 )
@@ -26,6 +27,12 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
 def test_streaming_sessions_match_batch(spark, sf_dir):
     batch = registry.queries()["stream_session_window"](spark, sf_dir)
     stream = run_streaming_sessions(spark, sf_dir)
+    assert _canon(stream) == _canon(batch)
+
+
+def test_streaming_session_correlate_matches_batch(spark, sf_dir):
+    batch = registry.queries()["stream_session_correlate"](spark, sf_dir)
+    stream = run_streaming_session_correlate(spark, sf_dir)
     assert _canon(stream) == _canon(batch)
 
 
