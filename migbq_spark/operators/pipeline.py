@@ -710,3 +710,154 @@ def repeated_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "cross_source_overlap",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents
+    ),
+    n AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM tok a JOIN tok b ON a.t = b.t AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.src_a, s.src_b, s.n_shared, na.n AS n_a, nb.n AS n_b,
+           ROUND(s.n_shared * 1.0 / (na.n + nb.n - s.n_shared), 4)
+               AS vocab_jaccard
+    FROM shared s
+    JOIN n na ON na.source = s.src_a
+    JOIN n nb ON nb.source = s.src_b
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary overlap: Jaccard between the distinct token
+    vocabularies of every source pair — the corpus-composition diagnostic
+    that tells a data-mixing pipeline which sources are near-redundant
+    BEFORE spending a full near-dup pass on their documents.
+
+    Scale (100 TB): reduces to DISTINCT (source, token) first — |sources|
+    × |vocab| rows, orders of magnitude below corpus size — then one
+    self-join keyed on token.  Per-token fan-out is |sources carrying the
+    token|², bounded by |sources|² (tiny), never by document count."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr("filter(split(text, ' '), t -> t <> '')")
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    n = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    return (
+        shared.join(F.broadcast(na), F.col("src_a") == F.col("na.source"))
+        .join(F.broadcast(nb), F.col("src_b") == F.col("nb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.col("na.n").alias("n_a"),
+            F.col("nb.n").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                * F.lit(1.0)
+                / (F.col("na.n") + F.col("nb.n") - F.col("n_shared")),
+                4,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    steps AS (
+        SELECT s, (SELECT m * s // 10 FROM mx) AS k
+        FROM (SELECT unnest(generate_series(1, 10)) AS s)
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+        FROM documents
+    ),
+    firsts AS (SELECT t, MIN(doc_id) AS first_id FROM tok GROUP BY t)
+    SELECT st.s AS step, st.k AS k_max_doc_id,
+           (SELECT COUNT(*) FROM documents d WHERE d.doc_id <= st.k)
+               AS n_docs,
+           (SELECT COUNT(*) FROM firsts f WHERE f.first_id <= st.k)
+               AS vocab
+    FROM steps st
+    """,
+)
+def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): distinct-token vocabulary
+    size at 10 corpus-prefix checkpoints (doc_id ≤ k) — the diagnostic
+    that says whether more data still buys new vocabulary or the corpus
+    has saturated.
+
+    Scale (100 TB): NOT a per-checkpoint distinct-count re-scan.  Each
+    token contributes exactly its FIRST appearance (one groupBy-min),
+    first appearances are histogrammed into the checkpoint that first
+    covers them (row-local 10-way bucket), and a 10-row running sum
+    yields every checkpoint — raw data is read once, the second pass
+    runs over |vocab| rows, and the window is over 10 rows total."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id")).first()[0]  # bounded driver scalar
+    ks = [(mx * s) // 10 for s in range(1, 11)]
+
+    def bucket(col):
+        # smallest checkpoint covering this id (monotone thresholds)
+        expr = F.lit(None).cast("bigint")
+        for s in range(10, 0, -1):
+            expr = F.when(F.col(col) <= ks[s - 1], s).otherwise(expr)
+        return expr
+
+    tok = d.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("t"),
+    )
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_id"))
+    vocab_h = (
+        firsts.select(bucket("first_id").alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("dv"))
+    )
+    docs_h = (
+        d.select(bucket("doc_id").alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    grid = spark.createDataFrame(
+        [(s, ks[s - 1]) for s in range(1, 11)], "step bigint, k_max_doc_id bigint"
+    )
+    w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(vocab_h, "step", "left")
+        .join(docs_h, "step", "left")
+        .select(
+            "step",
+            "k_max_doc_id",
+            F.sum(F.coalesce("dn", F.lit(0))).over(w).alias("n_docs"),
+            F.sum(F.coalesce("dv", F.lit(0))).over(w).alias("vocab"),
+        )
+    )
