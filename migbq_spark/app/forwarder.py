@@ -240,7 +240,14 @@ class Forwarder:
         # The mismatched-range set stays distributed: a broadcast semi-join
         # selects the rows to re-forward (at 100 TB a fully-corrupt dest
         # would make a collected isin() list |table|/batch_size long).
-        bad_ranges = report.filter("mismatch").select("range_lo")
+        # localCheckpoint materializes the mismatch set ONCE before the
+        # append below: otherwise the fix.write job would re-run the full
+        # source/dest reconciliation AND re-scan the destination parquet
+        # it is appending to in the same action — correct only while the
+        # file index stays pinned, fragile under task retries (ADVICE r2).
+        bad_ranges = (
+            report.filter("mismatch").select("range_lo").localCheckpoint(eager=True)
+        )
         n_bad = bad_ranges.limit(1).count()
         if n_bad:
             pk = F.col(table.pk)

@@ -823,6 +823,11 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over |vocab| rows, and the window is over 10 rows total."""
     d = load(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id")).first()[0]  # bounded driver scalar
+    if mx is None:
+        # Empty corpus: MAX is NULL — return the degenerate 10-row grid
+        # (all checkpoints at k=0 with zero docs/vocab), matching the
+        # oracle's NULL-threshold comparisons collapsing to no matches.
+        mx = 0
     ks = [(mx * s) // 10 for s in range(1, 11)]
 
     def bucket(col):

@@ -107,7 +107,7 @@ def session_windows(ev: DataFrame) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                CASE WHEN CAST(ts AS TIMESTAMP)
                          - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 10 MINUTE
                     OR LAG(ts) OVER w IS NULL
@@ -117,7 +117,7 @@ def session_windows(ev: DataFrame) -> DataFrame:
     ),
     islands AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -129,10 +129,14 @@ def session_windows(ev: DataFrame) -> DataFrame:
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessions with 10-min inactivity gap.  Spark's
-    session_window end = last event + gap; a new session starts when the
-    gap is STRICTLY greater than 10 min — the gaps-and-islands oracle
-    mirrors both choices."""
+    """Per-user sessions with 10-min inactivity gap.  Boundary convention
+    VERIFIED empirically on pyspark 4.1.2 (r3): two events exactly 10 min
+    apart MERGE into one session (end = last + gap; merge condition is
+    new_start <= prev_end) — so the oracle's strict
+    ``> INTERVAL 10 MINUTE`` gap predicate is correct, contra the r2
+    ADVICE suggestion of ``>=``.  The islands running sum orders by
+    (ts, event_id) to stay deterministic under duplicate (user_id, ts)
+    pairs (that half of the ADVICE was right and is applied)."""
     return session_windows(load(spark, sf_dir, "events"))
 
 
@@ -167,7 +171,7 @@ def session_correlate(ev: DataFrame) -> DataFrame:
     "stream_session_correlate",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
                CASE WHEN CAST(ts AS TIMESTAMP)
                          - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 10 MINUTE
                     OR LAG(ts) OVER w IS NULL
@@ -177,7 +181,7 @@ def session_correlate(ev: DataFrame) -> DataFrame:
     ),
     islands AS (
         SELECT user_id, ts, event_type,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )

@@ -209,7 +209,6 @@ def test_tdigest_rolling_quantiles_track_exact(spark, sf_dir):
         r.win_d: (r.n_est, r.p50, r.p95)
         for r in Q["rolling_quantile_tdigest"](spark, sf_dir).collect()
     }
-    ev = registry.queries  # noqa: F841  (readability)
     from migbq_spark.catalog import load
 
     days = load(spark, sf_dir, "events").select(

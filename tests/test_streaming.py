@@ -36,9 +36,60 @@ def test_streaming_session_correlate_matches_batch(spark, sf_dir):
     assert _canon(stream) == _canon(batch)
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Pins the session_window boundary convention verified on pyspark
+    4.1.2: an event exactly gap-duration after the previous one MERGES
+    into the same session (merge is new_start <= prev_end), so the
+    gaps-and-islands oracle must use a STRICT ``>`` gap predicate — and
+    duplicate (user_id, ts) rows must not destabilize the islands sum
+    (ORDER BY ts, event_id).  Both halves of the r2 ADVICE claim, settled
+    empirically: the ``>=`` suggestion was wrong, the tie-break was right.
+    """
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from migbq_spark.streaming.batch_equiv import session_windows
+    from migbq_spark.testing import compare_driver
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: exact 10-min gap — must merge into ONE session
+        (1, 1, t0, "click"),
+        (2, 1, t0 + dt.timedelta(minutes=10), "view"),
+        # user 2: 10 min + 1 µs — must split into TWO sessions
+        (3, 2, t0, "click"),
+        (4, 2, t0 + dt.timedelta(minutes=10, microseconds=1), "view"),
+        # user 3: duplicate (user_id, ts) pair, then a clear split
+        (5, 3, t0, "click"),
+        (6, 3, t0, "view"),
+        (7, 3, t0 + dt.timedelta(minutes=20), "purchase"),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = session_windows(sdf)
+    per_user = {
+        r.user_id: r.n
+        for r in out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_user == {1: 1, 2: 2, 3: 2}
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    con.register("events", pdf)
+    res = compare_driver(out, con, registry.oracle_sql()["stream_session_window"])
+    assert res["ok"], res
+
+
 def test_streaming_dedup_subset_of_batch_keys(spark, sf_dir):
     out = run_streaming_dedup(spark, sf_dir)
-    ev = registry.queries()["scan_full"]  # noqa: F841  (not used; keep simple)
     from migbq_spark.catalog import load
 
     events = load(spark, sf_dir, "events")
