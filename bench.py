@@ -44,6 +44,10 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "active_users_7d",
     "features_order_wide",
+    # AQE skew-join demonstration (r2 VERDICT item 7): salted join over
+    # the synthetic hot key — the measured artifact for the 100 TB skew
+    # story (BASELINE.md note).
+    "join_skew_salted",
 ]
 
 
@@ -58,14 +62,15 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     queries["agg_pk_bounds"](spark, sf_dir).collect()
 
-    # Two runs per query, min reported: the first run pays whole-stage
-    # codegen compilation (~0.5-1.5 s per distinct plan), a fixed driver
-    # cost that is noise at any real data scale; the warm run measures
-    # actual execution throughput.
+    # Three runs per query, min reported (r2 VERDICT item 8: n=2 left
+    # ±15-25% run-to-run spread that produced a phantom regression): the
+    # first run pays whole-stage codegen compilation (~0.5-1.5 s per
+    # distinct plan), a fixed driver cost that is noise at any real data
+    # scale; the warm runs measure actual execution throughput.
     timings: dict[str, float] = {}
     for qid in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             df = queries[qid](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()

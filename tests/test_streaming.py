@@ -88,6 +88,17 @@ def test_session_window_exact_gap_boundary(spark):
     assert res["ok"], res
 
 
+def test_streaming_sliding_hll_matches_batch(spark, sf_dir):
+    """The streaming sliding-HLL must equal the batch form exactly: HLL
+    union is register-wise max, so direct sketch_agg per window (stream)
+    and union-of-hourly-partials (batch) build identical registers."""
+    from migbq_spark.streaming.structured import run_streaming_sliding_hll
+
+    batch = registry.queries()["sliding_distinct_hll"](spark, sf_dir)
+    stream = run_streaming_sliding_hll(spark, sf_dir)
+    assert _canon(stream) == _canon(batch)
+
+
 def test_streaming_dedup_subset_of_batch_keys(spark, sf_dir):
     out = run_streaming_dedup(spark, sf_dir)
     from migbq_spark.catalog import load
