@@ -136,3 +136,51 @@ def udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         normalize, "event_id bigint, event_type string, z double"
     )
+
+
+@register(
+    "udtf_lateral_split",
+    oracle="""
+    SELECT doc_id, token, pos
+    FROM (
+        SELECT doc_id,
+               unnest(arr) AS token,
+               unnest(range(1, len(arr) + 1)) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents WHERE doc_id < 200)
+    )
+    WHERE token <> ''
+    """,
+)
+def udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Python UDTF (Spark 4 `@udtf` class API, not the grouped-map
+    shape): tokenize each doc and emit (token, 1-based raw position) rows
+    through a LATERAL join — the table-function ladder rung above
+    applyInPandas.  The oracle is DuckDB's zipped dual-unnest over the
+    same split.
+
+    Scale (100 TB): a UDTF runs per-partition inside the Python worker —
+    no shuffle is introduced by the lateral itself; row fan-out happens
+    where the data already lives.  (For pure tokenization the JVM
+    posexplode in `arr_explode_tokens` stays preferred — this entry
+    exists to cover the UDTF API surface.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, t in enumerate(text.split(" "), start=1):
+                if t:
+                    yield t, i
+
+    spark.udtf.register("mq_split_tokens", SplitTokens)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.createOrReplaceTempView("mq_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM mq_docs_udtf d, LATERAL mq_split_tokens(d.text) t
+        """
+    )

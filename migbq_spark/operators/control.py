@@ -538,3 +538,49 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return hist_old.unionByName(hist_new)
+
+
+@register(
+    "observe_progress_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_pk, MAX(event_id) AS max_pk
+    FROM events
+    WHERE event_id <= (SELECT MAX(event_id) / 2 FROM events)
+    """,
+)
+def observe_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's per-range progress accounting (row count + PK bounds per
+    forwarded batch) as `df.observe` metrics riding the export action
+    itself — ZERO extra scans (r3).
+
+    The reference re-queries the source for counts after each load
+    (SURVEY §3.1 check loop); on Spark the accumulator-backed Observation
+    collects COUNT/MIN/MAX while the export job streams rows to the sink,
+    so at 100 TB the reconciliation numbers are free — no second pass
+    over the fact table.  The observed values are returned as a 1-row
+    frame and hash-checked against the oracle recomputing them
+    declaratively; integer-exact, so parity is bitwise."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("mq_events_obs")
+    batch = spark.sql(
+        """
+        SELECT * FROM mq_events_obs
+        WHERE event_id <= (SELECT MAX(event_id) / 2 FROM mq_events_obs)
+        """
+    )
+    obs = Observation("mq_progress")
+    observed = batch.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_pk"),
+        F.max("event_id").alias("max_pk"),
+    )
+    # the export action the metrics ride on (noop sink = full execution)
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["min_pk"], m["max_pk"])],
+        "n_rows bigint, min_pk bigint, max_pk bigint",
+    )

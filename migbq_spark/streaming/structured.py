@@ -21,7 +21,7 @@ import hashlib
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -571,3 +571,168 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", "user_id")
     name = _drain(joined, f"ss_loj_{sf_dir}")
     return spark.table(name)
+
+
+
+# --------------------------------------------- transformWithState (r3)
+#
+# Spark 4's arbitrary-state API (typed state handles, timers, processor
+# lifecycle) — the successor to applyInPandasWithState.  Its Python
+# worker transport needs `google.protobuf`, which is absent from this
+# container (pip install is out of scope) — the same environment-bound
+# class as the Kafka jar.  The operator therefore gates at import time:
+# with protobuf present it runs the REAL transformWithStateInPandas
+# stream under RocksDB; without it, the IDENTICAL StatefulProcessor is
+# driven in-process over synthetic micro-batches through a minimal
+# handle shim — same class, same state transitions, same emissions —
+# so the processor logic stays fully exercised and hash-checked.
+try:  # pragma: no cover - environment probe
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _TWS_TRANSPORT_OK = True
+except ImportError:
+    _TWS_TRANSPORT_OK = False
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+_TWS_STATE_SCHEMA = (
+    "n_events bigint, first_event_id bigint, last_event_id bigint"
+)
+_TWS_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, first_event_id bigint,"
+    " last_event_id bigint"
+)
+
+
+class UserProgressProcessor(StatefulProcessor):
+    """Per-user progress state (n_events, first/last PK): count and
+    min/max are batching-monotone, so the final emission is micro-batch-
+    boundary-invariant — hence hash-checkable against batch SQL."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("progress", _TWS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, first, last = (
+            self._st.get() if self._st.exists() else (0, None, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            if len(pdf):
+                lo = int(pdf["event_id"].min())
+                hi = int(pdf["event_id"].max())
+                first = lo if first is None else min(first, lo)
+                last = hi if last is None else max(last, hi)
+        self._st.update((n, first, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "first_event_id": [first],
+                "last_event_id": [last],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+class _ValueStateShim:
+    """In-process stand-in for a transformWithState ValueState handle."""
+
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class _HandleShim:
+    def getValueState(self, name: str, schema: str) -> _ValueStateShim:
+        return _ValueStateShim()
+
+
+def _drive_processor_inprocess(pdf):
+    """Drive UserProgressProcessor over one key's rows split into
+    PK-ordered synthetic micro-batches; returns the FINAL emission —
+    exactly what the streaming drain's update-mode tail row holds.
+    (Single-parameter signature on purpose: applyInPandas treats a
+    two-parameter function as (key, pdf).)"""
+    n_batches = 3
+    proc = UserProgressProcessor()
+    proc.init(_HandleShim())
+    key = (int(pdf["user_id"].iloc[0]),)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    step = max(1, (len(pdf) + n_batches - 1) // n_batches)
+    out = None
+    for i in range(0, len(pdf), step):
+        for out in proc.handleInputRows(key, iter([pdf.iloc[i:i + step]]), None):
+            pass
+    proc.close()
+    return out
+
+
+@register(
+    "stream_stateful_tws",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user progress via the Spark 4 `transformWithStateInPandas`
+    arbitrary-state API (r3) — see the module comment above for the
+    protobuf transport gate; both paths run the SAME
+    UserProgressProcessor and produce the same batching-invariant final
+    state, hash-checked against the batch SQL oracle.
+
+    Scale (100 TB): transformWithState requires the RocksDB state-store
+    provider — the provider a 100 TB stateful stream runs anyway — and
+    adds typed state + timers over applyInPandasWithState, so migrating
+    `stream_stateful_progress`-style operators is a per-operator class
+    rewrite, not a topology change."""
+    ensure_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    if not _TWS_TRANSPORT_OK:
+        return ev.groupBy("user_id").applyInPandas(
+            _drive_processor_inprocess, _TWS_OUT_SCHEMA
+        )
+
+    chunks = str(_STAGE_ROOT / f"events_chunks_tws_{Path(sf_dir).name}")
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(chunks)
+    schema = spark.read.parquet(chunks).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
+        updated = sdf.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserProgressProcessor(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = _drain(updated, f"tws_{sf_dir}", mode="update")
+    # one row per key per micro-batch; n_events monotone ⇒ max row per
+    # key is the final state (first/last ride along)
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -166,6 +166,7 @@ _PY_ALLOWED = {
     "udf_pandas_vectorized",
     "udaf_pandas_grouped",
     "udtf_grouped_map",
+    "udtf_lateral_split",
     "cosine_topk",
     "near_dup_jaccard",
     "near_dup_embedding",
@@ -266,3 +267,43 @@ def test_dpp_survives_without_broadcast(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan
     assert "BroadcastHashJoin" not in plan  # genuinely broadcast-free
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter join pruning: when a shuffle join has a
+    selective build side, Spark injects a bloom filter built from the dim
+    keys into the fact side's scan filter (bloom_filter_might_contain) —
+    rows that cannot join are dropped BEFORE the shuffle.  This is the
+    row-level complement of DPP (which prunes directories) and a core
+    100 TB lever: the fixture only crosses the size thresholds when
+    lowered, so the test pins the mechanism, not the default trigger
+    sizes."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.catalog import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "bloom" in plan.lower(), plan
