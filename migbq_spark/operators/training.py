@@ -942,3 +942,76 @@ def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
         )
     )
+
+
+@register(
+    "group_top_p_nucleus",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, t AS token, COUNT(*) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY source, t
+    ),
+    ranked AS (
+        SELECT source, token, cnt,
+               SUM(cnt) OVER (PARTITION BY source
+                              ORDER BY cnt DESC, token
+                              ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+               SUM(cnt) OVER (PARTITION BY source) AS total
+        FROM cnt
+    )
+    SELECT source, token, cnt, CAST(cum_cnt AS BIGINT) AS cum_cnt,
+           cnt * 1.0 / total AS share
+    FROM ranked
+    WHERE 10 * (cum_cnt - cnt) < 9 * total
+    """,
+)
+def group_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) vocabulary per source: the smallest count-ranked
+    token prefix covering ≥ 90% of the source's token mass — how a
+    tokenizer/vocab budget is chosen per corpus slice (r3).
+
+    Determinism: the membership predicate is ALL-INTEGER —
+    ``10·(cum−cnt) < 9·total`` instead of ``cum/total`` float compares —
+    so the boundary token is engine-exact; the reported `share` is one
+    double division per row (bit-stable).  Ties rank lexically.
+
+    Scale (100 TB): one explode→count shuffle (map-side combinable),
+    one window shuffle on source; the window state is a running sum.
+    Skewed sources parallelize at the count stage; only the per-source
+    ranked walk is sequential, over |vocab(source)| rows not tokens."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("cnt"), "token")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = cnt.select(
+        "source",
+        "token",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    return ranked.filter(
+        10 * (F.col("cum_cnt") - F.col("cnt")) < 9 * F.col("total")
+    ).select(
+        "source",
+        "token",
+        "cnt",
+        "cum_cnt",
+        (F.col("cnt") * F.lit(1.0) / F.col("total")).alias("share"),
+    )
