@@ -584,3 +584,66 @@ def observe_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["min_pk"], m["max_pk"])],
         "n_rows bigint, min_pk bigint, max_pk bigint",
     )
+
+
+@register(
+    "recursive_pk_ranges",
+    oracle="""
+    WITH RECURSIVE ranges(range_lo) AS (
+        SELECT CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT range_lo + 500 FROM ranges
+        WHERE range_lo + 500 <= (SELECT (MAX(event_id) - 1) // 500 * 500
+                                  FROM events)
+    )
+    SELECT r.range_lo, COALESCE(c.n_rows, 0) AS n_rows
+    FROM ranges r
+    LEFT JOIN (
+        SELECT (event_id - 1) // 500 * 500 AS range_lo,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY 1
+    ) c USING (range_lo)
+    """,
+)
+def recursive_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's PK-range sweep table generated by a RECURSIVE CTE
+    (Spark 4 `WITH RECURSIVE`, verified working on 4.1.2) — the
+    reference's driver-side `while lo < max` loop expressed as pure SQL
+    frontier iteration, LEFT-joined against per-range counts so EMPTY
+    ranges surface (the gap-detection tie-in, §2.I) (r3).
+
+    The recursion generates one row per batch_size=500 range; the count
+    side stays the scalable arithmetic bucketing
+    (`(pk-1) div B * B`, one map-side-combinable shuffle).  Scale
+    (100 TB): recursion depth = |table|/batch_size rows on the DRIVER
+    side of the plan — fine for range inventories (thousands); for
+    billion-range sweeps use the arithmetic form alone
+    (`check_count_reconcile`); the recursive form exists for frontier
+    algorithms (reachability, BOM explosion) where each step genuinely
+    depends on the previous.  MAX(pk) is read first as a bounded driver
+    scalar and inlined, keeping the recursive member subquery-free."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).first()[0] or 0  # bounded driver scalar
+    top = (mx - 1) // 500 * 500 if mx else 0
+    ev.createOrReplaceTempView("mq_events_rcte")
+    try:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000000")
+    except Exception:
+        pass  # older builds: default limit, fine at fixture scale
+    return spark.sql(
+        f"""
+        WITH RECURSIVE ranges(range_lo) AS (
+            SELECT CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT range_lo + 500 FROM ranges
+            WHERE range_lo + 500 <= {top}
+        )
+        SELECT r.range_lo, COALESCE(c.n_rows, 0) AS n_rows
+        FROM ranges r
+        LEFT JOIN (
+            SELECT (event_id - 1) DIV 500 * 500 AS range_lo,
+                   COUNT(*) AS n_rows
+            FROM mq_events_rcte GROUP BY 1
+        ) c USING (range_lo)
+        """
+    )
