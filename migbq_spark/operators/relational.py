@@ -139,8 +139,19 @@ def regexp_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("json_path_extract")  # rows-only: JSON-path form (idiomatic Spark)
+@register(
+    "json_path_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+)
 def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction (idiomatic Spark `get_json_object`).
+    Upgraded from rows-only to hash-mode in r3: DuckDB's bundled json
+    extension computes the identical integer, so the path form is
+    value-hash-checkable after all."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
