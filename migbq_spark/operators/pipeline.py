@@ -56,13 +56,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-duplicate candidates, verified exactly.
 
     shingle(=token) → 16 minhashes (min of seeded xxhash64 per doc, ONE
-    shuffle) → 4 bands of 4 rows → bucket-join on (band, band_hash) →
-    exact Jaccard verification of the candidates only.  At 100 TB the
-    candidate set is the only quadratic term and banding keeps it sparse;
-    everything else is linear.  Quality vs the exact operator is pinned
+    shuffle) → 4 bands of 4 rows → bucket-join on (source, band,
+    band_hash) → exact Jaccard verification of the candidates only.
+
+    The bucket join is BLOCKED ON SOURCE (r3), matching the exact
+    operator's semantics — and for a scale reason: the sf0.1 fixture
+    holds a ~2.6 k-doc cross-source near-dup mega-cluster, and an
+    unblocked bucket join enumerates its ~n²/2 ≈ 12 M pairs (measured
+    91 s — banding bounds bucket COUNT, not bucket SIZE when the data
+    really is one giant similarity cluster).  Listing all pairs of a
+    mega-cluster is inherently quadratic in ANY engine; the 100 TB
+    answer for cluster DISCOVERY is `dup_cc_twostar` over these edges
+    (linear in edges, clusters as components), while the pair-listing
+    form stays usable blocked.  Quality vs the exact operator is pinned
     in tests/test_pipeline.py (recall ≥ 0.9 at τ=0.8 on the fixture)."""
     toks = _tok_df(spark, sf_dir)
-    mins = toks.groupBy("doc_id").agg(
+    mins = toks.groupBy("doc_id", "source").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh{i}")
             for i in range(_MINHASH_K)
@@ -71,6 +80,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = _MINHASH_K // _LSH_BANDS
     bands = mins.select(
         "doc_id",
+        "source",
         F.explode(
             F.array(
                 *[
@@ -84,12 +94,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    ).select("doc_id", "source", "bb.band", "bb.bh")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -129,28 +140,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_portable",
     oracle="""
     WITH tok AS (
-        SELECT DISTINCT doc_id, t
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
               FROM documents)
         WHERE t <> ''
     ),
     seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
     mh AS (
-        SELECT doc_id, s,
+        SELECT doc_id, source, s,
                MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
                         AS BIGINT)) AS v
         FROM tok CROSS JOIN seeds
-        GROUP BY doc_id, s
+        GROUP BY doc_id, source, s
     ),
     sig AS (
-        SELECT doc_id, s // 4 AS band,
+        SELECT doc_id, source, s // 4 AS band,
                string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
-        FROM mh GROUP BY doc_id, s // 4
+        FROM mh GROUP BY doc_id, source, s // 4
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM sig a JOIN sig b
-          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+          ON a.source = b.source AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id
     ),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
     shared AS (
@@ -177,18 +189,21 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(seed ':' token) parsed base-16 — verified bit-identical between
     Spark (`conv(substr(md5(..),1,15),16,10)`) and DuckDB
     (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), so the ENTIRE
-    pipeline — signatures → 4×4 banding → bucket join → exact-Jaccard
-    verify ≥ 0.8 — is oracle-checked end-to-end, upgrading the 100 TB
-    dedup path's evidence from "recall pinned in tests" to driver-grade
-    value-hash equality.
+    pipeline — signatures → 4×4 banding → source-blocked bucket join →
+    exact-Jaccard verify ≥ 0.8 — is oracle-checked end-to-end, upgrading
+    the 100 TB dedup path's evidence from "recall pinned in tests" to
+    driver-grade value-hash equality.
 
-    Same scale shape as the xxhash64 form: one groupBy computes all 16
+    Same scale shape as the xxhash64 form, including the r3 source
+    blocking (see `dedup_minhash_lsh`: an unblocked bucket join on the
+    sf0.1 fixture's ~2.6 k-doc mega-cluster enumerates 12 M pairs;
+    pair-listing a mega-cluster is inherently quadratic, cluster
+    discovery belongs to `dup_cc_twostar`).  One groupBy computes all 16
     minhashes (map-side combinable), band keys are the concatenated
-    4-tuples (no second hash — portable), the bucket self-join touches
-    only colliding signatures, and the exact verify runs on candidates
-    only (≪ n²).  md5 costs ~3× xxhash64 per token; at 100 TB prefer the
-    xxhash64 twin when cross-engine determinism isn't required."""
-    toks = _tok_df(spark, sf_dir).select("doc_id", "token")
+    4-tuples (no second hash — portable), and the exact verify runs on
+    candidates only.  md5 costs ~3× xxhash64 per token; at 100 TB prefer
+    the xxhash64 twin when cross-engine determinism isn't required."""
+    toks = _tok_df(spark, sf_dir)
 
     def h(i: int) -> F.Column:
         return F.conv(
@@ -199,12 +214,13 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint")
 
-    mins = toks.groupBy("doc_id").agg(
+    mins = toks.groupBy("doc_id", "source").agg(
         *[F.min(h(i)).alias(f"mh{i}") for i in range(_MINHASH_K)]
     )
     rows_per_band = _MINHASH_K // _LSH_BANDS
     bands = mins.select(
         "doc_id",
+        "source",
         F.explode(
             F.array(
                 *[
@@ -222,12 +238,13 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select("doc_id", "source", "bb.band", "bb.bkey")
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
