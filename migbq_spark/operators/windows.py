@@ -333,3 +333,51 @@ def percent_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("share"),
     )
+
+
+@register(
+    "win_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(LAG(v IGNORE NULLS) OVER w AS DOUBLE) AS prev_reading,
+           CAST(LEAD(v IGNORE NULLS) OVER w AS DOUBLE) AS next_reading,
+           CAST(NTH_VALUE(v, 2 IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS second_reading
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL
+                      ELSE CAST(value AS DECIMAL(18,2)) END AS v
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (r3): previous/next non-null
+    reading via LAG/LEAD IGNORE NULLS and the second-ever non-null via
+    running-frame NTH_VALUE IGNORE NULLS — the §2.E completion beside
+    `locf_impute`'s LAST_VALUE form (error events model NULL readings).
+    DECIMAL pass-through (no arithmetic), one terminal double cast per
+    column — hash-exact.
+
+    Scale (100 TB): one shuffle on user_id shared by all three
+    functions (identical window spec ⇒ single Exchange + sort); IGNORE
+    NULLS keeps one extra carried register per function, independent of
+    series length."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("mq_events_ign")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               CAST(LAG(v) IGNORE NULLS OVER w AS DOUBLE) AS prev_reading,
+               CAST(LEAD(v) IGNORE NULLS OVER w AS DOUBLE) AS next_reading,
+               CAST(NTH_VALUE(v, 2) IGNORE NULLS
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   AS second_reading
+        FROM (SELECT user_id, event_id, ts,
+                     CASE WHEN event_type = 'error' THEN NULL
+                          ELSE CAST(value AS DECIMAL(18,2)) END AS v
+              FROM mq_events_ign)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
