@@ -1015,3 +1015,50 @@ def group_top_p_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_cnt",
         (F.col("cnt") * F.lit(1.0) / F.col("total")).alias("share"),
     )
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('smp:' || doc_id), 1, 15))
+               AS BIGINT) % 100 < 10
+    GROUP BY lang, source
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample via the portable md5 hash
+    family (r3) — the sampling twin of `train_test_split`'s PK-modulo
+    split.  Plain `doc_id % 100` correlates with any id-assignment
+    pattern (append order, shard striping); hashing the id first gives
+    a pseudo-random but REPRODUCIBLE coin per row, identical in Spark
+    (`conv(substr(md5,1,15),16,10)`) and DuckDB ('0x' cast) — so the
+    sample is engine-exact and re-runnable, unlike `rand()`/TABLESAMPLE.
+    The salt prefix ('smp:') decorrelates this coin from every other
+    md5-family use (minhash seeds).
+
+    Scale (100 TB): the predicate is row-local (pushes to the scan as a
+    deterministic filter); only the per-(lang, source) audit aggregates
+    — one map-side-combinable shuffle."""
+    d = load(spark, sf_dir, "documents")
+    coin = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("smp"), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    return (
+        d.filter(coin < 10)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
