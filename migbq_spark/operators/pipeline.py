@@ -13,10 +13,18 @@ These are the 100 TB paths for the exact operators in textsim.py:
 Engine-specific hash functions (xxhash64) make the LSH/SimHash ops
 rows-only; their *quality* is pinned by tests/test_pipeline.py, which
 measures recall against the exact oracle-checked operators.
+`dedup_minhash_portable` (r3) swaps in an md5-derived hash family both
+engines compute bit-identically, making the full LSH pipeline
+value-hash oracle-checked as well.
 
 Scale notes (100 TB): every op is explode → groupBy → (bucketed)
 self-join — linear shuffles plus a join whose size is controlled by the
-banding/cell parameters, never a full n² pair enumeration.
+banding/cell parameters, never a full n² pair enumeration.  The bucket
+joins additionally block on `source` (r3): banding bounds bucket COUNT,
+not bucket SIZE, and the sf0.1 fixture's cross-source near-dup
+mega-cluster showed that pair-LISTING a giant similarity cluster is
+inherently quadratic — cluster discovery belongs to `dup_cc_twostar`
+over the LSH edges.
 """
 
 from __future__ import annotations

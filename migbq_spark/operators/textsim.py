@@ -7,10 +7,10 @@ token pipeline here filters `token <> ''` on both sides.
 
 Scale notes (100 TB):
 - `dedup_hash_exact` is a plain hash-shuffle on md5(text) — linear scale.
-- `near_dup_jaccard` blocks on `source` and self-joins within the block —
-  correct at fixture scale; the 100 TB path is `dedup_minhash_lsh`
-  (pipeline.py), which buckets by banded minhashes so candidate pairs
-  ≪ n².
+- `near_dup_jaccard` blocks on `source` and fans each block across
+  (source, tile_i, tile_j) tasks (r3 — no straggler on a hot source);
+  the 100 TB path is `dedup_minhash_lsh` (pipeline.py), which buckets
+  by banded minhashes so candidate pairs ≪ n².
 - `cosine_topk` broadcasts the 10 query vectors and streams candidates
   through a JVM-side zip_with/aggregate dot product (no Python, no
   explode blowup); the 100 TB path is `ann_ivf_topk` (pipeline.py).
