@@ -542,3 +542,45 @@ def parts_unshipped_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_unshipped"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           (SELECT CAST(MIN(s.ts) AS TIMESTAMP) FROM events s
+            WHERE s.user_id = p.user_id AND s.event_type = 'error'
+              AND s.ts >= p.ts) AS next_error_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r3): each purchase matched to the same user's
+    next error at-or-after it — the symmetric completion of `join_asof`
+    (backward) and `join_asof_nearest` (tolerance).
+
+    Same single-window formulation, mirrored: a running MIN over the
+    FORWARD frame (current row → unbounded following) carries the
+    nearest future error timestamp; one shuffle on user_id, no range
+    self-join — the O(n log n) shape that survives 100 TB where the
+    correlated subquery the oracle uses is O(n·m) per user."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_error_ts = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("next_error_ts", next_error_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "next_error_ts",
+        )
+    )

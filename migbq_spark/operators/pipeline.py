@@ -1051,3 +1051,57 @@ def heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("dv", F.lit(0))).over(w).alias("vocab"),
         )
     )
+
+
+@register(
+    "doc_token_entropy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY doc_id, t
+    ),
+    n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tok GROUP BY doc_id)
+    SELECT tok.doc_id,
+           n.n AS n_tokens,
+           ROUND(LN(n.n) - SUM(c * LN(c)) / n.n, 4) AS entropy
+    FROM tok JOIN n ON n.doc_id = tok.doc_id
+    GROUP BY tok.doc_id, n.n
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT token entropy (r3): H = ln(n) − Σ c·ln(c)/n over the
+    doc's token counts — the within-doc lexical-diversity quality signal
+    beside the corpus-level `entropy_by_source` and the n-gram
+    repetition screen `repeated_ngram_ratio` (low H ⇒ degenerate or
+    looping text).  Integer counts feed a float expression rounded to
+    4 dp, the same float-sensitivity policy as the other entropy ops.
+
+    Scale (100 TB): one explode→(doc, token) count (map-side
+    combinable), one per-doc rollup — both linear, partitioned by
+    doc_id; no joins against other docs."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log("c")).alias("sum_clnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens")) - F.col("sum_clnc") / F.col("n_tokens"),
+            4,
+        ).alias("entropy"),
+    )
