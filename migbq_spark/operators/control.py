@@ -626,24 +626,36 @@ def recursive_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = ev.agg(F.max("event_id")).first()[0] or 0  # bounded driver scalar
     top = (mx - 1) // 500 * 500 if mx else 0
     ev.createOrReplaceTempView("mq_events_rcte")
+    # The recursion-limit conf is read at EXECUTION time (verified on
+    # 4.1.2: restoring before .collect() fails with
+    # RECURSION_LEVEL_LIMIT_EXCEEDED), so the raised limit cannot simply
+    # be restored after building the lazy plan.  Instead: materialize the
+    # bounded result (one row per 500-PK range — a range inventory, tiny
+    # by construction) inside the conf window via an eager
+    # localCheckpoint, then restore the session-global conf in `finally`
+    # so the override never leaks into subsequent queries.
+    prior = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
     try:
         spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000000")
-    except Exception:
-        pass  # older builds: default limit, fine at fixture scale
-    return spark.sql(
-        f"""
-        WITH RECURSIVE ranges(range_lo) AS (
-            SELECT CAST(0 AS BIGINT)
-            UNION ALL
-            SELECT range_lo + 500 FROM ranges
-            WHERE range_lo + 500 <= {top}
-        )
-        SELECT r.range_lo, COALESCE(c.n_rows, 0) AS n_rows
-        FROM ranges r
-        LEFT JOIN (
-            SELECT (event_id - 1) DIV 500 * 500 AS range_lo,
-                   COUNT(*) AS n_rows
-            FROM mq_events_rcte GROUP BY 1
-        ) c USING (range_lo)
-        """
-    )
+        return spark.sql(
+            f"""
+            WITH RECURSIVE ranges(range_lo) AS (
+                SELECT CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT range_lo + 500 FROM ranges
+                WHERE range_lo + 500 <= {top}
+            )
+            SELECT r.range_lo, COALESCE(c.n_rows, 0) AS n_rows
+            FROM ranges r
+            LEFT JOIN (
+                SELECT (event_id - 1) DIV 500 * 500 AS range_lo,
+                       COUNT(*) AS n_rows
+                FROM mq_events_rcte GROUP BY 1
+            ) c USING (range_lo)
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)
+        else:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")

@@ -251,10 +251,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(n·m) per user; this is a sort within user partitions.
     """
     ev = load(spark, sf_dir, "events")
+    # RANGE (not ROWS) frame on ts alone: the oracle's predicate is
+    # `s.ts <= p.ts`, so a signup sharing the purchase's exact timestamp
+    # must be in-frame regardless of event_id ordering — a ROWS frame
+    # with an event_id tiebreak would exclude a same-ts signup whose
+    # event_id sorts after the purchase.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     signup_ts = F.max(
         F.when(F.col("event_type") == "signup", F.col("ts"))
@@ -566,10 +571,13 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the O(n log n) shape that survives 100 TB where the
     correlated subquery the oracle uses is O(n·m) per user."""
     ev = load(spark, sf_dir, "events")
+    # RANGE frame on ts (mirror of join_asof): oracle predicate is
+    # `s.ts >= p.ts`, so a same-ts error with a SMALLER event_id must be
+    # in-frame — a ROWS frame ordered by (ts, event_id) would miss it.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
     )
     next_error_ts = F.min(
         F.when(F.col("event_type") == "error", F.col("ts"))

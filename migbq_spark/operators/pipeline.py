@@ -23,8 +23,11 @@ banding/cell parameters, never a full n² pair enumeration.  The bucket
 joins additionally block on `source` (r3): banding bounds bucket COUNT,
 not bucket SIZE, and the sf0.1 fixture's cross-source near-dup
 mega-cluster showed that pair-LISTING a giant similarity cluster is
-inherently quadratic — cluster discovery belongs to `dup_cc_twostar`
-over the LSH edges.
+inherently quadratic.  Cross-source cluster discovery is
+`dedup_cross_source_cc` (r4): unblocked buckets emit per-bucket STAR
+edges (linear in bucket size, connectivity-equivalent to the clique)
+and two-star CC labels the components — so cross-source dedup stays
+end-to-end discoverable without any quadratic pair listing.
 """
 
 from __future__ import annotations
@@ -74,10 +77,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     91 s — banding bounds bucket COUNT, not bucket SIZE when the data
     really is one giant similarity cluster).  Listing all pairs of a
     mega-cluster is inherently quadratic in ANY engine; the 100 TB
-    answer for cluster DISCOVERY is `dup_cc_twostar` over these edges
-    (linear in edges, clusters as components), while the pair-listing
-    form stays usable blocked.  Quality vs the exact operator is pinned
-    in tests/test_pipeline.py (recall ≥ 0.9 at τ=0.8 on the fixture)."""
+    answer for CROSS-SOURCE cluster discovery is
+    `dedup_cross_source_cc` (unblocked buckets → per-bucket star edges →
+    two-star CC, linear in bucket sizes), while the pair-listing form
+    stays usable blocked.  Quality vs the exact operator is pinned in
+    tests/test_pipeline.py (recall ≥ 0.9 at τ=0.8 on the fixture)."""
     toks = _tok_df(spark, sf_dir)
     mins = toks.groupBy("doc_id", "source").agg(
         *[
@@ -142,6 +146,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
     )
     return verified
+
+
+def _portable_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, band, bkey) — banded MinHash signatures under the
+    PORTABLE md5-derived 60-bit hash family (each hash = top 60 bits of
+    md5(seed ':' token), bit-identical between Spark's
+    ``conv(substr(md5(..),1,15),16,10)`` and DuckDB's
+    ``CAST('0x'||substr(md5(..),1,15) AS BIGINT)``).  Shared by
+    `dedup_minhash_portable` (source-blocked pair listing) and
+    `dedup_cross_source_cc` (unblocked cluster discovery)."""
+    toks = _tok_df(spark, sf_dir)
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(i), F.col("token"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    mins = toks.groupBy("doc_id", "source").agg(
+        *[F.min(h(i)).alias(f"mh{i}") for i in range(_MINHASH_K)]
+    )
+    rows_per_band = _MINHASH_K // _LSH_BANDS
+    return mins.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "source", "bb.band", "bb.bkey")
 
 
 @register(
@@ -211,42 +261,7 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-tuples (no second hash — portable), and the exact verify runs on
     candidates only.  md5 costs ~3× xxhash64 per token; at 100 TB prefer
     the xxhash64 twin when cross-engine determinism isn't required."""
-    toks = _tok_df(spark, sf_dir)
-
-    def h(i: int) -> F.Column:
-        return F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(i), F.col("token"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("bigint")
-
-    mins = toks.groupBy("doc_id", "source").agg(
-        *[F.min(h(i)).alias(f"mh{i}") for i in range(_MINHASH_K)]
-    )
-    rows_per_band = _MINHASH_K // _LSH_BANDS
-    bands = mins.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"mh{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bkey"),
-                    )
-                    for b in range(_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "source", "bb.band", "bb.bkey")
+    bands = _portable_band_df(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -707,6 +722,28 @@ def _cc_small_star(E: DataFrame) -> DataFrame:
     ).union(m.select("u", F.col("m").alias("v")))
 
 
+def _cc_twostar_components(pairs: DataFrame) -> DataFrame:
+    """Run alternating large-star/small-star contractions over the edge
+    list ``(u, v)`` to the fixpoint and return ``(doc_id, component_id)``
+    with component_id = min node id in the component.  O(log n) rounds;
+    per-round lineage cut with localCheckpoint."""
+    E = _cc_canon(pairs).localCheckpoint()
+    for _ in range(16):
+        E2 = _cc_canon(_cc_small_star(_cc_large_star(E))).localCheckpoint()
+        changed = E2.exceptAll(E).count() + E.exceptAll(E2).count()
+        E = E2
+        if changed == 0:
+            break
+    # fixpoint is a star: canonical edges are (root, member)
+    return (
+        E.select(F.col("v").alias("doc_id"), F.col("u").alias("component_id"))
+        .union(
+            E.select(F.col("u").alias("doc_id"), F.col("u").alias("component_id"))
+        )
+        .distinct()
+    )
+
+
 @register(
     "dup_cc_twostar",
     oracle=None,  # set below: identical fixpoint to dup_connected_components
@@ -734,21 +771,7 @@ def dup_cc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard(spark, sf_dir).select(
         F.col("a_id").alias("u"), F.col("b_id").alias("v")
     )
-    E = _cc_canon(pairs).localCheckpoint()
-    for _ in range(16):
-        E2 = _cc_canon(_cc_small_star(_cc_large_star(E))).localCheckpoint()
-        changed = E2.exceptAll(E).count() + E.exceptAll(E2).count()
-        prev, E = E, E2
-        if changed == 0:
-            break
-    # fixpoint is a star: canonical edges are (root, member)
-    return (
-        E.select(F.col("v").alias("doc_id"), F.col("u").alias("component_id"))
-        .union(
-            E.select(F.col("u").alias("doc_id"), F.col("u").alias("component_id"))
-        )
-        .distinct()
-    )
+    return _cc_twostar_components(pairs)
 
 
 # the two-star fixpoint must equal the propagation fixpoint — reuse the
@@ -758,6 +781,85 @@ from migbq_spark import registry as _registry  # noqa: E402
 from migbq_spark.operators import training as _training  # noqa: E402, F401
 
 _registry.ORACLES["dup_cc_twostar"] = _registry.ORACLES["dup_connected_components"]
+
+
+@register(
+    "dedup_cross_source_cc",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, s
+    ),
+    sig AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, s // 4
+    ),
+    hub AS (SELECT band, bkey, MIN(doc_id) AS hub
+            FROM sig GROUP BY band, bkey),
+    edges0 AS (
+        SELECT DISTINCT h.hub AS u, s.doc_id AS v
+        FROM sig s JOIN hub h ON s.band = h.band AND s.bkey = h.bkey
+        WHERE s.doc_id <> h.hub
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_cross_source_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE near-duplicate cluster discovery (r4, closes the r3
+    ADVICE gap): after the r3 source-blocking, every pair-LISTING
+    operator (both LSH ops, `near_dup_jaccard`, `ngram_jaccard`) was
+    blocked on `source`, leaving the cross-source mega-cluster that
+    motivated the blocking undiscoverable end-to-end.  This operator
+    rediscovers it WITHOUT materializing pairs:
+
+    1. UNBLOCKED portable-MinHash LSH buckets (`_portable_band_df`) —
+       banding bounds bucket count; no join yet.
+    2. Per (band, bucket): STAR edges hub→member where hub = min doc_id
+       in the bucket.  A k-doc bucket emits k−1 edges instead of k²/2
+       pairs — connectivity-equivalent to the full clique, linear in
+       bucket size (the sf0.1 mega-cluster emits ~10 k edges where the
+       unblocked pair join measured 12 M pairs / 91 s).
+    3. Two-star connected components over the star-edge union across
+       bands (`_cc_twostar_components`, O(log n) rounds).
+
+    Output: (doc_id, component_id=min id in component) for every doc
+    that shares at least one LSH bucket with another doc — the
+    keep-one-per-cluster dedup driver.  Clusters are LSH-candidate
+    components (no exact-Jaccard edge verification: banding parameters
+    control precision; verifying star edges only would falsely split
+    chains).  Hash-checked: the portable md5 hash family plus a
+    recursive-CTE reachability oracle make the full pipeline
+    value-hash-verified against DuckDB.
+
+    Scale (100 TB): signature build is one map-side-combinable groupBy;
+    the hub assignment is a window-min per bucket (one shuffle on
+    (band, bkey), no self-join); edges ≤ bands × |docs|; CC rounds are
+    logarithmic.  Nothing is quadratic in cluster size anywhere."""
+    bands = _portable_band_df(spark, sf_dir)
+    w = Window.partitionBy("band", "bkey")
+    hubbed = bands.withColumn("hub", F.min("doc_id").over(w))
+    edges = hubbed.filter(F.col("doc_id") != F.col("hub")).select(
+        F.col("hub").alias("u"), F.col("doc_id").alias("v")
+    )
+    return _cc_twostar_components(edges)
 
 
 # -------------------------------------------- contamination / repetition

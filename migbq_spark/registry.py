@@ -149,6 +149,15 @@ def _load_all() -> None:
     from migbq_spark.functions import udfs  # noqa: F401
     from migbq_spark.streaming import batch_equiv, structured  # noqa: F401
 
+    # Fail LOUDLY if any DRIVER_WINDOW id is missing from the registry: a
+    # typo or renamed operator would otherwise silently shrink the graded
+    # window below 50 and let un-preflighted import-order queries slide
+    # into the driver-graded slots (r3 ADVICE).
+    missing = set(DRIVER_WINDOW) - set(QUERIES)
+    if missing:
+        raise RuntimeError(
+            f"DRIVER_WINDOW ids not in registry: {sorted(missing)}"
+        )
     _LOADED = True
 
 
