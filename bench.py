@@ -48,6 +48,11 @@ HEADLINE = [
     # the synthetic hot key — the measured artifact for the 100 TB skew
     # story (BASELINE.md note).
     "join_skew_salted",
+    # r4 additions (BASELINE.md r4 rows): portable SimHash pair scan and
+    # the real PNG/JPEG header-decode roundtrip — measured artifacts for
+    # the new hash-checked ops.
+    "dedup_simhash_portable",
+    "mm_decode_headers",
 ]
 
 

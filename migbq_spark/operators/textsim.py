@@ -39,6 +39,14 @@ _JACCARD_CHUNK = 1024
 #: when the hottest block ≫ cores × CHUNK.
 _JACCARD_TILES = 8
 
+#: Adaptive fan-out floor (r4, per the r3 VERDICT "Next round" #5): a
+#: source is tiled ONLY when its doc count reaches this threshold;
+#: smaller sources keep the single-task path, avoiding the T×
+#: replication where a single numpy matmul already finishes in
+#: milliseconds.  One CHUNK is the natural break-even: below it the
+#: whole block is one dense diagonal matmul per task.
+_JACCARD_TILE_MIN_DOCS = _JACCARD_CHUNK
+
 
 def _tokens(col: str = "text") -> F.Column:
     """Non-empty whitespace tokens (trailing-space fixture caveat)."""
@@ -142,19 +150,31 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_pairs_frame(
-    spark: SparkSession, docs: DataFrame, tiles: int = _JACCARD_TILES
+    spark: SparkSession,
+    docs: DataFrame,
+    tiles: int = _JACCARD_TILES,
+    tile_min_docs: int | None = None,
 ) -> DataFrame:
     """All-pairs exact Jaccard ≥ 0.8 within each ``source`` block of
     ``docs`` (columns: doc_id, source, toks), fanned out across
-    (source, tile_i, tile_j) tasks.
+    (source, tile_i, tile_j) tasks — ADAPTIVELY since r4.
 
-    Shape (r3, de-stragglered per the r2 VERDICT): docs hash into
-    ``tiles`` tiles by pmod(doc_id); a broadcast tile-pair grid
-    (tile_i ≤ tile_j) replicates each doc ``tiles``× so every tile pair
-    becomes its OWN applyInPandas group — one hot source runs as
-    T·(T+1)/2 parallel tasks instead of one straggler computing every
-    tile pair serially.  Each unordered doc pair lands in exactly one
-    group: (min(tile_a, tile_b), max(tile_a, tile_b)).
+    Shape (r3, de-stragglered per the r2 VERDICT; r4 adaptive per the r3
+    VERDICT #5): docs hash into per-source ``n_tiles`` tiles by
+    pmod(doc_id); a broadcast (grid_n, tile_i ≤ tile_j) grid replicates
+    each doc ``n_tiles``× so every tile pair becomes its OWN
+    applyInPandas group — one hot source runs as T·(T+1)/2 parallel
+    tasks instead of one straggler computing every tile pair serially.
+    Each unordered doc pair lands in exactly one group:
+    (min(tile_a, tile_b), max(tile_a, tile_b)).
+
+    Adaptive part: a tiny per-source count aggregate (column-pruned to
+    ``source`` only, broadcast back — rows = |sources|, never data-sized)
+    picks n_tiles = ``tiles`` for sources with ≥ ``tile_min_docs`` docs
+    and 1 otherwise, so small sources pay zero replication while hot
+    sources keep the de-straggler fan.  At sf0.1 (20 × 250-doc sources)
+    everything takes the 1-task path; at 100 TB any block past one CHUNK
+    tiles out.
 
     Inside a task the O(|A|·|B|) intersect runs as boolean matrix
     products in numpy over CHUNK-row sub-tiles of the A side, with the
@@ -167,15 +187,37 @@ def jaccard_pairs_frame(
     generator)."""
     import pandas as pd
 
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(tiles) for j in range(i, tiles)],
-        "tile_i int, tile_j int",
+    if tile_min_docs is None:
+        tile_min_docs = _JACCARD_TILE_MIN_DOCS
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("src_n"))
+    grid = spark.createDataFrame(
+        [
+            (t, i, j)
+            for t in sorted({1, tiles})
+            for i in range(t)
+            for j in range(i, t)
+        ],
+        "grid_n int, tile_i int, tile_j int",
     )
-    fan = docs.withColumn(
-        "tile", F.pmod(F.col("doc_id"), F.lit(tiles)).cast("int")
-    ).join(
-        F.broadcast(pairs),
-        (F.col("tile") == F.col("tile_i")) | (F.col("tile") == F.col("tile_j")),
+    fan = (
+        docs.join(F.broadcast(counts), "source")
+        .withColumn(
+            "n_tiles",
+            F.when(F.col("src_n") >= tile_min_docs, F.lit(tiles)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "tile", F.pmod(F.col("doc_id"), F.col("n_tiles")).cast("int")
+        )
+        .join(
+            F.broadcast(grid),
+            (F.col("n_tiles") == F.col("grid_n"))
+            & (
+                (F.col("tile") == F.col("tile_i"))
+                | (F.col("tile") == F.col("tile_j"))
+            ),
+        )
     )
 
     def tile_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

@@ -90,6 +90,58 @@ def test_mm_decode_stub_rejects_unknown_format():
         _decode_payload(b"WAV|1|2")
 
 
+def test_mm_real_header_decode_roundtrip():
+    """r4 (r3 VERDICT #7): `_decode_payload` must parse REAL PNG and
+    JPEG headers — pinned against hand-checked byte layouts, not just
+    our own packers."""
+    import struct
+    import zlib
+
+    from migbq_spark.operators.multimodal import (
+        _decode_payload,
+        _jpeg_bytes,
+        _png_bytes,
+    )
+
+    # roundtrip through our packers
+    assert _decode_payload(_png_bytes(640, 480)) == (640, 480)
+    assert _decode_payload(_jpeg_bytes(123, 45)) == (123, 45)
+
+    # a hand-built PNG header, independent of _png_bytes
+    ihdr = struct.pack(">IIBBBBB", 17, 99, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert _decode_payload(png) == (17, 99)
+
+    # a JPEG whose SOF0 sits after several skippable segments (APP1 +
+    # DQT), proving the marker WALK, not a fixed offset
+    app1 = b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+        ">BHHB", 8, 200, 300, 1
+    ) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app1 + dqt + sof
+    assert _decode_payload(jpeg) == (300, 200)  # (width, height)
+
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # no SOF
+
+
+def test_mm_decode_headers_matches_planted_dims(spark, sf_dir):
+    out = {r.doc_id: r for r in Q["mm_decode_headers"](spark, sf_dir).collect()}
+    from migbq_spark.catalog import load
+
+    docs = {r.doc_id: r for r in load(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, r in out.items():
+        assert r.fmt == ("png" if doc_id % 2 == 0 else "jpeg")
+        assert r.width == doc_id % 640 + 1
+        assert r.height == docs[doc_id].n_chars % 480 + 1
+
+
 def test_approx_percentile_within_sketch_bound(spark, sf_dir):
     exact = {r.event_type: r.p50 for r in Q["agg_percentile"](spark, sf_dir).collect()}
     approx = {
@@ -261,9 +313,14 @@ def test_jaccard_hot_source_fans_out_across_tasks(spark):
     ).select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
 
     def key_pairs(tiles):
+        # tile_min_docs=0 forces the tiled path regardless of source size
+        # (the r4 adaptive floor would otherwise keep this 60-doc fixture
+        # on the single-task path; see test_jaccard_adaptive_tile_floor).
         return {
             (r.a_id, r.b_id): (r.shared, r.n_a, r.n_b, r.jaccard)
-            for r in jaccard_pairs_frame(spark, docs, tiles=tiles).collect()
+            for r in jaccard_pairs_frame(
+                spark, docs, tiles=tiles, tile_min_docs=0
+            ).collect()
         }
 
     serial = key_pairs(1)
@@ -281,6 +338,66 @@ def test_jaccard_hot_source_fans_out_across_tasks(spark):
     )
     assert fan.select("source", "tile_i", "tile_j").distinct().count() == 36
     assert fan.select("tile").distinct().count() == 8
+
+
+def test_jaccard_adaptive_tile_floor(spark):
+    """r4 adaptive fan-out (r3 VERDICT #5): sources below the tile floor
+    must run as ONE shuffle group (no replication), sources at/above it
+    must fan out over T·(T+1)/2 groups — and the pair set must be
+    identical either way."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.operators.textsim import _tokens, jaccard_pairs_frame
+
+    base = "alpha beta gamma delta epsilon zeta eta theta "
+    rows = [(i, base + f"tok{i % 5}", "hot") for i in range(40)]
+    rows += [(100 + i, base + f"cold{i % 3}", "cold") for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).select("doc_id", "source", F.array_distinct(_tokens()).alias("toks"))
+
+    def pairs(**kw):
+        return {
+            (r.a_id, r.b_id): (r.shared, r.n_a, r.n_b, r.jaccard)
+            for r in jaccard_pairs_frame(spark, docs, tiles=8, **kw).collect()
+        }
+
+    # floor between the two source sizes: hot (40 docs) tiles, cold
+    # (10 docs) stays single-task — and the result is invariant.
+    adaptive = pairs(tile_min_docs=20)
+    forced = pairs(tile_min_docs=0)
+    single = pairs(tile_min_docs=10**9)
+    assert adaptive and adaptive == forced == single
+
+    # group-count check on the fan itself: replicate the operator's
+    # internal fan and count distinct shuffle groups per source.
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("src_n"))
+    grid = spark.createDataFrame(
+        [(t, i, j) for t in (1, 8) for i in range(t) for j in range(i, t)],
+        "grid_n int, tile_i int, tile_j int",
+    )
+    fan = (
+        docs.join(F.broadcast(counts), "source")
+        .withColumn(
+            "n_tiles",
+            F.when(F.col("src_n") >= 20, F.lit(8)).otherwise(F.lit(1)),
+        )
+        .withColumn("tile", F.pmod("doc_id", F.col("n_tiles")).cast("int"))
+        .join(
+            F.broadcast(grid),
+            (F.col("n_tiles") == F.col("grid_n"))
+            & (
+                (F.col("tile") == F.col("tile_i"))
+                | (F.col("tile") == F.col("tile_j"))
+            ),
+        )
+    )
+    groups = {
+        (r.source, r.tile_i, r.tile_j)
+        for r in fan.select("source", "tile_i", "tile_j").distinct().collect()
+    }
+    assert len([g for g in groups if g[0] == "hot"]) == 36
+    assert [g for g in groups if g[0] == "cold"] == [("cold", 0, 0)]
 
 
 def test_tdigest_rolling_quantiles_track_exact(spark, sf_dir):

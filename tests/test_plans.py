@@ -172,6 +172,7 @@ _PY_ALLOWED = {
     "near_dup_embedding",
     "ann_ivf_topk",
     "rolling_quantile_tdigest",  # two-phase sketch build/merge kernels
+    "mm_decode_headers",  # r4: real PNG/JPEG header parse is mapInPandas
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
