@@ -87,6 +87,19 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("MIGBQ_SHUFFLE_PARTITIONS", "32")
     )
+    # transformWithState's driver-side StreamingPythonRunner spawns a
+    # fresh python process whose sys.path comes from the JVM's inherited
+    # PYTHONPATH, NOT from addPyFile includes — so the repo root must be
+    # on PYTHONPATH before the JVM launches for the real TWS transport
+    # to unpickle our StatefulProcessor (no-op if the JVM already
+    # exists; externally-built sessions rely on the operator's runtime
+    # fallback instead).
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -578,20 +578,23 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Spark 4's arbitrary-state API (typed state handles, timers, processor
 # lifecycle) — the successor to applyInPandasWithState.  Its Python
-# worker transport needs `google.protobuf`, which is absent from this
-# container (pip install is out of scope) — the same environment-bound
-# class as the Kafka jar.  The operator therefore gates at import time:
-# with protobuf present it runs the REAL transformWithStateInPandas
-# stream under RocksDB; without it, the IDENTICAL StatefulProcessor is
-# driven in-process over synthetic micro-batches through a minimal
-# handle shim — same class, same state transitions, same emissions —
-# so the processor logic stays fully exercised and hash-checked.
-try:  # pragma: no cover - environment probe
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# worker transport needs `google.protobuf`, absent from site-packages in
+# this container — but since r4 `pbcompat.ensure_protobuf()` bootstraps
+# the google-cloud-sdk's vendored pure-Python protobuf 6.32 (plus a
+# narrow same-major version-validator tolerance for Spark's 6.33
+# gencode), so the REAL transformWithStateInPandas transport now runs
+# here (see pbcompat's module docstring for the worker-side import-order
+# argument).  If the bootstrap fails (no gcloud sdk either), the
+# IDENTICAL StatefulProcessor is driven in-process over synthetic
+# micro-batches through a minimal handle shim — same class, same state
+# transitions, same emissions — so the processor logic stays fully
+# exercised and hash-checked either way.
+from migbq_spark.streaming.pbcompat import PROTOBUF_OK as _TWS_TRANSPORT_OK  # noqa: E402
 
-    _TWS_TRANSPORT_OK = True
-except ImportError:
-    _TWS_TRANSPORT_OK = False
+#: Which path the last stream_stateful_tws call took ("real" |
+#: "fallback") — observability for tests asserting the true transport
+#: actually ran in our sessions.
+_TWS_LAST_PATH: str | None = None
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
@@ -704,35 +707,47 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds typed state + timers over applyInPandasWithState, so migrating
     `stream_stateful_progress`-style operators is a per-operator class
     rewrite, not a topology change."""
+    global _TWS_LAST_PATH
     ensure_runtime_confs(spark)
     ev = load(spark, sf_dir, "events").select("user_id", "event_id")
-    if not _TWS_TRANSPORT_OK:
-        return ev.groupBy("user_id").applyInPandas(
-            _drive_processor_inprocess, _TWS_OUT_SCHEMA
-        )
-
-    chunks = str(_STAGE_ROOT / f"events_chunks_tws_{Path(sf_dir).name}")
-    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(chunks)
-    schema = spark.read.parquet(chunks).schema
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks)
-    )
-    with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
-        updated = sdf.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=UserProgressProcessor(),
-            outputStructType=_TWS_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
-        name = _drain(updated, f"tws_{sf_dir}", mode="update")
-    # one row per key per micro-batch; n_events monotone ⇒ max row per
-    # key is the final state (first/last ride along)
-    t = spark.table(name)
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        t.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    if _TWS_TRANSPORT_OK:
+        try:
+            chunks = str(_STAGE_ROOT / f"events_chunks_tws_{Path(sf_dir).name}")
+            ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(
+                chunks
+            )
+            schema = spark.read.parquet(chunks).schema
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(chunks)
+            )
+            with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
+                updated = sdf.groupBy("user_id").transformWithStateInPandas(
+                    statefulProcessor=UserProgressProcessor(),
+                    outputStructType=_TWS_OUT_SCHEMA,
+                    outputMode="Update",
+                    timeMode="None",
+                )
+                name = _drain(updated, f"tws_{sf_dir}", mode="update")
+            # one row per key per micro-batch; n_events monotone ⇒ max
+            # row per key is the final state (first/last ride along)
+            t = spark.table(name)
+            w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+            _TWS_LAST_PATH = "real"
+            return (
+                t.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        except Exception:
+            # e.g. an externally-built session whose JVM launched without
+            # the repo on PYTHONPATH: the driver-side StreamingPythonRunner
+            # then cannot unpickle our processor (see session.get_spark).
+            # The in-process drive below runs the same class to the same
+            # hash-checked result.
+            pass
+    _TWS_LAST_PATH = "fallback"
+    return ev.groupBy("user_id").applyInPandas(
+        _drive_processor_inprocess, _TWS_OUT_SCHEMA
     )

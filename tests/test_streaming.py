@@ -114,6 +114,43 @@ def test_streaming_dedup_subset_of_batch_keys(spark, sf_dir):
     assert got_keys == want_keys
 
 
+def test_tws_runs_real_transport(spark, sf_dir):
+    """r4 (r3 VERDICT #3): with the pbcompat protobuf bootstrap,
+    `stream_stateful_tws` must run the REAL transformWithStateInPandas
+    transport (RocksDB state store, protobuf state-server protocol) in a
+    get_spark()-built session — not the in-process fallback — and still
+    match the batch aggregate."""
+    import pytest
+
+    from migbq_spark.streaming import pbcompat
+    from migbq_spark.streaming import structured as S
+
+    if not pbcompat.PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available (gcloud sdk absent)")
+
+    from migbq_spark.catalog import load
+    import pyspark.sql.functions as F
+
+    out = registry.queries()["stream_stateful_tws"](spark, sf_dir)
+    got = {
+        r.user_id: (r.n_events, r.first_event_id, r.last_event_id)
+        for r in out.collect()
+    }
+    assert S._TWS_LAST_PATH == "real", "expected the true TWS transport"
+    ev = load(spark, sf_dir, "events")
+    exp = {
+        r.user_id: (r.n, r.first, r.last)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
 def test_stateful_progress_evolves_across_batches(spark, sf_dir):
     """applyInPandasWithState: final state == batch groupBy, and the
     memory sink holds >1 emission per key (proof state really evolved
