@@ -11,7 +11,16 @@ r3 precedent: this sweep caught dedup_minhash_lsh/portable at 82/91 s
 mega-cluster → 12 M candidate pairs) while the whole rest of the registry
 sat under 3.5 s.  Re-run each round after adding operators.
 
-Usage: python scripts/perf_sweep.py
+Since r4 (r3 VERDICT "Next round" #4) the sweep is a PER-ROUND COMMITTED
+ARTIFACT with a regression gate: it writes every timing to a markdown
+table, and if a previous round's artifact is given it FAILS (exit 1) when
+any query exceeds GATE_FACTOR (3×) of its previous time — with a
+GATE_FLOOR_S absolute floor (1.0 s) so single-run compile jitter on
+sub-second queries can't trip it.  The gate's terms are documented in
+BASELINE.md.
+
+Usage: python scripts/perf_sweep.py [out.md [prev.md]]
+       (defaults: PERF_SWEEP_r04.md, previous artifact = none)
 """
 
 from __future__ import annotations
@@ -39,7 +48,31 @@ SKIP = {
 }
 
 
+#: Regression gate (r3 VERDICT #4): fail when a query runs slower than
+#: GATE_FACTOR × its previous-round time AND above GATE_FLOOR_S (absolute
+#: floor absorbs single-run compile jitter on sub-second queries).
+GATE_FACTOR = 3.0
+GATE_FLOOR_S = 1.0
+
+
+def _parse_prev(path: Path) -> dict[str, float]:
+    """Read the `| qid | secs |` rows of a previous sweep artifact."""
+    prev: dict[str, float] = {}
+    if not path.exists():
+        return prev
+    for line in path.read_text().splitlines():
+        parts = [p.strip() for p in line.strip().strip("|").split("|")]
+        if len(parts) == 2 and parts[0].startswith("`"):
+            try:
+                prev[parts[0].strip("`")] = float(parts[1].rstrip("s"))
+            except ValueError:
+                pass
+    return prev
+
+
 def main() -> None:
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PERF_SWEEP_r04.md"
+    prev = _parse_prev(Path(sys.argv[2])) if len(sys.argv) > 2 else {}
     spark = get_spark("perf-sweep")
     qs = registry.queries()
     qs["agg_pk_bounds"](spark, SF_DIR).collect()  # warm-up
@@ -59,8 +92,37 @@ def main() -> None:
     print(f"TOTAL {sum(times.values()):.1f}s over {len(times)} queries")
     for qid, err in errors:
         print(f"ERROR {qid}: {err[:200]}")
+
+    regressions = [
+        (qid, prev[qid], t)
+        for qid, t in times.items()
+        if qid in prev and t > GATE_FLOOR_S and t > GATE_FACTOR * prev[qid]
+    ]
+    lines = [
+        "# PERF SWEEP — full-registry single-run timings",
+        "",
+        f"sf_dir=`{SF_DIR}`, noop sink, single run per query (includes",
+        "plan/codegen compile ~0.3-1 s — compare across queries and across",
+        f"rounds, not against bench.py's warm min-of-3).  Gate: > {GATE_FACTOR}×",
+        f"previous-round time AND > {GATE_FLOOR_S} s absolute fails the round.",
+        "",
+        "| id | secs |",
+        "| --- | --- |",
+        *(f"| `{qid}` | {t:.2f} |" for qid, t in sorted(times.items())),
+        "",
+        f"**TOTAL {sum(times.values()):.1f} s over {len(times)} queries;"
+        f" {len(errors)} errors; {len(regressions)} gate violations**",
+        "",
+    ]
+    for qid, p, t in regressions:
+        lines.append(f"- GATE VIOLATION `{qid}`: {p:.2f}s → {t:.2f}s ({t / p:.1f}×)")
+        print(f"GATE VIOLATION {qid}: {p:.2f}s -> {t:.2f}s")
+    for qid, err in errors:
+        lines.append(f"- ERROR `{qid}`: {err[:200]}")
+    out.write_text("\n".join(lines))
+    print(f"wrote {out}")
     spark.stop()
-    sys.exit(1 if errors else 0)
+    sys.exit(1 if errors or regressions else 0)
 
 
 if __name__ == "__main__":

@@ -8,9 +8,15 @@ DRIVER_WINDOW query through ``migbq_spark.testing.compare_driver`` (the
 driver-faithful pandas-str canonicalizer) against its DuckDB oracle at
 sf0.01, the driver's t2 scale.
 
+Since r4 it ALSO preflights ``registry.R5_WINDOW`` (the pre-staged next
+rotation) as a second, informational section, so the following round's
+swap is already evidenced.  Only DRIVER_WINDOW failures gate the exit
+code's "do not ship" message; R5 failures are reported and counted too
+(both must be fixed before their rotation lands).
+
 Usage:  python scripts/preflight.py [out.md]
-Writes a markdown log (default PREFLIGHT_r03.md) and exits non-zero if
-any window query fails.
+Writes a markdown log (default PREFLIGHT_r04.md) and exits non-zero if
+any preflighted query fails.
 """
 
 from __future__ import annotations
@@ -30,28 +36,12 @@ from migbq_spark import registry  # noqa: E402
 from migbq_spark.testing import compare_driver, duckdb_conn  # noqa: E402
 
 SF_DIR = os.environ.get("PREFLIGHT_SF_DIR", "/root/testdata/sf0.01")
-OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r03.md"
+OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r04.md"
 
 
-def main() -> int:
-    # Bare session: intentionally NO engine configs (see module docstring).
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .appName("preflight")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    queries = registry.queries()
-    oracles = registry.oracle_sql()
-    window = list(registry.DRIVER_WINDOW)
-    con = duckdb_conn(SF_DIR)
-
-    lines = [
-        "# PREFLIGHT — round 3 driver-window rotation",
-        "",
-        f"Bare `local[...]` session (no engine configs), sf_dir=`{SF_DIR}`,",
-        "compared via `migbq_spark.testing.compare_driver` (driver-faithful",
-        "pandas-str canonicalizer).  One row per DRIVER_WINDOW entry.",
+def run_window(spark, con, queries, oracles, window, title, lines) -> int:
+    lines += [
+        f"## {title}",
         "",
         "| # | id | ok | rows | sec | detail |",
         "| --- | --- | --- | --- | --- | --- |",
@@ -90,8 +80,39 @@ def main() -> int:
         + ("" if n_fail == 0 else f" — {n_fail} FAILING, do not ship this window"),
         "",
     ]
+    return n_fail
+
+
+def main() -> int:
+    # Bare session: intentionally NO engine configs (see module docstring).
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("preflight")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    queries = registry.queries()
+    oracles = registry.oracle_sql()
+    con = duckdb_conn(SF_DIR)
+
+    lines = [
+        "# PREFLIGHT — round 4 driver-window rotation (+ pre-staged r5)",
+        "",
+        f"Bare `local[...]` session (no engine configs), sf_dir=`{SF_DIR}`,",
+        "compared via `migbq_spark.testing.compare_driver` (driver-faithful",
+        "pandas-str canonicalizer).",
+        "",
+    ]
+    n_fail = run_window(
+        spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
+        "DRIVER_WINDOW (r4, graded this round)", lines,
+    )
+    n_fail += run_window(
+        spark, con, queries, oracles, list(registry.R5_WINDOW),
+        "R5_WINDOW (pre-staged, graded next round)", lines,
+    )
     OUT.write_text("\n".join(lines))
-    print(f"\nwrote {OUT} — {len(window) - n_fail}/{len(window)} pass")
+    print(f"\nwrote {OUT} — {n_fail} total failures")
     spark.stop()
     return 1 if n_fail else 0
 
