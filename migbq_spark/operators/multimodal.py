@@ -82,6 +82,50 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError("no SOF marker found")
 
 
+def _wav_bytes(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Minimal REAL RIFF/WAVE byte stream: RIFF header + canonical
+    16-byte PCM `fmt ` subchunk + `data` subchunk header (16-bit
+    samples).  Everything a header-level audio prober reads."""
+    bits = 16
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_size)
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size)
+    )
+
+
+def _wav_meta(payload: bytes) -> tuple[int, int, int]:
+    """Walk RIFF subchunks to (sample_rate, channels, n_samples) — the
+    standard stdlib-only WAV probe: little-endian chunk ids + sizes,
+    `fmt ` for the format fields, `data` for the payload length (chunks
+    may appear in any order and are skipped by their size fields)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    rate = channels = block_align = data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            _, channels, rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_size is None:
+        raise NotImplementedError("missing fmt or data chunk")
+    return rate, channels, data_size // block_align
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int]:
     """Header-level image decode — REAL for PNG and JPEG (r4, r3 VERDICT
     #7), stubbed only for the synthetic fixture format.
@@ -204,6 +248,63 @@ def mm_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         roundtrip, "doc_id bigint, fmt string, width bigint, height bigint"
+    )
+
+
+@register(
+    "mm_audio_headers",
+    oracle="""
+    SELECT doc_id,
+           8000 * (1 + doc_id % 5) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           n_chars * 100 AS n_samples,
+           (n_chars * 100 * 1000000) // (8000 * (1 + doc_id % 5))
+               AS duration_us
+    FROM documents
+    """,
+)
+def mm_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-header decode — the WAV counterpart of
+    `mm_decode_headers` (r4): pack each document as an actual RIFF/WAVE
+    byte stream (canonical PCM `fmt ` + `data` subchunks) with planted
+    sample rate / channel count / sample count, then recover them by
+    WALKING the RIFF chunk list (`_wav_meta` skips chunks by their size
+    fields — not fixed offsets) inside one mapInPandas pass.  The oracle
+    recomputes the planted values, so endianness, subchunk layout, or
+    block-align bugs anywhere in the pack → probe roundtrip break the
+    value hash.  duration_us = n_samples · 10⁶ ÷ rate in INTEGER floor
+    division on both sides — float ROUND ties (e.g. 8600/32000 =
+    0.26875) round differently in Python and DuckDB, integer math never
+    does.
+
+    Scale (100 TB): identical shape to `mm_decode_headers` — pack and
+    probe share one task, payload bytes never shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _wav_meta(
+                    _wav_bytes(
+                        8000 * (1 + int(i) % 5), 1 + int(i) % 2, int(n) * 100
+                    )
+                )
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [m[0] for m in metas],
+                    "channels": [m[1] for m in metas],
+                    "n_samples": [m[2] for m in metas],
+                    "duration_us": [m[2] * 1_000_000 // m[0] for m in metas],
+                }
+            )
+
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id bigint, sample_rate bigint, channels int, n_samples bigint,"
+        " duration_us bigint",
     )
 
 

@@ -306,11 +306,17 @@ _SIMHASH_BITS = 32
 def _simhash_pairs(toks: DataFrame, h: F.Column) -> DataFrame:
     """32-bit SimHash signatures from per-token hash ``h``, then the
     source-blocked hamming ≤ 3 pair scan — shared by `dedup_simhash`
-    (xxhash64) and `dedup_simhash_portable` (md5 60-bit)."""
-    sums = toks.groupBy("doc_id", "source").agg(
+    (xxhash64) and `dedup_simhash_portable` (md5 60-bit).
+
+    ``h`` is materialized in a projection BEFORE the aggregate: embedding
+    it in the 32 conditional sums makes codegen evaluate the hash 32×
+    per token row (no cross-aggregate CSE) — with md5 that's the whole
+    operator's cost at any scale."""
+    hv = F.col("__h")
+    sums = toks.withColumn("__h", h).groupBy("doc_id", "source").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(_SIMHASH_BITS)
         ]

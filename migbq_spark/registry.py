@@ -162,6 +162,8 @@ R5_WINDOW: tuple[str, ...] = (
     # new r4 hash ids
     "dedup_simhash_portable",
     "mm_decode_headers",
+    "mm_audio_headers",
+    "stream_tws_liststate",
 )
 
 

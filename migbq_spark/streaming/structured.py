@@ -661,9 +661,37 @@ class _ValueStateShim:
         self._v = v
 
 
+class _ListStateShim:
+    """In-process stand-in for a transformWithState ListState handle."""
+
+    def __init__(self) -> None:
+        self._rows: list[tuple] = []
+
+    def exists(self) -> bool:
+        return bool(self._rows)
+
+    def get(self):
+        return iter(self._rows)
+
+    def put(self, rows) -> None:
+        self._rows = list(rows)
+
+    def appendValue(self, row) -> None:
+        self._rows.append(row)
+
+    def appendList(self, rows) -> None:
+        self._rows.extend(rows)
+
+    def clear(self) -> None:
+        self._rows = []
+
+
 class _HandleShim:
     def getValueState(self, name: str, schema: str) -> _ValueStateShim:
         return _ValueStateShim()
+
+    def getListState(self, name: str, schema: str) -> _ListStateShim:
+        return _ListStateShim()
 
 
 def _drive_processor_inprocess(pdf):
@@ -712,27 +740,12 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_id")
     if _TWS_TRANSPORT_OK:
         try:
-            chunks = str(_STAGE_ROOT / f"events_chunks_tws_{Path(sf_dir).name}")
-            ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(
-                chunks
+            t = _run_tws_stream(
+                spark, ev, UserProgressProcessor(), _TWS_OUT_SCHEMA,
+                f"tws_{sf_dir}",
             )
-            schema = spark.read.parquet(chunks).schema
-            sdf = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(chunks)
-            )
-            with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
-                updated = sdf.groupBy("user_id").transformWithStateInPandas(
-                    statefulProcessor=UserProgressProcessor(),
-                    outputStructType=_TWS_OUT_SCHEMA,
-                    outputMode="Update",
-                    timeMode="None",
-                )
-                name = _drain(updated, f"tws_{sf_dir}", mode="update")
             # one row per key per micro-batch; n_events monotone ⇒ max
             # row per key is the final state (first/last ride along)
-            t = spark.table(name)
             w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
             _TWS_LAST_PATH = "real"
             return (
@@ -750,4 +763,144 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TWS_LAST_PATH = "fallback"
     return ev.groupBy("user_id").applyInPandas(
         _drive_processor_inprocess, _TWS_OUT_SCHEMA
+    )
+
+
+def _run_tws_stream(
+    spark: SparkSession,
+    ev: DataFrame,
+    processor: StatefulProcessor,
+    out_schema: str,
+    seed: str,
+) -> DataFrame:
+    """Drive ``processor`` over the REAL transformWithStateInPandas
+    transport: stage ``ev`` as 8 event_id-range parquet chunks, stream
+    them one file per micro-batch under the RocksDB state store, drain
+    update-mode into a memory sink, return it as a DataFrame (one row
+    per key per micro-batch that touched the key)."""
+    chunks = str(
+        _STAGE_ROOT / f"events_chunks_{hashlib.md5(seed.encode()).hexdigest()[:10]}"
+    )
+    ev.repartitionByRange(8, "event_id").write.mode("overwrite").parquet(chunks)
+    schema = spark.read.parquet(chunks).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks)
+    )
+    with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
+        updated = sdf.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=processor,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = _drain(updated, seed, mode="update")
+    return spark.table(name)
+
+
+_TWS_TOP3_OUT_SCHEMA = "user_id bigint, n_seen bigint, top3 string"
+
+
+class UserTop3Processor(StatefulProcessor):
+    """Per-user LAST-3 events by event_id via typed ListState plus a
+    ValueState row counter — exercises the ListState surface of the
+    arbitrary-state API through the real protobuf transport (the r3
+    in-process era could only evidence ValueState).  Top-3-by-event_id
+    is a union-merge (associative, commutative, monotone), and the
+    count is monotone, so the final emission is micro-batch-boundary-
+    invariant — hash-checkable against batch SQL."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._top = handle.getListState("top3", "event_id bigint")
+        self._n = handle.getValueState("n_seen", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        top = [int(r[0]) for r in self._top.get()] if self._top.exists() else []
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+            top = sorted(set(top) | set(int(e) for e in pdf["event_id"]))[-3:]
+        self._top.put([(e,) for e in top])
+        self._n.update((n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "top3": [",".join(str(e) for e in sorted(top, reverse=True))],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _drive_top3_inprocess(pdf):
+    """In-process fallback drive of UserTop3Processor (same synthetic
+    micro-batching as `_drive_processor_inprocess`)."""
+    n_batches = 3
+    proc = UserTop3Processor()
+    proc.init(_HandleShim())
+    key = (int(pdf["user_id"].iloc[0]),)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    step = max(1, (len(pdf) + n_batches - 1) // n_batches)
+    out = None
+    for i in range(0, len(pdf), step):
+        for out in proc.handleInputRows(key, iter([pdf.iloc[i:i + step]]), None):
+            pass
+    proc.close()
+    return out
+
+
+@register(
+    "stream_tws_liststate",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_seen,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(event_id AS VARCHAR) END,
+                      ',' ORDER BY event_id DESC) AS top3
+    FROM r GROUP BY user_id
+    """,
+)
+def stream_tws_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user last-3 event ids via transformWithStateInPandas
+    **ListState** (r4) — the typed-list sibling of `stream_stateful_tws`,
+    proving the real protobuf transport round-trips list-valued state
+    (put / get / exists over multi-row state), not just scalar
+    ValueState.  Same transport gate and in-process fallback story as
+    `stream_stateful_tws`; final row per key selected by the monotone
+    n_seen counter.
+
+    Scale (100 TB): bounded per-key state (3 rows + a counter) under
+    RocksDB — the recent-items-per-entity pattern (session carts, last-N
+    pages) that pure SQL windows can only express by re-scanning."""
+    global _TWS_LAST_PATH
+    ensure_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    if _TWS_TRANSPORT_OK:
+        try:
+            t = _run_tws_stream(
+                spark, ev, UserTop3Processor(), _TWS_TOP3_OUT_SCHEMA,
+                f"tws3_{sf_dir}",
+            )
+            w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+            _TWS_LAST_PATH = "real"
+            return (
+                t.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        except Exception:
+            pass
+    _TWS_LAST_PATH = "fallback"
+    return ev.groupBy("user_id").applyInPandas(
+        _drive_top3_inprocess, _TWS_TOP3_OUT_SCHEMA
     )

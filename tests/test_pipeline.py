@@ -130,6 +130,33 @@ def test_mm_real_header_decode_roundtrip():
         _decode_payload(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # no SOF
 
 
+def test_mm_wav_probe_walks_riff_chunks():
+    """`_wav_meta` must WALK the RIFF chunk list (size-field skips +
+    word alignment), not read fixed offsets — pinned against a
+    hand-built WAV with a LIST chunk of odd size before `fmt `."""
+    import struct
+
+    from migbq_spark.operators.multimodal import _wav_bytes, _wav_meta
+
+    assert _wav_meta(_wav_bytes(16000, 2, 12345)) == (16000, 2, 12345)
+
+    # hand-built: RIFF [LIST(odd 5 bytes)] [fmt] [data], fmt NOT first
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data_size = 400 * 2
+    payload = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", data_size)
+    )
+    assert _wav_meta(payload) == (8000, 1, 400)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _wav_meta(b"RIFXjunk")
+
+
 def test_mm_decode_headers_matches_planted_dims(spark, sf_dir):
     out = {r.doc_id: r for r in Q["mm_decode_headers"](spark, sf_dir).collect()}
     from migbq_spark.catalog import load

@@ -173,6 +173,7 @@ _PY_ALLOWED = {
     "ann_ivf_topk",
     "rolling_quantile_tdigest",  # two-phase sketch build/merge kernels
     "mm_decode_headers",  # r4: real PNG/JPEG header parse is mapInPandas
+    "mm_audio_headers",  # r4: real WAV RIFF-chunk probe is mapInPandas
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already

@@ -151,6 +151,51 @@ def test_tws_runs_real_transport(spark, sf_dir):
     assert got == exp
 
 
+def test_tws_liststate_real_transport_matches_fallback(spark, sf_dir):
+    """r4: `stream_tws_liststate` must run typed ListState through the
+    REAL transformWithState transport and agree exactly with the
+    in-process fallback drive of the same processor (batching
+    invariance) and with batch SQL."""
+    import pytest
+
+    from migbq_spark.streaming import pbcompat
+    from migbq_spark.streaming import structured as S
+
+    if not pbcompat.PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available (gcloud sdk absent)")
+
+    real = registry.queries()["stream_tws_liststate"](spark, sf_dir)
+    real_rows = {r.user_id: (r.n_seen, r.top3) for r in real.collect()}
+    assert S._TWS_LAST_PATH == "real", "expected the true TWS transport"
+
+    from migbq_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    fb = ev.groupBy("user_id").applyInPandas(
+        S._drive_top3_inprocess, S._TWS_TOP3_OUT_SCHEMA
+    )
+    fb_rows = {r.user_id: (r.n_seen, r.top3) for r in fb.collect()}
+    assert real_rows == fb_rows
+
+    # spot-check against batch SQL: top-3 desc per user
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    top3 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(F.reverse(F.sort_array(F.collect_list("event_id"))), lambda e: e.cast("string"))
+            ).alias("top3")
+        )
+    )
+    exp = {r.user_id: r.top3 for r in top3.collect()}
+    assert {u: t for u, (_, t) in real_rows.items()} == exp
+
+
 def test_stateful_progress_evolves_across_batches(spark, sf_dir):
     """applyInPandasWithState: final state == batch groupBy, and the
     memory sink holds >1 emission per key (proof state really evolved
