@@ -301,6 +301,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Checksums publish their decimal-accumulated sum modulo 2^48 so the
+#: result rides in BIGINT at any table size (see table_checksum_md5).
+_CHECKSUM_MOD = 1 << 48
+
+
 @register(
     "table_checksum_md5",
     oracle="""
@@ -310,7 +315,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  substr(md5(concat_ws('|', CAST(event_id AS VARCHAR),
                                            CAST(user_id AS VARCHAR),
                                            event_type, props)), 1, 12))
-               AS BIGINT)) AS BIGINT) AS checksum
+               AS BIGINT)) % 281474976710656 AS BIGINT) AS checksum
     FROM events GROUP BY event_type
     """,
 )
@@ -322,8 +327,16 @@ def table_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and being a commutative SUM it is partition-order-proof and
     cheap to maintain incrementally (add/subtract per changed row).
     md5 is cross-engine-identical; Spark parses the hex prefix with
-    `conv(,16,10)`, DuckDB with a 0x-cast — 12 hex digits keep the sum
-    far from BIGINT overflow at any realistic row count.
+    `conv(,16,10)`, DuckDB with a 0x-cast.
+
+    The sum ACCUMULATES IN DECIMAL(38,0) and publishes mod 2^48: a
+    BIGINT accumulator overflows at n·2^48 > 2^63 ≈ 32 M rows — the r4
+    perf sweep caught exactly that at sf0.1 (600 k events × 2^48 ≈
+    1.7·10^19), falsifying the r3 claim that 12 hex digits left
+    headroom "at any realistic row count".  38-digit decimal holds to
+    ~10^26 row-hashes (≫ any table), and the published residue is still
+    a commutative, incrementally maintainable checksum (mod arithmetic
+    distributes over ±).
 
     Scale (100 TB): row-local hashing + map-side-combinable SUM — one
     scan, no shuffle beyond |groups| partials; the per-PK-range variant
@@ -336,10 +349,14 @@ def table_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.col("props"),
     )
-    prefix_int = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
+    prefix_int = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast(
+        "decimal(38,0)"
+    )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(prefix_int).alias("checksum"),
+        F.pmod(F.sum(prefix_int), F.lit(_CHECKSUM_MOD))
+        .cast("bigint")
+        .alias("checksum"),
     )
 
 
@@ -360,12 +377,12 @@ def table_checksum_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS h2
         FROM orders
     )
-    SELECT CAST(SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END)
+    SELECT CAST((SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END)
              + SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END)
-             - SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END) AS BIGINT)
-               AS checksum_incremental,
-           CAST(SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) AS BIGINT)
-               AS checksum_full,
+             - SUM(CASE WHEN in_v1 THEN h1 ELSE 0 END))
+               % 281474976710656 AS BIGINT) AS checksum_incremental,
+           CAST(SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END)
+               % 281474976710656 AS BIGINT) AS checksum_full,
            (SUM(CASE WHEN in_v2 THEN h2 ELSE 0 END) IS NOT NULL) AS consistent
     FROM h
     """,
@@ -382,7 +399,11 @@ def checksum_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark side maintains the checksum through the actual CDC path
     (diff rows → ±hash → fold into v1's total); the oracle states the
-    same algebra directly — both must land on the identical 48-bit-sum.
+    same algebra directly — both must land on the identical residue.
+    Like `table_checksum_md5` (same r4 sweep-caught overflow), the sums
+    accumulate in DECIMAL(38,0) and publish mod 2^48; the ± algebra
+    survives the mod because modular arithmetic distributes over it
+    (equality is checked on the full decimals BEFORE reduction).
 
     Scale (100 TB): the incremental path touches only the change feed
     (map-side ± hashes, one scalar fold); the full path exists here
@@ -394,7 +415,9 @@ def checksum_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def row_hash(status_col):
         canon = F.concat_ws("|", key.cast("string"), status_col)
-        return F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
+        return F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast(
+            "decimal(38,0)"
+        )
 
     in_v1 = key % 17 != 2
     in_v2 = key % 13 != 5
@@ -420,10 +443,15 @@ def checksum_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_v2"), F.col("h2")).otherwise(0)).alias("c_v2_full"),
     )
     return agg.select(
-        (F.col("c_v1") + F.col("added") - F.col("retracted")).alias(
-            "checksum_incremental"
-        ),
-        F.col("c_v2_full").alias("checksum_full"),
+        F.pmod(
+            F.col("c_v1") + F.col("added") - F.col("retracted"),
+            F.lit(_CHECKSUM_MOD),
+        )
+        .cast("bigint")
+        .alias("checksum_incremental"),
+        F.pmod(F.col("c_v2_full"), F.lit(_CHECKSUM_MOD))
+        .cast("bigint")
+        .alias("checksum_full"),
         (
             (F.col("c_v1") + F.col("added") - F.col("retracted"))
             == F.col("c_v2_full")
