@@ -126,6 +126,71 @@ def _wav_meta(payload: bytes) -> tuple[int, int, int]:
     return rate, channels, data_size // block_align
 
 
+def _mp4_box(fourcc: bytes, payload: bytes) -> bytes:
+    """One ISO-BMFF box: 32-bit big-endian size (incl. the 8-byte
+    header) + fourcc + payload."""
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _mp4_bytes(timescale: int, duration: int, width: int, height: int) -> bytes:
+    """Minimal REAL ISO-BMFF (MP4) byte stream: `ftyp` box + `moov`
+    container holding an `mvhd` (version 0: 32-bit timescale/duration)
+    and a `trak`/`tkhd` carrying the visual dimensions as 16.16 fixed
+    point — the boxes every header-level prober reads."""
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _mp4_box(
+        b"mvhd", struct.pack(">BxxxIIII", 0, 0, 0, timescale, duration)
+    )
+    # tkhd v0 payload: version/flags, creation, modification, track_id,
+    # reserved, duration, reserved(8), layer, alt_group, volume,
+    # reserved(2), matrix(36), then 16.16 width/height
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxx", 0, 0, 0, 1)
+        + bytes(4 + 8 + 2 + 2 + 2 + 2 + 36)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _mp4_box(b"trak", tkhd)
+    return ftyp + _mp4_box(b"moov", mvhd + trak)
+
+
+def _mp4_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """Walk the ISO-BMFF box tree to (timescale, duration, width,
+    height): top-level boxes by 32-bit size + fourcc, recursing into
+    `moov`/`trak` containers, reading `mvhd` (version-0 layout) and
+    `tkhd` (16.16 fixed-point dims at the tail) — the stdlib-only MP4
+    probe."""
+    timescale = duration = width = height = None
+
+    def walk(buf: bytes, start: int, end: int) -> None:
+        nonlocal timescale, duration, width, height
+        i = start
+        while i + 8 <= end:
+            size = struct.unpack(">I", buf[i : i + 4])[0]
+            box = buf[i + 4 : i + 8]
+            if size < 8:
+                raise NotImplementedError("bad box size")
+            if box in (b"moov", b"trak"):
+                walk(buf, i + 8, i + size)
+            elif box == b"mvhd":
+                _, _, _, timescale, duration = struct.unpack(
+                    ">BxxxIIII", buf[i + 8 : i + 28]
+                )
+            elif box == b"tkhd":
+                width, height = (
+                    v >> 16
+                    for v in struct.unpack(">II", buf[i + size - 8 : i + size])
+                )
+            i += size
+
+    if payload[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF stream")
+    walk(payload, 0, len(payload))
+    if timescale is None or width is None:
+        raise NotImplementedError("missing mvhd or tkhd box")
+    return timescale, duration, width, height
+
+
 def _decode_payload(payload: bytes) -> tuple[int, int]:
     """Header-level image decode — REAL for PNG and JPEG (r4, r3 VERDICT
     #7), stubbed only for the synthetic fixture format.
@@ -305,6 +370,64 @@ def mm_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "doc_id bigint, sample_rate bigint, channels int, n_samples bigint,"
         " duration_us bigint",
+    )
+
+
+@register(
+    "mm_video_headers",
+    oracle="""
+    SELECT doc_id,
+           600 * (1 + doc_id % 4) AS timescale,
+           n_chars * 1001 AS duration_ticks,
+           320 * (1 + doc_id % 4) AS width,
+           240 * (1 + doc_id % 3) AS height,
+           (n_chars * 1001 * 1000) // (600 * (1 + doc_id % 4)) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-header decode — completes the image/audio/video triad
+    (`mm_decode_headers` / `mm_audio_headers` / this, r4): documents
+    packed as actual ISO-BMFF (MP4) streams — `ftyp` + `moov(mvhd,
+    trak(tkhd))` with correct box sizes — carrying planted timescale /
+    duration / 16.16 fixed-point dimensions, recovered by RECURSIVE box
+    walking (`_mp4_meta` descends containers by size+fourcc, no fixed
+    offsets) in one mapInPandas pass.  Oracle recomputes the planted
+    values; duration_ms uses integer floor division on both sides
+    (same cross-engine ROUND-tie rationale as `mm_audio_headers`).
+
+    Scale (100 TB): identical shape to the image/audio probes — pack
+    and probe share one task, payload bytes never shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                _mp4_meta(
+                    _mp4_bytes(
+                        600 * (int(i) % 4 + 1),
+                        int(n) * 1001,
+                        320 * (int(i) % 4 + 1),
+                        240 * (int(i) % 3 + 1),
+                    )
+                )
+                for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "timescale": [m[0] for m in metas],
+                    "duration_ticks": [m[1] for m in metas],
+                    "width": [m[2] for m in metas],
+                    "height": [m[3] for m in metas],
+                    "duration_ms": [m[1] * 1000 // m[0] for m in metas],
+                }
+            )
+
+    return d.mapInPandas(
+        roundtrip,
+        "doc_id bigint, timescale bigint, duration_ticks bigint,"
+        " width bigint, height bigint, duration_ms bigint",
     )
 
 

@@ -163,7 +163,9 @@ R5_WINDOW: tuple[str, ...] = (
     "dedup_simhash_portable",
     "mm_decode_headers",
     "mm_audio_headers",
+    "mm_video_headers",
     "stream_tws_liststate",
+    "stream_tws_timers",
 )
 
 

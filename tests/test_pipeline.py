@@ -157,6 +157,40 @@ def test_mm_wav_probe_walks_riff_chunks():
         _wav_meta(b"RIFXjunk")
 
 
+def test_mm_mp4_probe_walks_box_tree():
+    """`_mp4_meta` must RECURSE the ISO-BMFF box tree (size+fourcc
+    walking into containers), pinned against a hand-built stream with a
+    `free` box before `moov` and an extra `udta` box inside it."""
+    import struct
+
+    from migbq_spark.operators.multimodal import (
+        _mp4_box,
+        _mp4_bytes,
+        _mp4_meta,
+    )
+
+    assert _mp4_meta(_mp4_bytes(90000, 450000, 640, 360)) == (
+        90000, 450000, 640, 360,
+    )
+
+    # hand-built: ftyp, free (skippable), moov(udta, mvhd, trak(tkhd))
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    free = _mp4_box(b"free", b"\x00" * 7)
+    mvhd = _mp4_box(b"mvhd", struct.pack(">BxxxIIII", 0, 0, 0, 1000, 2500))
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">BxxxIIIxxxx", 0, 0, 0, 1)
+        + bytes(56)
+        + struct.pack(">II", 848 << 16, 480 << 16),
+    )
+    udta = _mp4_box(b"udta", b"meta")
+    stream = ftyp + free + _mp4_box(b"moov", udta + mvhd + _mp4_box(b"trak", tkhd))
+    assert _mp4_meta(stream) == (1000, 2500, 848, 480)
+
+    with pytest.raises(NotImplementedError):
+        _mp4_meta(_mp4_box(b"mdat", b"\x00" * 16))  # no ftyp
+
+
 def test_mm_decode_headers_matches_planted_dims(spark, sf_dir):
     out = {r.doc_id: r for r in Q["mm_decode_headers"](spark, sf_dir).collect()}
     from migbq_spark.catalog import load

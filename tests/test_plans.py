@@ -174,6 +174,7 @@ _PY_ALLOWED = {
     "rolling_quantile_tdigest",  # two-phase sketch build/merge kernels
     "mm_decode_headers",  # r4: real PNG/JPEG header parse is mapInPandas
     "mm_audio_headers",  # r4: real WAV RIFF-chunk probe is mapInPandas
+    "mm_video_headers",  # r4: real MP4 box-walk probe is mapInPandas
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already

@@ -196,6 +196,62 @@ def test_tws_liststate_real_transport_matches_fallback(spark, sf_dir):
     assert {u: t for u, (_, t) in real_rows.items()} == exp
 
 
+def test_tws_timers_fire_through_real_transport(spark, sf_dir):
+    """r4: `stream_tws_timers` must exercise event-time timers through
+    the real transport — at least one session closed BY TIMER (watermark
+    passing a deadline) and, batching permitting, some by data; the
+    graded (user_id, session_end_ms) set must equal plain batch gap
+    sessionization minus still-open trailing sessions."""
+    import pytest
+
+    from migbq_spark.streaming import pbcompat
+    from migbq_spark.streaming import structured as S
+
+    if not pbcompat.PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available (gcloud sdk absent)")
+
+    out = registry.queries()["stream_tws_timers"](spark, sf_dir)
+    got = {(r.user_id, r.session_end_ms) for r in out.collect()}
+    assert S._TWS_LAST_PATH == "real", "expected the true TWS transport"
+    sink = spark.table(S._TWS_TIMERS_LAST_SINK)
+    by = {r.closed_by for r in sink.select("closed_by").distinct().collect()}
+    assert "timer" in by, "no session was closed by an expired timer"
+
+    # batch expectation: gap sessions; trailing closes iff deadline <= max ts
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from migbq_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    gap = S._TWS_SESSION_GAP_MS
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    sess = (
+        ev.withColumn("prev", F.lag("ts_ms").over(w))
+        .withColumn(
+            "sid",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("ts_ms") - F.col("prev") > gap), 1
+                ).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.max("ts_ms").alias("end_ms"))
+    )
+    m = ev.agg(F.max("ts_ms")).collect()[0][0]
+    w_u = Window.partitionBy("user_id")
+    exp = {
+        (r.user_id, r.end_ms)
+        for r in sess.withColumn("last", F.max("end_ms").over(w_u))
+        .filter((F.col("end_ms") + gap <= F.lit(m)) | (F.col("end_ms") < F.col("last")))
+        .collect()
+    }
+    assert got == exp
+
+
 def test_stateful_progress_evolves_across_batches(spark, sf_dir):
     """applyInPandasWithState: final state == batch groupBy, and the
     memory sink holds >1 emission per key (proof state really evolved
