@@ -3,6 +3,8 @@
 schemas at the scan, no Python in JVM-only pipelines.
 """
 
+import pytest
+
 from migbq_spark import registry
 
 Q = registry.queries()
@@ -154,6 +156,18 @@ def test_mm_meta_audit_prunes_text_column(spark, sf_dir):
     # the audit derives byte counts from doc_id/n_chars/source only —
     # column pruning must keep the wide `text` column out of the scan
     plan = _plan(Q["mm_meta_audit"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "qid", ["mm_decode_headers", "mm_audio_headers", "mm_video_headers"]
+)
+def test_mm_header_probes_prune_text_column(spark, sf_dir, qid):
+    # the r4 header codecs plant dims from doc_id/n_chars — the wide
+    # `text` column must be pruned from the scan feeding mapInPandas
+    plan = _plan(Q[qid](spark, sf_dir))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read_schema and "n_chars" in read_schema
     assert "text" not in read_schema
