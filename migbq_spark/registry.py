@@ -166,6 +166,7 @@ R5_WINDOW: tuple[str, ...] = (
     "mm_video_headers",
     "stream_tws_liststate",
     "stream_tws_timers",
+    "stream_tws_mapstate",
 )
 
 

@@ -686,12 +686,49 @@ class _ListStateShim:
         self._rows = []
 
 
+class _MapStateShim:
+    """In-process stand-in for a transformWithState MapState handle."""
+
+    def __init__(self) -> None:
+        self._m: dict[tuple, tuple] = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def containsKey(self, key) -> bool:
+        return tuple(key) in self._m
+
+    def getValue(self, key):
+        return self._m.get(tuple(key))
+
+    def updateValue(self, key, value) -> None:
+        self._m[tuple(key)] = tuple(value)
+
+    def iterator(self):
+        return iter(self._m.items())
+
+    def keys(self):
+        return iter(self._m.keys())
+
+    def values(self):
+        return iter(self._m.values())
+
+    def removeKey(self, key) -> None:
+        self._m.pop(tuple(key), None)
+
+    def clear(self) -> None:
+        self._m = {}
+
+
 class _HandleShim:
     def getValueState(self, name: str, schema: str) -> _ValueStateShim:
         return _ValueStateShim()
 
     def getListState(self, name: str, schema: str) -> _ListStateShim:
         return _ListStateShim()
+
+    def getMapState(self, name: str, kschema: str, vschema: str) -> _MapStateShim:
+        return _MapStateShim()
 
 
 def _drive_processor_inprocess(pdf):
@@ -1013,6 +1050,118 @@ def stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("session_end_ms") < F.col("last_end"))
         )
         .select("user_id", "session_end_ms")
+    )
+
+
+_TWS_MAP_OUT_SCHEMA = (
+    "user_id bigint, event_type string, n_events bigint, last_event_id bigint"
+)
+
+
+class UserTypeCountsProcessor(StatefulProcessor):
+    """Per-user MAP of event_type → (count, max event_id) via typed
+    MapState — completes the Value/List/Map state trio through the real
+    transport (containsKey / getValue / updateValue / iterator all
+    exercised).  Count and max are merge-monotone per map entry, so each
+    (user, event_type) row's final emission is micro-batch-boundary-
+    invariant — hash-checkable against a plain two-key GROUP BY."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._m = handle.getMapState(
+            "type_counts", "event_type string", "n bigint, last_id bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        for pdf in rows:
+            for et, g in pdf.groupby("event_type"):
+                k = (str(et),)
+                if self._m.exists() and self._m.containsKey(k):
+                    n, last = self._m.getValue(k)
+                else:
+                    n, last = 0, None
+                hi = int(g["event_id"].max())
+                self._m.updateValue(
+                    k, (n + len(g), hi if last is None else max(last, hi))
+                )
+        out = [
+            (key[0], k[0], v[0], v[1]) for k, v in self._m.iterator()
+        ]
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "n_events", "last_event_id"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _drive_typecounts_inprocess(pdf):
+    """In-process fallback drive of UserTypeCountsProcessor (same
+    synthetic micro-batching as `_drive_processor_inprocess`), returning
+    the final full-map emission."""
+    n_batches = 3
+    proc = UserTypeCountsProcessor()
+    proc.init(_HandleShim())
+    key = (int(pdf["user_id"].iloc[0]),)
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    step = max(1, (len(pdf) + n_batches - 1) // n_batches)
+    out = None
+    for i in range(0, len(pdf), step):
+        for out in proc.handleInputRows(key, iter([pdf.iloc[i:i + step]]), None):
+            pass
+    proc.close()
+    return out
+
+
+@register(
+    "stream_tws_mapstate",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           MAX(event_id) AS last_event_id
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_tws_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type progress via transformWithStateInPandas
+    **MapState** (r4) — with `stream_stateful_tws` (ValueState),
+    `stream_tws_liststate` (ListState) and `stream_tws_timers` (timers),
+    the full typed-state surface of the arbitrary-state API now runs
+    hash-checked through the real protobuf transport.  Each map entry's
+    (count, max id) is merge-monotone, so the final full-map emission
+    per key — selected by max n_events per (user, type), counts being
+    monotone — equals the batch two-key GROUP BY.
+
+    Scale (100 TB): |event_types| entries per key under RocksDB — the
+    per-entity sub-keyed accumulator pattern (per-device error counters,
+    per-SKU cart totals) that a flat ValueState would force into one
+    serialized blob rewritten per event."""
+    global _TWS_LAST_PATH
+    ensure_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    if _TWS_TRANSPORT_OK:
+        try:
+            t = _run_tws_stream(
+                spark, ev, UserTypeCountsProcessor(), _TWS_MAP_OUT_SCHEMA,
+                f"twsmap_{sf_dir}",
+            )
+            w = Window.partitionBy("user_id", "event_type").orderBy(
+                F.desc("n_events")
+            )
+            _TWS_LAST_PATH = "real"
+            return (
+                t.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        except Exception:
+            pass
+    _TWS_LAST_PATH = "fallback"
+    return ev.groupBy("user_id").applyInPandas(
+        _drive_typecounts_inprocess, _TWS_MAP_OUT_SCHEMA
     )
 
 

@@ -196,6 +196,49 @@ def test_tws_liststate_real_transport_matches_fallback(spark, sf_dir):
     assert {u: t for u, (_, t) in real_rows.items()} == exp
 
 
+def test_tws_mapstate_real_transport_matches_fallback(spark, sf_dir):
+    """r4: `stream_tws_mapstate` must run typed MapState through the
+    REAL transport and agree exactly with the in-process fallback drive
+    and with the batch two-key GROUP BY."""
+    import pytest
+
+    from migbq_spark.streaming import pbcompat
+    from migbq_spark.streaming import structured as S
+
+    if not pbcompat.PROTOBUF_OK:
+        pytest.skip("no protobuf runtime available (gcloud sdk absent)")
+
+    real = registry.queries()["stream_tws_mapstate"](spark, sf_dir)
+    real_rows = {
+        (r.user_id, r.event_type): (r.n_events, r.last_event_id)
+        for r in real.collect()
+    }
+    assert S._TWS_LAST_PATH == "real", "expected the true TWS transport"
+
+    from migbq_spark.catalog import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    fb = ev.groupBy("user_id").applyInPandas(
+        S._drive_typecounts_inprocess, S._TWS_MAP_OUT_SCHEMA
+    )
+    assert real_rows == {
+        (r.user_id, r.event_type): (r.n_events, r.last_event_id)
+        for r in fb.collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    exp = {
+        (r.user_id, r.event_type): (r.n, r.last)
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("last"))
+        .collect()
+    }
+    assert real_rows == exp
+
+
 def test_tws_timers_fire_through_real_transport(spark, sf_dir):
     """r4: `stream_tws_timers` must exercise event-time timers through
     the real transport — at least one session closed BY TIMER (watermark
