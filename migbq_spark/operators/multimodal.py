@@ -68,17 +68,40 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int]:
     (width, height).  SOFn markers are 0xC0–0xCF excluding 0xC4 (DHT),
     0xC8 (JPG) and 0xCC (DAC); each non-SOF segment is skipped by its
     big-endian length field — the standard stdlib-only JPEG dimension
-    probe."""
+    probe.
+
+    Handles the length-LESS markers real-world streams contain (r4
+    ADVICE): 0xFF fill/padding bytes before a marker are skipped, and
+    standalone markers — TEM (0x01), RSTn (0xD0–0xD7), EOI (0xD9) —
+    carry no length field and advance by 2 only.  Entropy-coded scan
+    data after SOS is not walked: a dimension probe never needs to pass
+    the first SOF, which precedes SOS in every legal stream."""
     i = 2
-    while i + 4 <= len(payload):
+    while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise NotImplementedError("corrupt JPEG marker stream")
-        marker = payload[i + 1]
-        seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        # 0xFF fill bytes: any number may pad before the marker byte
+        j = i + 1
+        while j < len(payload) and payload[j] == 0xFF:
+            j += 1
+        if j >= len(payload):
+            break
+        marker = payload[j]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone: TEM, RSTn, EOI/SOI — no length segment
+            if marker == 0xD9:  # EOI: end of stream
+                break
+            i = j + 1
+            continue
+        if j + 3 > len(payload):
+            break
+        seglen = struct.unpack(">H", payload[j + 1 : j + 3])[0]
+        if seglen < 2:
+            raise NotImplementedError("corrupt JPEG segment length")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            height, width = struct.unpack(">HH", payload[i + 5 : i + 9])
+            height, width = struct.unpack(">HH", payload[j + 4 : j + 8])
             return width, height
-        i += 2 + seglen
+        i = j + 1 + seglen
     raise NotImplementedError("no SOF marker found")
 
 

@@ -55,12 +55,25 @@ def ensure_protobuf() -> bool:
     """Make `google.protobuf` importable and tolerant of same-major
     newer-minor gencode; return True iff Spark's StateMessage_pb2 loads."""
     if not _pb_real():
-        # purge the fake namespace portions so the re-import resolves the
+        # Purge the fake namespace portions so the re-import resolves the
         # appengine copy as a REGULAR package (regular packages beat
         # namespace portions regardless of sys.path order, so appending
         # is enough — and a real `pip install protobuf` still wins).
+        # Scope: only `google` / `google.protobuf*` entries that are
+        # themselves namespace portions (no __file__).  An unrelated
+        # already-imported google.* REGULAR package (google.auth,
+        # google.cloud) is left alone — evicting a live module orphans
+        # its object and a later re-import would create a duplicate,
+        # inconsistent copy (r4 ADVICE).
         for m in [
-            m for m in sys.modules if m == "google" or m.startswith("google.")
+            m
+            for m in sys.modules
+            if (
+                m == "google"
+                or m == "google.protobuf"
+                or m.startswith("google.protobuf.")
+            )
+            and getattr(sys.modules[m], "__file__", None) is None
         ]:
             del sys.modules[m]
         if _APPENGINE_PROTOBUF not in sys.path:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import uuid
+import warnings
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,6 +69,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: At 100 TB this is the same knob, sized UP instead: state partitions ≈
 #: cluster cores, set once per streaming job before first start.
 _STREAM_SHUFFLE_PARTITIONS = "8"
+
+
+def _warn_tws_fallback(op: str, exc: Exception) -> None:
+    """Surface a real-transport failure before demoting to the in-process
+    fallback: results stay hash-correct either way, but a silent demotion
+    would hide a transport regression from every run that doesn't assert
+    `_TWS_LAST_PATH == "real"` (r4 ADVICE)."""
+    warnings.warn(
+        f"{op}: transformWithState real transport failed"
+        f" ({type(exc).__name__}: {exc}); using in-process fallback",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _drain(sdf: DataFrame, name_seed: str, mode: str = "append") -> str:
@@ -817,13 +831,13 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-        except Exception:
+        except Exception as exc:
             # e.g. an externally-built session whose JVM launched without
             # the repo on PYTHONPATH: the driver-side StreamingPythonRunner
             # then cannot unpickle our processor (see session.get_spark).
             # The in-process drive below runs the same class to the same
             # hash-checked result.
-            pass
+            _warn_tws_fallback("stream_stateful_tws", exc)
     _TWS_LAST_PATH = "fallback"
     return ev.groupBy("user_id").applyInPandas(
         _drive_processor_inprocess, _TWS_OUT_SCHEMA
@@ -908,7 +922,14 @@ class SessionTimeoutProcessor(StatefulProcessor):
     (user_id, session_end_ms) SET is batching-invariant and
     hash-checkable: interior sessions always close, the trailing session
     closes iff deadline ≤ final watermark (= global max event time under
-    a 0-second delay)."""
+    a 0-second delay).
+
+    Boundary (r4 ADVICE, verified empirically on pyspark 4.1.2): Spark's
+    timer-expiry comparison is INCLUSIVE — a timer registered at exactly
+    the final watermark fires (crafted two-chunk fixture with one user's
+    deadline == global max event time: the session emitted with
+    closed_by=timer).  The oracle's `deadline <= watermark` is therefore
+    the aligned bound, not an approximation."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
@@ -1048,8 +1069,8 @@ def stream_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("user_id", "session_end_ms")
                 .distinct()
             )
-        except Exception:
-            pass
+        except Exception as exc:
+            _warn_tws_fallback("stream_tws_timers", exc)
     # plan-B (no transport): the oracle's algebra as a batch plan
     _TWS_LAST_PATH = "fallback"
     w = Window.partitionBy("user_id").orderBy("ts_ms")
@@ -1184,8 +1205,8 @@ def stream_tws_mapstate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-        except Exception:
-            pass
+        except Exception as exc:
+            _warn_tws_fallback("stream_tws_mapstate", exc)
     _TWS_LAST_PATH = "fallback"
     return ev.groupBy("user_id").applyInPandas(
         _drive_typecounts_inprocess, _TWS_MAP_OUT_SCHEMA
@@ -1291,8 +1312,8 @@ def stream_tws_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-        except Exception:
-            pass
+        except Exception as exc:
+            _warn_tws_fallback("stream_tws_liststate", exc)
     _TWS_LAST_PATH = "fallback"
     return ev.groupBy("user_id").applyInPandas(
         _drive_top3_inprocess, _TWS_TOP3_OUT_SCHEMA

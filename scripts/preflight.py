@@ -8,14 +8,14 @@ DRIVER_WINDOW query through ``migbq_spark.testing.compare_driver`` (the
 driver-faithful pandas-str canonicalizer) against its DuckDB oracle at
 sf0.01, the driver's t2 scale.
 
-Since r4 it ALSO preflights ``registry.R5_WINDOW`` (the pre-staged next
+Since r4 it ALSO preflights the pre-staged next
 rotation) as a second, informational section, so the following round's
 swap is already evidenced.  Only DRIVER_WINDOW failures gate the exit
 code's "do not ship" message; R5 failures are reported and counted too
 (both must be fixed before their rotation lands).
 
 Usage:  python scripts/preflight.py [out.md]
-Writes a markdown log (default PREFLIGHT_r04.md) and exits non-zero if
+Writes a markdown log (default PREFLIGHT_r05.md) and exits non-zero if
 any preflighted query fails.
 """
 
@@ -36,7 +36,7 @@ from migbq_spark import registry  # noqa: E402
 from migbq_spark.testing import compare_driver, duckdb_conn  # noqa: E402
 
 SF_DIR = os.environ.get("PREFLIGHT_SF_DIR", "/root/testdata/sf0.01")
-OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r04.md"
+OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r05.md"
 
 
 def run_window(spark, con, queries, oracles, window, title, lines) -> int:
@@ -51,6 +51,18 @@ def run_window(spark, con, queries, oracles, window, title, lines) -> int:
         t0 = time.time()
         try:
             df = queries[qid](spark, SF_DIR)
+            if qid not in oracles:
+                # rows-only id: the driver records spark_rows with
+                # err=no_oracle — preflight mirrors that weaker check
+                # (runs + row count on a bare session).
+                n = df.count()
+                dt = time.time() - t0
+                lines.append(
+                    f"| {i} | `{qid}` | PASS | {n} | {dt:.2f} | rows-only |"
+                )
+                print(f"{i:3d} {qid:32s} PASS {n:>6} rows {dt:6.2f}s"
+                      " (rows-only)", flush=True)
+                continue
             res = compare_driver(df, con, oracles[qid])
             dt = time.time() - t0
             ok = res["ok"]
@@ -96,7 +108,7 @@ def main() -> int:
     con = duckdb_conn(SF_DIR)
 
     lines = [
-        "# PREFLIGHT — round 4 driver-window rotation (+ pre-staged r5)",
+        "# PREFLIGHT — round 5 driver-window rotation (+ pre-staged r6)",
         "",
         f"Bare `local[...]` session (no engine configs), sf_dir=`{SF_DIR}`,",
         "compared via `migbq_spark.testing.compare_driver` (driver-faithful",
@@ -105,11 +117,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r4, graded this round)", lines,
+        "DRIVER_WINDOW (r5, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R5_WINDOW),
-        "R5_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R6_WINDOW),
+        "R6_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")

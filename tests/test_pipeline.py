@@ -130,6 +130,35 @@ def test_mm_real_header_decode_roundtrip():
         _decode_payload(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # no SOF
 
 
+def test_mm_jpeg_walk_handles_standalone_markers():
+    """r5 (r4 ADVICE): real-world JPEG streams contain 0xFF fill bytes
+    and length-LESS standalone markers (TEM, RSTn, EOI) — the walk must
+    skip them rather than misread them as length-bearing segments."""
+    import struct
+
+    from migbq_spark.operators.multimodal import _jpeg_dims
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, 480, 640, 3) + bytes(9)
+    weird = (
+        b"\xff\xd8"
+        + b"\xff\x01"  # TEM: standalone, no length
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xd0"  # RST0: standalone, no length
+        + b"\xff\xff\xff\xc0"  # 0xFF fill padding before the SOF marker
+        + struct.pack(">H", len(sof0) + 2) + sof0
+    )
+    assert _jpeg_dims(weird) == (640, 480)
+
+    # EOI before any SOF ends the walk cleanly
+    with pytest.raises(NotImplementedError):
+        _jpeg_dims(b"\xff\xd8\xff\xd9")
+
+    # a zero segment length must raise, not loop forever
+    with pytest.raises(NotImplementedError):
+        _jpeg_dims(b"\xff\xd8\xff\xe0\x00\x00\xff\xd9")
+
+
 def test_mm_wav_probe_walks_riff_chunks():
     """`_wav_meta` must WALK the RIFF chunk list (size-field skips +
     word alignment), not read fixed offsets — pinned against a
