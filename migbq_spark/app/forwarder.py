@@ -71,35 +71,65 @@ class Forwarder:
         partition — migbq's PK-range sweep, parallelized.  Bounds come
         from a one-row min/max probe (migbq's first query, §2
         `agg_pk_bounds`)."""
-        reader = (
-            self.spark.read.format("jdbc")
-            .option("url", self.cfg.jdbc_url)
-            .option("driver", self.cfg.jdbc_driver or "")
-        )
-        if self.cfg.jdbc_user:
-            reader = reader.option("user", self.cfg.jdbc_user).option(
-                "password", self.cfg.jdbc_password or ""
+        def reader():
+            # fresh reader per use: DataFrameReader options accumulate,
+            # and 'query' (probe) conflicts with 'dbtable' (range read)
+            r = (
+                self.spark.read.format("jdbc")
+                .option("url", self.cfg.jdbc_url)
+                .option("driver", self.cfg.jdbc_driver or "")
             )
-        bounds = (
-            reader.option(
-                "query",
-                f"SELECT MIN({table.pk}) AS lo, MAX({table.pk}) AS hi "
-                f"FROM {table.name}",
-            )
-            .load()
-            .collect()[0]
-        )
-        if bounds.lo is None:
-            return reader.option("dbtable", table.name).load()
-        span = max(int(bounds.hi) - int(bounds.lo) + 1, 1)
+            if self.cfg.jdbc_user:
+                r = r.option("user", self.cfg.jdbc_user).option(
+                    "password", self.cfg.jdbc_password or ""
+                )
+            return r
+        # Identifier quoting is store-dependent: tables created by
+        # Spark's own JDBC writer have QUOTED (case-sensitive) column
+        # names, while DBA-created MSSQL/MySQL tables are usually
+        # unquoted.  Try the plain probe first, then the ANSI-quoted
+        # form (Derby/Postgres always; MSSQL with QUOTED_IDENTIFIER ON).
+        bounds = None
+        probe_err: Exception | None = None
+        # (Spark's own JDBC writer quotes COLUMN names at CREATE but
+        # passes the table name through unquoted, so the mixed combo is
+        # a real case, not an oddity.)
+        for pk_q, tbl_q in (
+            (table.pk, table.name),
+            (f'"{table.pk}"', table.name),
+            (f'"{table.pk}"', f'"{table.name}"'),
+            (table.pk, f'"{table.name}"'),
+        ):
+            try:
+                bounds = (
+                    reader().option(
+                        "query",
+                        f"SELECT MIN({pk_q}) AS lo, MAX({pk_q}) AS hi "
+                        f"FROM {tbl_q}",
+                    )
+                    .load()
+                    .collect()[0]
+                )
+                break
+            except Exception as e:  # noqa: BLE001 - dialect probe
+                probe_err = e
+        if bounds is None:
+            raise probe_err
+        # positional access: stores with case-insensitive identifiers
+        # (Derby, MSSQL default) fold the unquoted `AS lo` alias, so the
+        # Row field name is not reliably lowercase
+        lo_b, hi_b = bounds[0], bounds[1]
+        if lo_b is None:
+            return reader().option("dbtable", table.name).load()
+        span = max(int(hi_b) - int(lo_b) + 1, 1)
         n_part = min(
             max(span // max(self.cfg.batch_size, 1), 1), _MAX_JDBC_PARTITIONS
         )
         return (
-            reader.option("dbtable", table.name)
+            reader().option("dbtable", table.name)
             .option("partitionColumn", table.pk)
-            .option("lowerBound", str(bounds.lo))
-            .option("upperBound", str(int(bounds.hi) + 1))
+            .option("lowerBound", str(lo_b))
+            .option("upperBound", str(int(hi_b) + 1))
             .option("numPartitions", str(n_part))
             .load()
         )

@@ -458,24 +458,66 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- IVF ANN
 
-_IVF_CENTROID_STRIDE = 47
+_IVF_N_CELLS = 16
 _IVF_N_PROBE = 3
+_IVF_KMEANS_SEED = 7
+
+
+def _ivf_trained_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """TRAINED IVF centroids (r4 VERDICT "Next round" #5): seeded
+    spark.ml KMeans over the embedding column, centroids L2-normalized
+    so the downstream max-dot cell assignment is exact spherical
+    nearest-centroid (the fixture embeddings are unit vectors —
+    Euclidean KMeans on the sphere + renormalized centers is the
+    standard spherical-IVF recipe).  The only collect is the k×dim
+    centroid matrix (16×64 floats — bounded by construction, the same
+    bytes an IVF index ships to every searcher).  At 100 TB: train on a
+    sample (KMeans cost is per-iteration linear), broadcast the same
+    tiny centroid table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = e.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    ).cache()  # Lloyd iterations rescan the input; cache for the fit only
+    try:
+        # seeded random init (single pass) over k-means|| (multi-pass
+        # sampling): on unit vectors 8 Lloyd iterations from random
+        # centers converge to the same recall at a fraction of the jobs
+        model = KMeans(
+            k=_IVF_N_CELLS,
+            seed=_IVF_KMEANS_SEED,
+            maxIter=8,
+            tol=1e-4,
+            initMode="random",
+        ).fit(feats)
+    finally:
+        feats.unpersist()
+    import numpy as np
+
+    cents = np.vstack(model.clusterCenters())
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cent_id int, cent_emb array<double>",
+    )
 
 
 @register("ann_ivf_topk")  # rows-only: argmin cell assignment is float-tie sensitive
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbors: deterministic centroids
-    (every 47th vector), vectors assigned to their nearest centroid
-    (broadcast argmax), queries probe the top-3 cells and rank only
-    within them.  Probed fraction ≈ n_probe/n_cells of the corpus —
-    that fraction is the 100 TB knob (real deployments train centroids
-    with KMeans; the plumbing — broadcast assign, cell-bucketed search —
-    is identical).  Recall vs the exact `cosine_topk` is measured in
+    """IVF approximate nearest neighbors with TRAINED centroids: seeded
+    spark.ml KMeans learns 16 cells, vectors are assigned to their
+    nearest (max-dot, = spherical nearest for unit vectors) centroid via
+    broadcast argmax, queries probe the top-3 cells and rank only within
+    them.  Probed fraction ≈ n_probe/n_cells of the corpus — that
+    fraction is the 100 TB knob; the plumbing (broadcast assign,
+    cell-bucketed search) is what an IVF index does at any scale.
+    Recall vs the exact `cosine_topk` is pinned in
     tests/test_pipeline.py."""
     e = load(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % _IVF_CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
-    )
+    cents = _ivf_trained_centroids(spark, e)
     dot = F.aggregate(
         F.zip_with("embedding", "cent_emb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -65,10 +65,12 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     approx = {(r.q_id, r.n_id) for r in Q["ann_ivf_topk"](spark, sf_dir).collect()}
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
-    # fixture vectors are RANDOM (no cluster structure), so IVF recall ≈
-    # n_probe/n_cells; assert the sanity floor, log the value
+    # r5: trained (seeded KMeans) spherical centroids must beat the
+    # n_probe/n_cells ≈ 0.19 recall an untrained partition would give on
+    # these cluster-free random vectors (measured 0.52 with training,
+    # ~0.1-0.2 with the old stride-picked centroids)
     print(f"IVF recall @5: {recall:.2f}")
-    assert recall >= 0.1
+    assert recall >= 0.3
 
 
 def test_mm_decode_stub_values(spark, sf_dir):
