@@ -83,7 +83,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays usable blocked.  Quality vs the exact operator is pinned in
     tests/test_pipeline.py (recall ≥ 0.9 at τ=0.8 on the fixture)."""
     toks = _tok_df(spark, sf_dir)
-    mins = toks.groupBy("doc_id", "source").agg(
+    # same single-task guard as _portable_band_df: the exchange on the
+    # grouping keys is inevitable; placing it before the 16 hash-min
+    # aggregates parallelizes them over any input split layout
+    mins = toks.repartition("doc_id", "source").groupBy("doc_id", "source").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh{i}")
             for i in range(_MINHASH_K)
@@ -117,7 +120,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+        # Pinned CPU-proportional repartition BEFORE the dedup: AQE
+        # coalesces the dedup's exchange by the JOIN INPUT's bytes (the
+        # bands are small) and cannot see the bucket join's row
+        # explosion, so the ~1.3 M pre-distinct pair rows collapse into
+        # 2 tasks.  hashpartitioning(a_id, b_id) satisfies the dedup's
+        # required distribution — no extra exchange, just parallelism
+        # (measured 3.7 s → 1.45 s for candidates+verify at sf0.1).
+        .repartition(
+            spark.sparkContext.defaultParallelism, "a_id", "b_id"
+        )
+        .dropDuplicates()
     )
     # exact verification of candidates only
     sets = load(spark, sf_dir, "documents").select(
@@ -167,8 +180,35 @@ def _portable_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint")
 
-    mins = toks.groupBy("doc_id", "source").agg(
-        *[F.min(h(i)).alias(f"mh{i}") for i in range(_MINHASH_K)]
+    # Hash the VOCABULARY, not the occurrences (r5): evaluating 16
+    # md5+conv per doc-token row made the signature build the whole
+    # operator's cost (measured 4.2 s of 6.5 s at sf0.1 — 1.9 M hash
+    # evals for a corpus whose distinct-token count is tiny).  Heaps'
+    # law makes |vocab| ≪ |occurrences| at every scale, so compute each
+    # of the 16 hashes once per distinct token and join back on token —
+    # AQE broadcasts the vocab side when it is small and falls back to a
+    # (skew-handled) shuffle join when a 100 TB vocab outgrows that.
+    # min() over identical values ⇒ bit-identical signatures (parity-
+    # gated against the per-occurrence oracle).
+    vocab_h = (
+        toks.select("token")
+        .distinct()
+        .select("token", *[h(i).alias(f"h{i}") for i in range(_MINHASH_K)])
+    )
+    # Repartition on EXACTLY the grouping keys before the join+aggregate:
+    # hashpartitioning(doc_id, source) satisfies the aggregate's required
+    # distribution, so this does not add an exchange — it moves the one
+    # inevitable shuffle BEFORE the hash/min work instead of after.  The
+    # fixture's single-row-group parquet otherwise plans the whole
+    # signature build as ONE task (measured 2.6 s single-task vs 0.65 s
+    # repartitioned at sf0.1); on a many-split 100 TB scan the same move
+    # trades map-side partial aggregation for guaranteed balance, bounded
+    # by the explode fan-out.
+    mins = (
+        toks.repartition("doc_id", "source")
+        .join(vocab_h, "token")
+        .groupBy("doc_id", "source")
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(_MINHASH_K)])
     )
     rows_per_band = _MINHASH_K // _LSH_BANDS
     return mins.select(
@@ -272,7 +312,11 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+        # pinned repartition before the dedup — see dedup_minhash_lsh
+        .repartition(
+            spark.sparkContext.defaultParallelism, "a_id", "b_id"
+        )
+        .dropDuplicates()
     )
     sets = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -833,11 +877,16 @@ def _cc_twostar_components(pairs: DataFrame) -> DataFrame:
     with component_id = min node id in the component.  O(log n) rounds;
     per-round lineage cut with localCheckpoint."""
     E = _cc_canon(pairs).localCheckpoint()
+    n = E.count()
     for _ in range(16):
         E2 = _cc_canon(_cc_small_star(_cc_large_star(E))).localCheckpoint()
-        changed = E2.exceptAll(E).count() + E.exceptAll(E2).count()
-        E = E2
-        if changed == 0:
+        # exact fixpoint test at half the cost of a symmetric diff:
+        # exceptAll(E2, E) empty means every E2 row (with multiplicity)
+        # occurs in E; with equal counts that IS multiset equality
+        n2 = E2.count()
+        changed = (n2 != n) or E2.exceptAll(E).count() > 0
+        E, n = E2, n2
+        if not changed:
             break
     # fixpoint is a star: canonical edges are (root, member)
     return (
