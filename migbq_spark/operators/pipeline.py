@@ -357,7 +357,13 @@ def _simhash_pairs(toks: DataFrame, h: F.Column) -> DataFrame:
     per token row (no cross-aggregate CSE) — with md5 that's the whole
     operator's cost at any scale."""
     hv = F.col("__h")
-    sums = toks.withColumn("__h", h).groupBy("doc_id", "source").agg(
+    # repartition on exactly the grouping keys (same single-task guard as
+    # _portable_band_df: the exchange is required anyway; placing it
+    # before the 32 conditional sums parallelizes them over any input
+    # split layout)
+    sums = toks.repartition("doc_id", "source").withColumn("__h", h).groupBy(
+        "doc_id", "source"
+    ).agg(
         *[
             F.sum(
                 F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -480,7 +486,13 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     block bounds the pair count, the LSH/IVF ops are the unblocked scale
     path."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(
+    # Spread the probe side: the broadcast self-join PRESERVES the left
+    # side's partitioning, and a single-row-group fixture file scans as
+    # one partition — so without this every label-block pair's 64-wide
+    # dot product ran in one task (measured 2.4 s single-task vs 0.5 s
+    # spread at sf0.1).  Round-robin (no key) because `label` has only
+    # ~20 values — hashing on it would cap parallelism at 20 and skew.
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("a_id"), F.col("label").alias("label"),
         F.col("embedding").alias("a_emb"),
     )
