@@ -1028,6 +1028,201 @@ def dedup_cross_source_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cc_twostar_components(edges)
 
 
+@register(
+    "dedup_keep_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, s
+    ),
+    sig AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, s // 4
+    ),
+    hub AS (SELECT band, bkey, MIN(doc_id) AS hub
+            FROM sig GROUP BY band, bkey),
+    edges0 AS (
+        SELECT DISTINCT h.hub AS u, s.doc_id AS v
+        FROM sig s JOIN hub h ON s.band = h.band AND s.bkey = h.bkey
+        WHERE s.doc_id <> h.hub
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    q AS (
+        SELECT doc_id,
+               0.5 * (COUNT(DISTINCT t) * 1.0 / COUNT(*))
+                 + 0.5 * LEAST(COUNT(*) / 50.0, 1.0) AS quality
+        FROM (SELECT doc_id, t
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              WHERE t <> '')
+        GROUP BY doc_id
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id,
+               q.quality
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY component_id
+            ORDER BY quality DESC, doc_id ASC
+        ) AS rn
+        FROM labeled
+    )
+    SELECT component_id,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           MIN(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+           COUNT(*) AS n_docs,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked
+    GROUP BY component_id
+    """,
+)
+def dedup_keep_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END near-dup dedup driver (r5): LSH candidate clusters
+    (`dedup_cross_source_cc`'s star-edge two-star CC) joined with the
+    `quality_score` signal, keeping the highest-quality document per
+    cluster (ties broken by lowest doc_id) — one row per component with
+    the kept doc and the drop count.  Docs sharing no LSH bucket are
+    their own singleton components, so the output is a complete
+    keep/drop decision over the corpus: exactly what a training-data
+    pipeline executes after cluster discovery.
+
+    The whole pipeline — portable MinHash signatures, banded buckets,
+    star edges, two-star CC, quality arg-max — is value-hash-checked
+    against a recursive-CTE + window oracle.
+
+    Scale (100 TB): adds one broadcast-sized quality join and a per-
+    component arg-max (max of a (quality, -doc_id) struct — one shuffle
+    keyed by component) on top of the CC rounds; nothing quadratic."""
+    comps = dedup_cross_source_cc(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(toks).cast("bigint")
+    ttr = F.size(F.array_distinct(toks)).cast("bigint") * F.lit(1.0) / n_tokens
+    q = d.select(
+        "doc_id",
+        (
+            F.lit(0.5) * ttr
+            + F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        ).alias("quality"),
+    )
+    labeled = q.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        "quality",
+    )
+    best = F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id")))
+    return labeled.groupBy("component_id").agg(
+        (-best.getField("neg_id")).cast("bigint").alias("kept_doc_id"),
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id")))
+        .getField("quality")
+        .alias("kept_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+@register(
+    "minhash_merge_incremental",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT source, t
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s)
+    SELECT source, s AS seed,
+           MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                    AS BIGINT)) AS v
+    FROM tok CROSS JOIN seeds
+    GROUP BY source, s
+    """,
+)
+def minhash_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sketch maintenance (r5) — migbq's sync loop applied to
+    dedup state: per-source corpus MinHash signatures are computed from
+    a BASE load (even doc_ids) and a DELTA batch (odd doc_ids) as two
+    independent aggregations, then merged with elementwise LEAST.
+    MinHash is a min-monoid, so merge(base, delta) must equal a full
+    recompute — and the oracle IS the full recompute over all documents,
+    making the mergeability property itself value-hash-verified.
+
+    Scale (100 TB): this is why sketch-based dedup state never requires
+    reprocessing history — each incremental batch aggregates only its
+    own tokens (map-side combinable min), and the stored signature
+    updates with one elementwise min per source.  The same property
+    drives the HLL ops' streaming twins; here it is exercised on the
+    dedup sketch the LSH family stores."""
+    toks = _tok_df(spark, sf_dir)
+
+    def h(i: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(i), F.col("token"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def sig(part: DataFrame) -> DataFrame:
+        return part.repartition("source").groupBy("source").agg(
+            *[F.min(h(i)).alias(f"v{i}") for i in range(_MINHASH_K)]
+        )
+
+    base = sig(toks.filter(F.col("doc_id") % 2 == 0))
+    delta = sig(toks.filter(F.col("doc_id") % 2 == 1))
+    d = delta.select(
+        F.col("source"), *[F.col(f"v{i}").alias(f"d{i}") for i in range(_MINHASH_K)]
+    )
+    # full outer: a source may exist in only one half
+    merged = base.join(d, "source", "full").select(
+        "source",
+        *[
+            F.least(F.col(f"v{i}"), F.col(f"d{i}")).alias(f"m{i}")
+            for i in range(_MINHASH_K)
+        ],
+    )
+    return merged.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("seed"),
+                        F.col(f"m{i}").alias("v"),
+                    )
+                    for i in range(_MINHASH_K)
+                ]
+            )
+        ).alias("sv"),
+    ).select("source", "sv.seed", "sv.v")
+
+
 # -------------------------------------------- contamination / repetition
 
 _SHINGLE_MIN_TOKS = 3

@@ -358,3 +358,81 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.sum("price").cast("decimal(38,2)").cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "shard_export_training",
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, source, lang, text,
+               CAST(concat('0x', substr(md5('shard:' || doc_id), 1, 15))
+                    AS BIGINT) % 8 AS shard
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM sharded
+    GROUP BY shard
+    """,
+)
+def shard_export_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD export (r5): documents written as 8 gzip-NDJSON
+    shards keyed by a portable hash of the PK (md5-derived, the same
+    'decorrelated coin' recipe as `sample_hash_bernoulli`) —
+    hash-sharding balances shard sizes regardless of id assignment
+    order, and a deterministic shard function makes the export
+    RESUMABLE per shard (migbq's ranged re-forward, per shard instead of
+    per PK range).  The graded result is the per-shard manifest (doc
+    count, source count, bytes, PK bounds) computed from the READ-BACK
+    of the written shards, so the hash check proves the round trip, the
+    shard assignment, and the manifest agree with the oracle end-to-end.
+
+    Scale (100 TB): `partitionBy(shard)` is one shuffle-free write fan-
+    out (each task writes its rows to per-shard files); shard count
+    scales with target file size (~1 GB compressed), and the manifest
+    aggregation is map-side combinable."""
+    src = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("shard"), F.col("doc_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(8),
+    )
+    dest = _stage_dir(sf_dir, "documents_training_shards")
+    (
+        src.withColumn("shard", shard)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .json(dest)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("basePath", dest).json(dest)
+    return (
+        back.withColumn("shard", F.col("shard").cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

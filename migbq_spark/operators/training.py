@@ -1062,3 +1062,72 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+@register(
+    "pack_sequences_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS off
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(off AS BIGINT) AS off,
+           CAST(off // 256 AS BIGINT) AS start_chunk,
+           CAST((off + n_tokens - 1) // 256 AS BIGINT) AS end_chunk,
+           CAST((off + n_tokens - 1) // 256 - off // 256 + 1 AS BIGINT)
+               AS n_chunks
+    FROM o
+    """,
+)
+def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-PACKING bookkeeping (r5): concatenate each source's
+    documents in doc_id order into one token stream and chunk it into
+    fixed 256-token training sequences — per doc: its stream offset, the
+    first and last chunk it lands in, and how many chunks it spans.
+    This is the standard "pack short docs, split long docs" layout an
+    LLM dataloader consumes; computing the placement as a window
+    cumulative sum keeps it a single shuffle instead of a sequential
+    driver loop, and makes it deterministic for resumable exports
+    (migbq's ranged re-forward, applied to token budgets).
+
+    Integer token counts + integer division only ⇒ value-hash-checked
+    against the window-SQL oracle.
+
+    Scale (100 TB): one window partitioned by source ordered by the PK;
+    a skewed giant source is re-keyed by (source, doc_id range) exactly
+    like `join_skew_salted` — placement math is unchanged because
+    offsets within a range shard only need the shard's base offset (one
+    broadcast scalar per shard)."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split("text", " "), lambda t: t != "")
+    ).cast("bigint")
+    t = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    budget = F.lit(256)
+    start = F.floor(F.col("off") / budget).cast("bigint")
+    end = F.floor((F.col("off") + F.col("n_tokens") - 1) / budget).cast("bigint")
+    return o.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "off",
+        start.alias("start_chunk"),
+        end.alias("end_chunk"),
+        (end - start + 1).alias("n_chunks"),
+    )

@@ -102,18 +102,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 #: Pre-staged round-6 window: the LAST ids without driver signal — the
-#: two hash ids held back by the 52>50 trim above, then every rows-only
+#: two hash ids held back by the 52>50 trim above, the four hash ids
+#: ADDED in r5 (newest code = grade early), then every rows-only
 #: operator that has never run inside a driver window.  For rows-only ids
 #: the driver records ``spark_rows`` with ``err: "no_oracle"`` (proven by
 #: ``agg_approx_distinct``/``agg_approx_percentile`` in r1/r2), which is
 #: real "runs under the driver env" evidence (r4 VERDICT "Next round"
-#: #3).  After r6 lands, every one of the 216 §2 ids will have been
-#: driver-executed at least once; the remaining 34 r6 slots fall through
+#: #3).  After r6 lands, every one of the 220 §2 ids will have been
+#: driver-executed at least once; the remaining 30 r6 slots fall through
 #: to import order (all previously-graded, all parity-guarded).
 R6_WINDOW: tuple[str, ...] = (
     # held-back r5 hash ids — grade these FIRST in r6
     "pii_scrub",
     "win_percent_rank",
+    # new r5 hash ids (never graded; newest code = grade early)
+    "dedup_keep_cluster_canonical",
+    "minhash_merge_incremental",
+    "pack_sequences_budget",
+    "shard_export_training",
     # rows-only ids never yet executed under the driver
     "jdbc_source",
     "bq_sink_adapter",
