@@ -530,3 +530,86 @@ def test_tdigest_rolling_quantiles_track_exact(spark, sf_dir):
         spread = pool[-1] - pool[0] or 1.0
         assert abs(p50 - exact_p50) <= 0.05 * spread, (win_d, p50, exact_p50)
         assert abs(p95 - exact_p95) <= 0.05 * spread, (win_d, p95, exact_p95)
+
+
+def test_keep_cluster_canonical_invariants(spark, sf_dir):
+    """r5: the keep/drop decision must cover the corpus exactly once and
+    every kept doc must belong to its own component."""
+    out = Q["dedup_keep_cluster_canonical"](spark, sf_dir).collect()
+    n_docs_total = sum(r.n_docs for r in out)
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert n_docs_total == corpus  # complete partition of the corpus
+    comps = {
+        (r.doc_id, r.component_id)
+        for r in Q["dedup_cross_source_cc"](spark, sf_dir).collect()
+    }
+    comp_ids = {c for _, c in comps}
+    for r in out:
+        assert r.n_dropped == r.n_docs - 1
+        if r.n_docs == 1:
+            # singleton: component id IS the kept doc
+            assert r.kept_doc_id == r.component_id
+        else:
+            assert r.component_id in comp_ids
+            assert (r.kept_doc_id, r.component_id) in comps
+
+
+def test_minhash_merge_equals_full_recompute(spark, sf_dir):
+    """r5: merged base+delta signatures must equal a one-shot full
+    aggregation (min-monoid mergeability) computed Spark-side too."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.operators.pipeline import _MINHASH_K, _tok_df
+
+    def h(i):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(i), F.col("token"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    full = {
+        (r.source, i): r[f"v{i}"]
+        for r in _tok_df(spark, sf_dir)
+        .groupBy("source")
+        .agg(*[F.min(h(i)).alias(f"v{i}") for i in range(_MINHASH_K)])
+        .collect()
+        for i in range(_MINHASH_K)
+    }
+    merged = {
+        (r.source, r.seed): r.v
+        for r in Q["minhash_merge_incremental"](spark, sf_dir).collect()
+    }
+    assert merged == full
+
+
+def test_pack_sequences_contiguous(spark, sf_dir):
+    """r5: per source, offsets must tile the concatenated stream with no
+    gaps or overlaps, and chunk spans must match the offsets."""
+    rows = sorted(
+        Q["pack_sequences_budget"](spark, sf_dir).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    import itertools
+
+    for _src, grp in itertools.groupby(rows, key=lambda r: r.source):
+        expect = 0
+        for r in grp:
+            assert r.off == expect
+            assert r.start_chunk == r.off // 256
+            assert r.end_chunk == (r.off + r.n_tokens - 1) // 256
+            assert r.n_chunks == r.end_chunk - r.start_chunk + 1
+            expect = r.off + r.n_tokens
+
+
+def test_shard_export_covers_corpus(spark, sf_dir):
+    """r5: the 8 shards must partition the corpus exactly (no doc lost
+    or duplicated by the write→read-back round trip)."""
+    out = Q["shard_export_training"](spark, sf_dir).collect()
+    assert {r.shard for r in out} <= set(range(8))
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in out) == corpus
