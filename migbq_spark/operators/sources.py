@@ -36,8 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from migbq_spark.catalog import load
+from migbq_spark.catalog import load, path_for
 from migbq_spark.common import dec
+from migbq_spark.session import ensure_runtime_confs
 from migbq_spark.registry import register
 
 _STAGE_ROOT = Path(__file__).resolve().parents[2] / ".stage"
@@ -436,3 +437,43 @@ def shard_export_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "pk_range_python_datasource",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey > 10
+    """,
+)
+def pk_range_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's PK-range chunked read as a REAL Spark 4 Python DataSource
+    (`migbq_spark/pkrange_source.py`): `partitions()` plans one stride
+    per batch_size from parquet row-group STATISTICS (the bounds probe,
+    metadata-only), Spark schedules strides in parallel, `read()` serves
+    Arrow batches, and `pushFilters()` consumes pk comparison predicates
+    so the `WHERE o_orderkey > 10` here prunes strides BEFORE task
+    launch (`spark.sql.python.filterPushdown.enabled`, runtime-set).
+    The hash check proves the from-scratch source + pushdown agree with
+    the oracle's plain scan.
+
+    Scale (100 TB): swap the in-stride pyarrow read for the per-range
+    RDBMS query and this is migbq's MSSQL sweep running N-wide with
+    predicate pushdown — the custom-source escape hatch for systems
+    without a built-in connector."""
+    from migbq_spark.pkrange_source import register_pkrange_source
+
+    ensure_runtime_confs(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_pkrange_source(spark)
+    df = (
+        spark.read.format("migbq_pkrange")
+        .option("path", path_for(sf_dir, "orders"))
+        .option("pk", "o_orderkey")
+        .option("batch_size", "4096")
+        .option(
+            "columns", "o_orderkey,o_custkey,o_totalprice,o_orderpriority"
+        )
+        .load()
+    )
+    return df.filter(F.col("o_orderkey") > 10)

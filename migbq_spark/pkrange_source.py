@@ -1,0 +1,187 @@
+"""A Spark 4 Python DataSource implementing migbq's PK-range chunked
+read as a REAL source — stride partitions + filter pushdown.
+
+The reference's core read loop (public migbq `[pub:H migbq/migbq.py]`,
+SURVEY.md §3.1 EP1) is:
+
+    SELECT MIN(pk), MAX(pk) FROM t          -- bounds probe
+    for lo in range(min_pk, max_pk, batch_size):
+        SELECT * WHERE pk > lo AND pk <= lo+batch_size
+
+Here that loop IS the data source: ``partitions()`` plans one
+``InputPartition`` per PK stride (bounds come from parquet row-group
+statistics — no data scan), Spark schedules the strides in parallel
+across executors, and ``read()`` serves each stride as Arrow record
+batches.  ``pushFilters()`` accepts pk comparison predicates and
+tightens the planned stride set, so ``WHERE pk > x`` prunes whole
+partitions before any task launches — the DataSource-V2 contract,
+honored from pure Python.
+
+Scale (100 TB): swap the pyarrow file read inside ``read()`` for the
+per-range RDBMS query and this is migbq's MSSQL sweep running N-wide
+under Spark's scheduler with pushdown — the same shape
+``app/forwarder.py`` gets from the built-in JDBC source, demonstrated
+here as a from-scratch source because migbq's sources (TDS cursors) had
+no built-in equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+_PA_TO_SPARK = {
+    "int32": "int",
+    "int64": "bigint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+}
+
+
+class PkRangePartition(InputPartition):
+    """One migbq stride: pk ∈ [lo, hi)."""
+
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class PkRangeDataSource(DataSource):
+    """``spark.read.format("migbq_pkrange")`` over a parquet file.
+
+    Options: ``path`` (file), ``pk`` (integer primary-key column),
+    ``batch_size`` (stride width, default 4096), ``columns``
+    (comma-separated projection; default all supported columns).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "migbq_pkrange"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(self.options["path"])
+        cols = self._columns(sch)
+        return ", ".join(
+            f"{c} {_PA_TO_SPARK[str(sch.field(c).type)]}" for c in cols
+        )
+
+    def _columns(self, sch) -> list[str]:
+        opt = self.options.get("columns")
+        if opt:
+            return [c.strip() for c in opt.split(",")]
+        return [
+            f.name for f in sch if str(f.type) in _PA_TO_SPARK
+        ]
+
+    def reader(self, schema) -> "PkRangeReader":
+        return PkRangeReader(dict(self.options), [f.name for f in schema])
+
+
+class PkRangeReader(DataSourceReader):
+    def __init__(self, options: dict, columns: list[str]):
+        self.path = options["path"]
+        self.pk = options.get("pk", "id")
+        self.batch_size = int(options.get("batch_size", "4096"))
+        self.columns = columns
+        # pushed pk bounds: closed-open [lo, hi)
+        self.lo: int | None = None
+        self.hi: int | None = None
+
+    # ------------------------------------------------------------ pushdown
+
+    def pushFilters(self, filters):  # noqa: N802 - Spark API name
+        """Consume pk comparison predicates; everything else is returned
+        to Spark to evaluate post-scan.  Consumed predicates are applied
+        EXACTLY in ``read`` (arrow compute), as the contract requires."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = ".".join(attr) if isinstance(attr, tuple) else None
+            if col != self.pk or not isinstance(
+                f,
+                (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+            ) or not isinstance(f.value, int):
+                yield f  # unsupported → Spark evaluates it
+                continue
+            if isinstance(f, EqualTo):
+                self._tighten(f.value, f.value + 1)
+            elif isinstance(f, GreaterThan):
+                self._tighten(f.value + 1, None)
+            elif isinstance(f, GreaterThanOrEqual):
+                self._tighten(f.value, None)
+            elif isinstance(f, LessThan):
+                self._tighten(None, f.value)
+            else:  # LessThanOrEqual
+                self._tighten(None, f.value + 1)
+
+    def _tighten(self, lo: int | None, hi: int | None) -> None:
+        if lo is not None:
+            self.lo = lo if self.lo is None else max(self.lo, lo)
+        if hi is not None:
+            self.hi = hi if self.hi is None else min(self.hi, hi)
+
+    # ---------------------------------------------------------- planning
+
+    def partitions(self):
+        """migbq's bounds probe + stride plan — from row-group STATISTICS
+        (metadata only, no data scan), intersected with pushed bounds."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(self.path).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = names[self.pk]
+        mn: int | None = None
+        mx: int | None = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            return [PkRangePartition(0, 0)]
+        lo = mn if self.lo is None else max(mn, self.lo)
+        hi = mx + 1 if self.hi is None else min(mx + 1, self.hi)
+        if lo >= hi:
+            return [PkRangePartition(0, 0)]
+        return [
+            PkRangePartition(s, min(s + self.batch_size, hi))
+            for s in range(lo, hi, self.batch_size)
+        ]
+
+    # ------------------------------------------------------------ reading
+
+    def read(self, partition: PkRangePartition):
+        if partition.lo >= partition.hi:
+            return
+        import pyarrow.parquet as pq
+
+        # pyarrow applies the range predicate with row-group statistics
+        # pruning — the stride only decompresses pages it needs
+        table = pq.read_table(
+            self.path,
+            columns=self.columns,
+            filters=[
+                (self.pk, ">=", partition.lo),
+                (self.pk, "<", partition.hi),
+            ],
+        )
+        yield from table.to_batches()
+
+
+def register_pkrange_source(spark) -> None:
+    """Idempotently register the source on ``spark``."""
+    try:
+        spark.dataSource.register(PkRangeDataSource)
+    except Exception:
+        pass  # already registered on this session

@@ -613,3 +613,36 @@ def test_shard_export_covers_corpus(spark, sf_dir):
     assert {r.shard for r in out} <= set(range(8))
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.n_docs for r in out) == corpus
+
+
+def test_pkrange_source_plans_and_prunes_strides():
+    """r5: the Python DataSource must plan one stride per batch_size
+    from row-group stats, and pushFilters must consume pk predicates and
+    prune whole strides before planning."""
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from migbq_spark.pkrange_source import PkRangeReader
+
+    opts = {
+        "path": "/root/testdata/sf0.01/orders.parquet",
+        "pk": "o_orderkey",
+        "batch_size": "4096",
+    }
+    r = PkRangeReader(opts, ["o_orderkey"])
+    full = r.partitions()
+    assert len(full) == 4  # 15000 keys / 4096
+    assert full[0].lo == 0 and full[-1].hi == 15000
+
+    r2 = PkRangeReader(opts, ["o_orderkey"])
+    leftover = list(
+        r2.pushFilters([GreaterThan(("o_orderkey",), 10000)])
+    )
+    assert leftover == []  # consumed
+    pruned = r2.partitions()
+    assert len(pruned) == 2  # [10001, 14097), [14097, 15000)
+    assert pruned[0].lo == 10001
+
+    # unsupported filter (non-pk column) must be returned to Spark
+    r3 = PkRangeReader(opts, ["o_orderkey"])
+    back = list(r3.pushFilters([LessThanOrEqual(("o_custkey",), 5)]))
+    assert len(back) == 1
