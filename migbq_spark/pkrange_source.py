@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _PA_TO_SPARK = {
@@ -179,9 +180,117 @@ class PkRangeReader(DataSourceReader):
         yield from table.to_batches()
 
 
+def _pickle_self_by_value() -> None:
+    """Ship this module BY VALUE inside cloudpickle payloads: the data
+    source is unpickled in Spark-launched Python runners (driver-side
+    for streaming offset management, workers for reads) that may not
+    have this repo on sys.path — an externally-built session can't be
+    given PYTHONPATH after its JVM is up, and addPyFile only reaches
+    task workers.  By-value pickling embeds the class code itself, so
+    no import is needed on the other side."""
+    try:
+        import sys as _sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference + PYTHONPATH
+
+
 def register_pkrange_source(spark) -> None:
     """Idempotently register the source on ``spark``."""
+    _pickle_self_by_value()
     try:
         spark.dataSource.register(PkRangeDataSource)
     except Exception:
         pass  # already registered on this session
+
+
+class PkRangeStreamReader(SimpleDataSourceStreamReader):
+    """migbq's INCREMENTAL SYNC loop as a Spark streaming source: the
+    stream offset IS the last-forwarded PK (migbq's metadata-table row),
+    and every micro-batch forwards `pk > last` up to `batch_size` new
+    keys.  Spark's checkpoint persists the offset — exactly-once resume
+    without migbq's hand-rolled sqlite bookkeeping.
+
+    `read(start)` serves at most one stride beyond the last offset;
+    `readBetweenOffsets` replays a committed range deterministically
+    (failure recovery = migbq's ranged re-forward)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.pk = options.get("pk", "id")
+        self.batch_size = int(options.get("batch_size", "4096"))
+        self.columns = None  # resolved lazily from the file
+
+    def initialOffset(self) -> dict:
+        # start BEFORE the smallest key: the first batch forwards from
+        # the real minimum (migbq: SELECT MIN(pk) on first run)
+        return {"last_pk": None}
+
+    def _read_range(self, lo_excl, hi_incl):
+        import pyarrow.parquet as pq
+
+        filters = []
+        if lo_excl is not None:
+            filters.append((self.pk, ">", lo_excl))
+        if hi_incl is not None:
+            filters.append((self.pk, "<=", hi_incl))
+        t = pq.read_table(self.path, filters=filters or None)
+        cols = [
+            f.name for f in t.schema if str(f.type) in _PA_TO_SPARK
+        ]
+        t = t.select(cols).sort_by(self.pk)
+        return t
+
+    def read(self, start: dict):
+        last = start.get("last_pk")
+        t = self._read_range(last, None)
+        n = min(t.num_rows, self.batch_size)
+        if n == 0:
+            return iter([]), start
+        t = t.slice(0, n)
+        new_last = t.column(self.pk)[n - 1].as_py()
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, and generators don't
+        # copy.  One stride is batch_size-bounded by construction.
+        rows = [tuple(r.values()) for r in t.to_pylist()]
+        return iter(rows), {"last_pk": new_last}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        t = self._read_range(start.get("last_pk"), end.get("last_pk"))
+        return iter([tuple(r.values()) for r in t.to_pylist()])
+
+    def commit(self, end: dict) -> None:
+        pass  # offset persistence is Spark's checkpoint
+
+
+class PkRangeStreamDataSource(DataSource):
+    """``spark.readStream.format("migbq_pkrange_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "migbq_pkrange_stream"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(self.options["path"])
+        return ", ".join(
+            f"{f.name} {_PA_TO_SPARK[str(f.type)]}"
+            for f in sch
+            if str(f.type) in _PA_TO_SPARK
+        )
+
+    def simpleStreamReader(self, schema) -> PkRangeStreamReader:
+        return PkRangeStreamReader(dict(self.options))
+
+
+def register_pkrange_stream_source(spark) -> None:
+    """Idempotently register the streaming source on ``spark``."""
+    _pickle_self_by_value()
+    try:
+        spark.dataSource.register(PkRangeStreamDataSource)
+    except Exception:
+        pass

@@ -1318,3 +1318,66 @@ def stream_tws_liststate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         _drive_top3_inprocess, _TWS_TOP3_OUT_SCHEMA
     )
+
+
+@register(
+    "pk_range_stream_sync",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def pk_range_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """migbq's cron-style incremental sync on the CUSTOM Python
+    streaming source (`pkrange_source.PkRangeStreamReader`): the stream
+    offset is the last-forwarded PK, persisted in Spark's checkpoint.
+    The operator runs the query with `availableNow` FOUR separate times
+    against the same checkpoint — each run resumes from the committed
+    offset and forwards exactly the next PK stride into a fault-tolerant
+    parquet sink, so what migbq did with a sqlite metadata row + cron
+    (run, forward `pk > last`, stop; repeat) happens here with
+    engine-managed exactly-once offsets.  The graded result is the
+    sink's read-back: equal to one full table scan iff every stride was
+    forwarded exactly once across the four independent runs.
+
+    Scale (100 TB): the same pattern with the pyarrow stride read
+    swapped for a per-range RDBMS query is a resumable CDC-style bulk
+    sync; batch_size bounds per-run memory and the checkpoint bounds
+    re-work on failure to one stride."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from migbq_spark.pkrange_source import register_pkrange_stream_source
+
+    ensure_runtime_confs(spark)
+    register_pkrange_stream_source(spark)
+    path = path_for(sf_dir, "events")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    bs = max(1, -(-n_rows // 3))  # ≤3 data strides at any sf
+
+    tag = hashlib.md5(("pkss_" + sf_dir).encode()).hexdigest()[:10]
+    dest = _STAGE_ROOT / f"pkstream_dest_{tag}"
+    ckpt = _CHECKPOINT_ROOT / f"pkstream_{tag}"
+    for p in (dest, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    for _run in range(4):  # 3 data strides + 1 provably-empty run
+        sdf = (
+            spark.readStream.format("migbq_pkrange_stream")
+            .option("path", path)
+            .option("pk", "event_id")
+            .option("batch_size", str(bs))
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", str(dest))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(str(dest)).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )

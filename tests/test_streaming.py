@@ -313,3 +313,25 @@ def test_stateful_progress_evolves_across_batches(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_pk_range_stream_sync_resumes_across_runs(spark, sf_dir):
+    """r5: the custom Python streaming source must forward the corpus
+    across MULTIPLE independent availableNow runs resuming from the
+    same checkpoint — one PK stride per run (migbq's cron sync), not
+    one big batch — and the union must be exactly-once."""
+    import hashlib as _h
+
+    from migbq_spark.registry import queries
+    from migbq_spark.streaming.structured import _CHECKPOINT_ROOT
+
+    out = queries()["pk_range_stream_sync"](spark, sf_dir)
+    n = out.count()
+    expect = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == expect
+    assert out.select("event_id").distinct().count() == expect  # exactly-once
+    tag = _h.md5(("pkss_" + sf_dir).encode()).hexdigest()[:10]
+    commits = list((_CHECKPOINT_ROOT / f"pkstream_{tag}" / "commits").glob("*"))
+    # ≥3 committed micro-batches across the 4 runs = real incremental
+    # resume, not a single-run drain
+    assert len([c for c in commits if c.name.isdigit()]) >= 3
