@@ -37,6 +37,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 _PA_TO_SPARK = {
@@ -292,5 +294,102 @@ def register_pkrange_stream_source(spark) -> None:
     _pickle_self_by_value()
     try:
         spark.dataSource.register(PkRangeStreamDataSource)
+    except Exception:
+        pass
+
+
+class LoadJobCommitMessage(WriterCommitMessage):
+    """Per-task receipt: (staged file name, rows, bytes)."""
+
+    def __init__(self, filename: str, n_rows: int, n_bytes: int):
+        self.filename, self.n_rows, self.n_bytes = filename, n_rows, n_bytes
+
+
+class LoadJobWriter(DataSourceWriter):
+    """migbq's BigQuery LOAD-JOB sink as a Python ``DataSourceWriter``
+    with the real two-phase commit protocol: every task stages its rows
+    as one gzip-NDJSON part under ``_staging/`` and returns a commit
+    message; ``commit()`` runs only when ALL tasks succeeded — it moves
+    the parts into the destination and writes a ``_MANIFEST.json``
+    (migbq's load-job result row: files, rows, bytes); ``abort()``
+    deletes the staging dir so a failed job leaves NOTHING visible.
+    That is exactly the atomicity migbq got from BigQuery load jobs —
+    rebuilt on the engine's own commit protocol."""
+
+    def __init__(self, options: dict, schema):
+        self.dest = options["path"]
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import gzip
+        import json
+        import os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else 0
+        staging = os.path.join(self.dest, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = f"part-{part:05d}-{_uuid.uuid4().hex[:8]}.jsonl.gz"
+        tmp = os.path.join(staging, fname)
+        n = 0
+        with gzip.open(tmp, "wt") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return LoadJobCommitMessage(fname, n, os.path.getsize(tmp))
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        staging = os.path.join(self.dest, "_staging")
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            shutil.move(
+                os.path.join(staging, m.filename),
+                os.path.join(self.dest, m.filename),
+            )
+            files.append(
+                {"file": m.filename, "rows": m.n_rows, "bytes": m.n_bytes}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        manifest = {
+            "n_files": len(files),
+            "n_rows": sum(f["rows"] for f in files),
+            "files": sorted(files, key=lambda f: f["file"]),
+        }
+        with open(os.path.join(self.dest, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.dest, "_staging"), ignore_errors=True)
+
+
+class LoadJobSinkDataSource(DataSource):
+    """``df.write.format("migbq_loadjob").option("path", dest)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "migbq_loadjob"
+
+    def writer(self, schema, overwrite: bool) -> LoadJobWriter:
+        return LoadJobWriter(dict(self.options), schema)
+
+
+def register_loadjob_sink(spark) -> None:
+    """Idempotently register the load-job sink on ``spark``."""
+    _pickle_self_by_value()
+    try:
+        spark.dataSource.register(LoadJobSinkDataSource)
     except Exception:
         pass

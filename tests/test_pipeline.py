@@ -646,3 +646,43 @@ def test_pkrange_source_plans_and_prunes_strides():
     r3 = PkRangeReader(opts, ["o_orderkey"])
     back = list(r3.pushFilters([LessThanOrEqual(("o_custkey",), 5)]))
     assert len(back) == 1
+
+
+def test_loadjob_sink_commit_protocol(spark, tmp_path):
+    """r5: the custom sink must publish atomically — a commit leaves
+    parts + manifest and no staging dir; a mid-write task failure must
+    leave NOTHING visible in the destination."""
+    import json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from migbq_spark.pkrange_source import register_loadjob_sink
+
+    register_loadjob_sink(spark)
+    df = spark.range(100).select(F.col("id").cast("long").alias("id"))
+
+    ok_dest = str(tmp_path / "ok")
+    df.write.format("migbq_loadjob").option("path", ok_dest).mode(
+        "append"
+    ).save()
+    man = json.loads((Path(ok_dest) / "_MANIFEST.json").read_text())
+    assert man["n_rows"] == 100
+    assert man["n_files"] == len(list(Path(ok_dest).glob("part-*.jsonl.gz")))
+    assert not (Path(ok_dest) / "_staging").exists()
+
+    bad_dest = str(tmp_path / "bad")
+    bad = df.select(
+        F.when(F.col("id") < 99, F.col("id"))
+        .otherwise(F.raise_error(F.lit("boom")))
+        .alias("id")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="boom"):
+        bad.write.format("migbq_loadjob").option("path", bad_dest).mode(
+            "append"
+        ).save()
+    # abort: no committed parts, no manifest
+    assert not list(Path(bad_dest).glob("part-*.jsonl.gz"))
+    assert not (Path(bad_dest) / "_MANIFEST.json").exists()
