@@ -53,6 +53,11 @@ HEADLINE = [
     # the new hash-checked ops.
     "dedup_simhash_portable",
     "mm_decode_headers",
+    # r5 additions: the end-to-end cluster dedup driver (LSH → two-star
+    # CC → quality arg-max) and the custom Python DataSource stride read
+    # with pushdown — measured artifacts for the r5 surfaces.
+    "dedup_keep_cluster_canonical",
+    "pk_range_python_datasource",
 ]
 
 
