@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
     DataSourceWriter,
+    DataSourceStreamWriter,
     WriterCommitMessage,
 )
 
@@ -391,5 +392,100 @@ def register_loadjob_sink(spark) -> None:
     _pickle_self_by_value()
     try:
         spark.dataSource.register(LoadJobSinkDataSource)
+    except Exception:
+        pass
+
+
+class EpochLoadJobStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of ``LoadJobWriter``: one load-job commit PER
+    MICRO-BATCH.  Tasks stage ``epoch=<batchId>`` parts under
+    ``_staging/``; ``commit(messages, batchId)`` publishes the epoch's
+    parts and appends a line to ``_EPOCHS.jsonl`` (batchId, files,
+    rows).  A REPLAYED epoch (failure between publish and Spark's
+    checkpoint commit) overwrites its own ``epoch=<id>`` files instead
+    of duplicating — idempotent epoch publication + checkpointed source
+    offsets = end-to-end exactly-once, the contract migbq approximated
+    with load-job retries."""
+
+    def __init__(self, options: dict, schema):
+        self.dest = options["path"]
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import gzip
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        part = tc.partitionId() if tc is not None else 0
+        staging = os.path.join(self.dest, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        # deterministic name: a replayed (epoch, partition) OVERWRITES
+        fname = f"part-{part:05d}.jsonl.gz"
+        tmp = os.path.join(staging, fname)
+        n = 0
+        with gzip.open(tmp, "wt") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
+                fh.write("\n")
+                n += 1
+        return LoadJobCommitMessage(fname, n, os.path.getsize(tmp))
+
+    def commit(self, messages, batchId: int):
+        import json
+        import os
+        import shutil
+
+        staging = os.path.join(self.dest, "_staging")
+        epoch_dir = os.path.join(self.dest, f"epoch={batchId}")
+        shutil.rmtree(epoch_dir, ignore_errors=True)  # replay-idempotent
+        os.makedirs(epoch_dir, exist_ok=True)
+        files = []
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(staging, m.filename)
+            if os.path.exists(src):
+                shutil.move(src, os.path.join(epoch_dir, m.filename))
+                files.append({"file": m.filename, "rows": m.n_rows})
+        shutil.rmtree(staging, ignore_errors=True)
+        with open(os.path.join(self.dest, "_EPOCHS.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "batch_id": batchId,
+                        "n_files": len(files),
+                        "n_rows": sum(f["rows"] for f in files),
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+
+    def abort(self, messages, batchId: int):
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.dest, "_staging"), ignore_errors=True)
+
+
+class EpochLoadJobStreamDataSource(DataSource):
+    """``sdf.writeStream.format("migbq_loadjob_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "migbq_loadjob_stream"
+
+    def streamWriter(self, schema, overwrite: bool) -> EpochLoadJobStreamWriter:
+        return EpochLoadJobStreamWriter(dict(self.options), schema)
+
+
+def register_loadjob_stream_sink(spark) -> None:
+    """Idempotently register the streaming load-job sink on ``spark``."""
+    _pickle_self_by_value()
+    try:
+        spark.dataSource.register(EpochLoadJobStreamDataSource)
     except Exception:
         pass

@@ -1381,3 +1381,75 @@ def pk_range_stream_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(dest)).select(
         "event_id", "user_id", "event_type", "value", "props"
     )
+
+
+@register(
+    "stream_pk_sync_loadjob",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_pk_sync_loadjob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY CUSTOM streaming pipeline — migbq end-to-end on the Python
+    DataSource API: the PK-offset streaming source
+    (`PkRangeStreamReader`) feeds the per-epoch load-job sink
+    (`EpochLoadJobStreamWriter`) under one checkpoint.  Each micro-batch
+    forwards one PK stride and commits it as an `epoch=<id>` NDJSON
+    load job with an `_EPOCHS.jsonl` receipt line; replayed epochs
+    overwrite their own files, so checkpointed offsets + idempotent
+    epoch publication give exactly-once delivery.  Graded result =
+    read-back of every committed epoch — equal to one full scan iff no
+    stride was lost or double-published.
+
+    Scale (100 TB): this is the CDC-to-lake shape — swap the stride
+    read for the RDBMS range query and the NDJSON epoch for a columnar
+    commit; offsets, commit protocol, and idempotency carry unchanged."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from migbq_spark.pkrange_source import (
+        register_loadjob_stream_sink,
+        register_pkrange_stream_source,
+    )
+
+    ensure_runtime_confs(spark)
+    register_pkrange_stream_source(spark)
+    register_loadjob_stream_sink(spark)
+    path = path_for(sf_dir, "events")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    bs = max(1, -(-n_rows // 3))
+
+    tag = hashlib.md5(("pklj_" + sf_dir).encode()).hexdigest()[:10]
+    dest = _STAGE_ROOT / f"pk_loadjob_dest_{tag}"
+    ckpt = _CHECKPOINT_ROOT / f"pk_loadjob_{tag}"
+    for p in (dest, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    for _run in range(4):
+        sdf = (
+            spark.readStream.format("migbq_pkrange_stream")
+            .option("path", path)
+            .option("pk", "event_id")
+            .option("batch_size", str(bs))
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("migbq_loadjob_stream")
+            .option("path", str(dest))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    schema = spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    ).schema
+    return (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "part-*.jsonl.gz")
+        .option("recursiveFileLookup", "true")
+        .json(str(dest))
+    )

@@ -335,3 +335,29 @@ def test_pk_range_stream_sync_resumes_across_runs(spark, sf_dir):
     # ≥3 committed micro-batches across the 4 runs = real incremental
     # resume, not a single-run drain
     assert len([c for c in commits if c.name.isdigit()]) >= 3
+
+
+def test_stream_loadjob_epochs_exactly_once(spark, sf_dir):
+    """r5: the custom source→custom sink streaming pipeline must commit
+    one epoch per forwarded stride with a receipt line each, and the
+    union of epochs must be exactly-once."""
+    import hashlib as _h
+    import json
+
+    from migbq_spark.registry import queries
+    from migbq_spark.streaming.structured import _STAGE_ROOT
+
+    out = queries()["stream_pk_sync_loadjob"](spark, sf_dir)
+    expect = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == expect
+    assert out.select("event_id").distinct().count() == expect
+    tag = _h.md5(("pklj_" + sf_dir).encode()).hexdigest()[:10]
+    dest = _STAGE_ROOT / f"pk_loadjob_dest_{tag}"
+    epochs = [
+        json.loads(line)
+        for line in (dest / "_EPOCHS.jsonl").read_text().splitlines()
+    ]
+    data_epochs = [e for e in epochs if e["n_rows"] > 0]
+    assert len(data_epochs) >= 3  # one stride per run, multi-run resume
+    assert sum(e["n_rows"] for e in data_epochs) == expect
+    assert not (dest / "_staging").exists()
