@@ -1306,6 +1306,78 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_train_drop",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, mod(doc_id, 10) AS m,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, m, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM tok WHERE len(t) >= 3
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, m,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM sh
+    ),
+    test_g AS (SELECT DISTINCT gram FROM g WHERE m = 9),
+    train_g AS (SELECT doc_id, gram FROM g WHERE m < 8)
+    SELECT tg.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(*) FILTER (t.gram IS NOT NULL) AS BIGINT)
+               AS n_leaked,
+           COUNT(*) FILTER (t.gram IS NOT NULL) >= 3 AS dropped
+    FROM train_g tg LEFT JOIN test_g t USING (gram)
+    GROUP BY tg.doc_id
+    """,
+)
+def decontaminate_train_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION — the action `contamination_overlap` only
+    detects: drop from the TRAIN split every document sharing ≥3 word
+    trigrams with ANY test-split document (the mirror direction of the
+    screen: there the test docs were scored against train vocabulary,
+    here train docs are scored against the test vocabulary and removed
+    so the eval set stays unseen).  One row per train doc with its
+    shingle count, leaked-shingle count, and the drop verdict.
+
+    Scale (100 TB): the test side reduces to a DISTINCT shingle set
+    before the single shuffle join (probe = |test vocab|, tiny next to
+    the train corpus — usually broadcast-able); the train side streams
+    through map-side distinct.  Same shape as the screen, so the pair
+    runs off one shared shingle scan under Spark's exchange reuse."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select(
+        "doc_id", F.pmod("doc_id", F.lit(10)).alias("m"), toks.alias("t")
+    ).filter(F.size("t") >= _SHINGLE_MIN_TOKS)
+    grams = base.select(
+        "doc_id",
+        "m",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                )
+            )
+        ).alias("gram"),
+    )
+    test_g = grams.filter(F.col("m") == 9).select("gram").distinct()
+    train_g = grams.filter(F.col("m") < 8).select("doc_id", "gram")
+    hit = train_g.join(
+        test_g.withColumn("in_test", F.lit(1)), "gram", "left"
+    )
+    n_leak = F.count_if(F.col("in_test").isNotNull())
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        n_leak.alias("n_leaked"),
+        (n_leak >= 3).alias("dropped"),
+    )
+
+
+@register(
     "repeated_ngram_ratio",
     oracle="""
     WITH tok AS (

@@ -42,6 +42,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: side-effecting or long-running by design, exercised in tests instead.
 SKIP_PREFIX = ("stream_", "kafka_")
 SKIP = {
+    # streaming drains not caught by the stream_ prefix
+    "pk_range_stream_sync",
     "jdbc_source", "bq_sink_adapter", "dup_connected_components",
     "dup_cc_twostar", "mm_decode_stub", "mm_frame_sample",
     "rolling_quantile_tdigest",
