@@ -1,0 +1,102 @@
+"""Property-based pins for the r5 pure-Python components: the PK-range
+stride planner/pushdown and the JPEG marker walker — fast hypothesis
+targets with no Spark session."""
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from migbq_spark.pkrange_source import PkRangeReader
+
+
+def _mk_reader(batch_size):
+    r = PkRangeReader.__new__(PkRangeReader)
+    r.path, r.pk = "unused", "pk"
+    r.batch_size = batch_size
+    r.columns = ["pk"]
+    r.lo = r.hi = None
+    return r
+
+
+def _strides(lo, hi, batch_size, pushed_lo=None, pushed_hi=None):
+    """Re-implement partitions() bound math on explicit bounds (the real
+    method reads parquet metadata; the math under test is identical)."""
+    r = _mk_reader(batch_size)
+    r.lo, r.hi = pushed_lo, pushed_hi
+    eff_lo = lo if r.lo is None else max(lo, r.lo)
+    eff_hi = hi + 1 if r.hi is None else min(hi + 1, r.hi)
+    if eff_lo >= eff_hi:
+        return []
+    return [
+        (s, min(s + batch_size, eff_hi))
+        for s in range(eff_lo, eff_hi, batch_size)
+    ]
+
+
+@given(
+    lo=st.integers(-1000, 1000),
+    span=st.integers(0, 5000),
+    bs=st.integers(1, 700),
+)
+@settings(max_examples=200, deadline=None)
+def test_strides_tile_key_space_exactly(lo, span, bs):
+    hi = lo + span
+    parts = _strides(lo, hi, bs)
+    assert parts, "non-empty key space must plan at least one stride"
+    # tiles [lo, hi+1) with no gaps/overlaps, all widths ≤ batch_size
+    assert parts[0][0] == lo and parts[-1][1] == hi + 1
+    for (a_lo, a_hi), (b_lo, _) in zip(parts, parts[1:]):
+        assert a_hi == b_lo
+    assert all(0 < h - l <= bs for l, h in parts)
+
+
+@given(
+    lo=st.integers(0, 100),
+    span=st.integers(0, 2000),
+    bs=st.integers(1, 300),
+    f_lo=st.integers(-50, 2300),
+    f_hi=st.integers(-50, 2300),
+)
+@settings(max_examples=200, deadline=None)
+def test_pushdown_bounds_never_lose_keys(lo, span, bs, f_lo, f_hi):
+    """Pruned strides ∪ pushed predicate must cover exactly the keys the
+    unpruned strides ∩ predicate cover."""
+    hi = lo + span
+    keys = set(range(lo, hi + 1))
+    want = {k for k in keys if f_lo <= k < f_hi}
+    parts = _strides(lo, hi, bs, pushed_lo=f_lo, pushed_hi=f_hi)
+    got = set()
+    for p_lo, p_hi in parts:
+        got |= {k for k in keys if p_lo <= k < p_hi}
+    assert got == want
+
+
+@given(
+    w=st.integers(1, 0xFFFF),
+    h=st.integers(1, 0xFFFF),
+    junk=st.lists(
+        st.sampled_from(["app", "dqt", "rst", "tem", "fill"]),
+        max_size=6,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_jpeg_walk_recovers_dims_through_any_marker_prefix(w, h, junk):
+    from migbq_spark.operators.multimodal import _jpeg_dims
+
+    parts = [b"\xff\xd8"]
+    for j in junk:
+        if j == "app":
+            parts.append(b"\xff\xe1" + struct.pack(">H", 6) + b"abcd")
+        elif j == "dqt":
+            parts.append(b"\xff\xdb" + struct.pack(">H", 4) + b"xy")
+        elif j == "rst":
+            parts.append(b"\xff\xd3")
+        elif j == "tem":
+            parts.append(b"\xff\x01")
+        else:  # fill
+            parts.append(b"\xff")
+    # fill bytes must be immediately followed by a marker: append SOF0
+    sof = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    parts.append(b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof)
+    assert _jpeg_dims(b"".join(parts)) == (w, h)
