@@ -686,3 +686,24 @@ def test_loadjob_sink_commit_protocol(spark, tmp_path):
     # abort: no committed parts, no manifest
     assert not list(Path(bad_dest).glob("part-*.jsonl.gz"))
     assert not (Path(bad_dest) / "_MANIFEST.json").exists()
+
+
+def test_ann_rp_lsh_recall_vs_brute_force(spark, sf_dir):
+    """r5: sign-LSH recall on this CLUSTER-FREE random fixture is
+    theoretically ≈ (1 - θ/π)^12 × 13 ≈ 0.04 (true neighbors sit at
+    cosine ≈ 0.35 ⇒ θ ≈ 69°, per-plane collision ≈ 0.61) — the pin is
+    that measured recall beats the probed corpus FRACTION (13/2^12 ≈
+    0.3%) by an order of magnitude, i.e. the buckets are genuinely
+    similarity-biased, not random.  On real embeddings (near-dup cosine
+    → 1) per-plane collision → 1 and recall rises accordingly."""
+    exact = {
+        (r.q_id, r.n_id) for r in Q["cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id) for r in Q["ann_rp_lsh_topk"](spark, sf_dir).collect()
+    }
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    probed_fraction = 13 / 2 ** 12
+    print(f"RP-LSH recall @5: {recall:.3f} (probed {probed_fraction:.4f})")
+    assert recall >= 10 * probed_fraction
