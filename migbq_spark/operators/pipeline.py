@@ -656,13 +656,15 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return 1 if _hl.md5(f"rp:{p}:{j}".encode()).digest()[0] % 2 == 0 else -1
 
     def proj(p: int, col: str) -> F.Column:
-        # Σ_j emb[j] * (±1): constant-folded sign literals, one pass
-        return sum(
-            (
-                F.element_at(F.col(col), j + 1).cast("double") * F.lit(sign_lit(p, j))
-                for j in range(64)
-            ),
+        # Σ_j emb[j] * (±1) as one zip_with/aggregate over an array
+        # literal of signs — 12 compact higher-order expressions instead
+        # of 768 inlined products (whose codegen compile alone measured
+        # ~7 s of the op's cold time)
+        signs = F.array(*[F.lit(float(sign_lit(p, j))) for j in range(64)])
+        return F.aggregate(
+            F.zip_with(F.col(col), signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
+            lambda acc, x: acc + x,
         )
 
     def signature(col: str) -> F.Column:
