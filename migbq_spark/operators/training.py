@@ -1131,3 +1131,97 @@ def pack_sequences_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         end.alias("end_chunk"),
         (end - start + 1).alias("n_chunks"),
     )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, weight) adjacent-symbol pair counts over the
+    weighted symbol-sequence table — the distributed heart of BPE
+    training (one shuffle per iteration)."""
+    pairs = words.select(
+        "weight",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(syms) - 2),"
+                " i -> struct(syms[i] AS left, syms[i + 1] AS right))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(
+        F.sum("weight").alias("weight")
+    )
+
+
+@register("tokenizer_bpe_train_merges", oracle=None)  # rows-only: iterative
+def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TOKENIZER TRAINING — the step that turns a corpus
+    into the merge table an LLM tokenizer ships with: start from
+    per-word character sequences (word-boundary marker `_` appended),
+    weighted by corpus word frequency; for each of 8 iterations count
+    adjacent symbol pairs (one distributed groupBy), pick the most
+    frequent pair (deterministic tie-break on the pair text; the single
+    collected row per iteration is the argmax — bounded by construction)
+    and merge every occurrence.  Output: (rank, left, right, weight) —
+    the learned merge table.
+
+    Rows-only: iterative training is not SQL-expressible; pinned in
+    tests against a pure-Python reference BPE on the same word
+    frequencies.
+
+    Scale (100 TB): the corpus only enters through the per-word
+    frequency table (Heaps-bounded, exactly `vocab_top_tokens`'s
+    shape); each iteration is one map-side-combinable pair-count
+    shuffle over the weighted VOCAB (not the corpus), and the merge
+    application is a per-row array rewrite.  This is how
+    production-scale BPE/unigram trainers are structured (count on the
+    cluster, argmax on the driver, N_merges rounds)."""
+    n_merges = 8
+    d = load(spark, sf_dir, "documents")
+    freqs = (
+        d.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    words = freqs.select(
+        "weight",
+        F.expr("split(concat(word, '_'), '')").alias("syms"),
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(n_merges):
+        top = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("weight"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, weight = top[0].left, top[0].right, int(top[0].weight)
+        merges.append((rank, left, right, weight))
+        # merge every adjacent (left, right) occurrence: left-to-right
+        # pass as an aggregate over the symbol array (pure JVM HOF)
+        merged = left + right
+        words = words.select(
+            "weight",
+            F.expr(
+                # greedy leftmost non-overlapping merge as a left fold:
+                # if the running tail is `left` and the next symbol is
+                # `right`, replace the tail with the merged symbol
+                "aggregate(syms, cast(array() AS array<string>),"
+                " (acc, x) -> IF(size(acc) > 0"
+                "   AND element_at(acc, -1) = '{L}' AND x = '{R}',"
+                "   concat(slice(acc, 1, size(acc) - 1), array('{M}')),"
+                "   concat(acc, array(x))))".format(
+                    L=left.replace("'", "\\'"),
+                    R=right.replace("'", "\\'"),
+                    M=merged.replace("'", "\\'"),
+                )
+            ).alias("syms"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, weight bigint"
+    )

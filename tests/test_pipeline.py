@@ -707,3 +707,53 @@ def test_ann_rp_lsh_recall_vs_brute_force(spark, sf_dir):
     probed_fraction = 13 / 2 ** 12
     print(f"RP-LSH recall @5: {recall:.3f} (probed {probed_fraction:.4f})")
     assert recall >= 10 * probed_fraction
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    """r5: the distributed BPE trainer must learn exactly the merge
+    table a pure-Python reference BPE learns from the same word
+    frequencies (same tie-break: weight desc, then pair text asc)."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    freqs = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                freqs[w] += 1
+
+    def ref_bpe(freqs, n_merges):
+        words = {tuple(list(w) + ["_"]): c for w, c in freqs.items()}
+        merges = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for syms, c in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                break
+            (left, right), weight = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, weight))
+            merged = left + right
+            new_words = {}
+            for syms, c in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+            words = new_words
+        return merges
+
+    expect = ref_bpe(freqs, 8)
+    got = [
+        (r.rank, r.left, r.right, r.weight)
+        for r in Q["tokenizer_bpe_train_merges"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
