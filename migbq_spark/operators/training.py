@@ -1225,3 +1225,73 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, weight bigint"
     )
+
+
+@register("tokenizer_bpe_apply", oracle=None)  # rows-only: consumes trained merges
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the `tokenizer_bpe_train_merges` merge table to the corpus:
+    every document is tokenized word-by-word with the 8 learned merges
+    (same greedy leftmost fold, chained in rank order inside ONE
+    projection — the merge table is collected once, 8 bounded rows, and
+    baked into the plan as literals exactly like a broadcast vocab).
+    Output per source: documents, char count, BPE token count, and the
+    compression ratio chars/token — the number a tokenizer change is
+    judged by before a training run.
+
+    Rows-only (depends on the iteratively-trained table); pinned in
+    tests against the reference tokenizer on sampled docs.
+
+    Scale (100 TB): tokenization is row-local (no shuffle until the
+    per-source audit); a production merge table (~50k merges) ships as
+    a broadcast trie consumed by a pandas UDF instead of 8 inline fold
+    stages — the plan shape (broadcast table + row-local rewrite +
+    one audit aggregation) is identical."""
+    merges = [
+        (r.left, r.right)
+        for r in tokenizer_bpe_train_merges(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_chars"
+        ),
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    sym_expr = "split(concat(word, '_'), '')"
+    for left, right in merges:
+        sym_expr = (
+            "aggregate({inner}, cast(array() AS array<string>),"
+            " (acc, x) -> IF(size(acc) > 0"
+            "   AND element_at(acc, -1) = '{L}' AND x = '{R}',"
+            "   concat(slice(acc, 1, size(acc) - 1), array('{LR}')),"
+            "   concat(acc, array(x))))"
+        ).format(
+            inner=sym_expr,
+            L=left.replace("'", "\\'"),
+            R=right.replace("'", "\\'"),
+            LR=(left + right).replace("'", "\\'"),
+        )
+    toks = words.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.expr(sym_expr)).cast("bigint").alias("n_tokens"),
+    )
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.first("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
+        ).alias("chars_per_token"),
+    )

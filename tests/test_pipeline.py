@@ -757,3 +757,43 @@ def test_bpe_merges_match_reference(spark, sf_dir):
         .collect()
     ]
     assert got == expect
+
+
+def test_bpe_apply_consistent_with_reference_tokenization(spark, sf_dir):
+    """r5: corpus BPE token counts from the distributed apply must equal
+    tokenizing every word with the reference merge algorithm."""
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    merges = [
+        (r.left, r.right)
+        for r in Q["tokenizer_bpe_train_merges"](spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def tok_len(word):
+        syms = list(word) + ["_"]
+        for left, right in merges:
+            out = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    cache = {}
+    expect = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                if w not in cache:
+                    cache[w] = tok_len(w)
+                expect[r.source] += cache[w]
+    got = {
+        r.source: r.n_bpe_tokens
+        for r in Q["tokenizer_bpe_apply"](spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
