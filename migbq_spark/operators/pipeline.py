@@ -1733,3 +1733,187 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, s
+    ),
+    sig AS (
+        SELECT doc_id, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, s // 4
+    ),
+    hub AS (SELECT band, bkey, MIN(doc_id) AS hub
+            FROM sig GROUP BY band, bkey),
+    edges0 AS (
+        SELECT DISTINCT h.hub AS u, s.doc_id AS v
+        FROM sig s JOIN hub h ON s.band = h.band AND s.bkey = h.bkey
+        WHERE s.doc_id <> h.hub
+    ),
+    edges AS (SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+    reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+        FROM reach GROUP BY src
+    ),
+    q AS (
+        -- raw (non-distinct) token counts: the shared `tok` CTE above
+        -- is DISTINCT (for minhash) and would collapse TTR to 1.0
+        SELECT doc_id,
+               COUNT(DISTINCT t) AS n_tokens,
+               0.5 * (COUNT(DISTINCT t) * 1.0 / COUNT(*))
+                 + 0.5 * LEAST(COUNT(*) / 50.0, 1.0) AS quality
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY doc_id
+    ),
+    labeled AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(c.component_id, d.doc_id) AS component_id,
+               q.quality, q.n_tokens
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY component_id
+            ORDER BY quality DESC, doc_id ASC
+        ) AS rn
+        FROM labeled
+    ),
+    toks3 AS (
+        SELECT doc_id, mod(doc_id, 10) AS m,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, m, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM toks3 WHERE len(t) >= 3
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, m,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM sh
+    ),
+    test_g AS (SELECT DISTINCT gram FROM g WHERE m = 9),
+    leak AS (
+        SELECT tg.doc_id
+        FROM (SELECT doc_id, gram FROM g WHERE m < 8) tg
+        LEFT JOIN test_g t USING (gram)
+        GROUP BY tg.doc_id
+        HAVING COUNT(*) FILTER (t.gram IS NOT NULL) >= 3
+    ),
+    verdict AS (
+        SELECT r.doc_id, r.source, r.n_tokens,
+               CASE
+                 WHEN r.rn > 1 THEN 'dup'
+                 WHEN r.quality < 0.5 THEN 'quality'
+                 WHEN l.doc_id IS NOT NULL THEN 'leak'
+                 ELSE 'kept'
+               END AS fate
+        FROM ranked r LEFT JOIN leak l ON l.doc_id = r.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(COUNT(*) FILTER (fate = 'dup') AS BIGINT) AS n_dup_dropped,
+           CAST(COUNT(*) FILTER (fate = 'quality') AS BIGINT)
+               AS n_quality_dropped,
+           CAST(COUNT(*) FILTER (fate = 'leak') AS BIGINT) AS n_leak_dropped,
+           CAST(COUNT(*) FILTER (fate = 'kept') AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) FILTER (fate = 'kept') AS BIGINT)
+               AS kept_tokens,
+           ROUND(COUNT(*) FILTER (fate = 'kept') * 1.0 / COUNT(*), 4)
+               AS kept_frac
+    FROM verdict
+    GROUP BY source
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CURATION FUNNEL — every r5 decision stage composed
+    into one per-source report, in precedence order: (1) near-dup
+    cluster membership (LSH star-edge CC; non-canonical docs drop as
+    'dup'), (2) quality floor (blended score < 0.5 drops as 'quality'),
+    (3) benchmark decontamination (train-split docs with ≥3 leaked
+    trigrams drop as 'leak'), remainder 'kept' with its token budget.
+    This is the report a training-data owner reads before a run: how
+    much each source survives curation and why the rest fell out.
+
+    Fully hash-checked: the oracle composes the recursive-CTE CC, the
+    quality formula, and the leakage join — the largest composed oracle
+    in the registry, proving the STAGES interact exactly as specified
+    (precedence, singleton components, split boundaries).
+
+    Scale (100 TB): union of the constituent plans — nothing new
+    shuffles; the verdict is a row-local CASE over three joined signals,
+    and each signal is individually scale-shaped (two-star CC, one
+    aggregation, one vocab-probe join)."""
+    comps = dedup_cross_source_cc(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(F.array_distinct(toks)).cast("bigint")
+    # NOTE: quality uses ALL-token counts; n_tokens output is DISTINCT
+    # tokens (matches the oracle's tok CTE, which is DISTINCT)
+    n_all = F.size(toks).cast("bigint")
+    ttr = n_tokens * F.lit(1.0) / n_all
+    q = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        (
+            F.lit(0.5) * ttr
+            + F.lit(0.5) * F.least(n_all / F.lit(50.0), F.lit(1.0))
+        ).alias("quality"),
+    )
+    labeled = q.join(comps, "doc_id", "left").withColumn(
+        "component_id", F.coalesce("component_id", "doc_id")
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    leak = (
+        decontaminate_train_drop(spark, sf_dir)
+        .filter(F.col("dropped"))
+        .select("doc_id", F.lit(True).alias("leaked"))
+    )
+    verdict = ranked.join(leak, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.when(F.col("rn") > 1, "dup")
+        .when(F.col("quality") < 0.5, "quality")
+        .when(F.col("leaked"), "leak")
+        .otherwise("kept")
+        .alias("fate"),
+    )
+    kept = F.col("fate") == "kept"
+    return verdict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("fate") == "dup").alias("n_dup_dropped"),
+        F.count_if(F.col("fate") == "quality").alias("n_quality_dropped"),
+        F.count_if(F.col("fate") == "leak").alias("n_leak_dropped"),
+        F.count_if(kept).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens"))).alias("kept_tokens"),
+        F.round(
+            F.count_if(kept) * F.lit(1.0) / F.count(F.lit(1)), 4
+        ).alias("kept_frac"),
+    )

@@ -108,8 +108,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: the driver records ``spark_rows`` with ``err: "no_oracle"`` (proven by
 #: ``agg_approx_distinct``/``agg_approx_percentile`` in r1/r2), which is
 #: real "runs under the driver env" evidence (r4 VERDICT "Next round"
-#: #3).  After r6 lands, every one of the 228 §2 ids will have been
-#: driver-executed at least once; the remaining 22 r6 slots fall through
+#: #3).  After r6 lands, every one of the 229 §2 ids will have been
+#: driver-executed at least once; the remaining 21 r6 slots fall through
 #: to import order (all previously-graded, all parity-guarded).
 R6_WINDOW: tuple[str, ...] = (
     # held-back r5 hash ids — grade these FIRST in r6
@@ -128,6 +128,7 @@ R6_WINDOW: tuple[str, ...] = (
     "ann_rp_lsh_topk",
     "tokenizer_bpe_train_merges",
     "tokenizer_bpe_apply",
+    "corpus_curation_funnel",
     # rows-only ids never yet executed under the driver
     "jdbc_source",
     "bq_sink_adapter",
