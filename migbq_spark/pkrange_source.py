@@ -270,16 +270,27 @@ class PkRangeStreamReader(SimpleDataSourceStreamReader):
 
 
 class PkRangeStreamDataSource(DataSource):
-    """``spark.readStream.format("migbq_pkrange_stream")``."""
+    """``spark.readStream.format("migbq_pkrange_stream")``.
+
+    ``path`` may be a single parquet file OR a directory of parquet
+    files — the directory form is the real sync scenario, where new
+    part files land between runs and the next drain forwards only the
+    keys beyond the checkpointed offset."""
 
     @classmethod
     def name(cls) -> str:
         return "migbq_pkrange_stream"
 
     def schema(self) -> str:
+        import os
+
         import pyarrow.parquet as pq
 
-        sch = pq.read_schema(self.options["path"])
+        path = self.options["path"]
+        if os.path.isdir(path):
+            sch = pq.ParquetDataset(path).schema
+        else:
+            sch = pq.read_schema(path)
         return ", ".join(
             f"{f.name} {_PA_TO_SPARK[str(f.type)]}"
             for f in sch

@@ -361,3 +361,59 @@ def test_stream_loadjob_epochs_exactly_once(spark, sf_dir):
     assert len(data_epochs) >= 3  # one stride per run, multi-run resume
     assert sum(e["n_rows"] for e in data_epochs) == expect
     assert not (dest / "_staging").exists()
+
+
+def test_pk_stream_source_picks_up_new_data_between_runs(spark, tmp_path):
+    """r5: the PK-offset streaming source must forward rows that ARRIVE
+    in the source between availableNow runs — migbq's actual sync
+    scenario — resuming from the checkpointed offset, exactly once."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from migbq_spark.pkrange_source import register_pkrange_stream_source
+
+    register_pkrange_stream_source(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, lo, hi):
+        pdf = pd.DataFrame({"pk": range(lo, hi), "val": [f"v{i}" for i in range(lo, hi)]})
+        pq.write_table(pa.Table.from_pandas(pdf), str(src / name))
+
+    write_batch("part1.parquet", 0, 100)
+
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        sdf = (
+            spark.readStream.format("migbq_pkrange_stream")
+            .option("path", str(src))
+            .option("pk", "pk")
+            .option("batch_size", "1000")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(dest).count() == 100
+
+    # NEW DATA arrives in the source after the first run completed
+    write_batch("part2.parquet", 100, 180)
+    drain()
+    out = spark.read.parquet(dest)
+    assert out.count() == 180  # only the 80 new rows were forwarded
+    assert out.select("pk").distinct().count() == 180  # exactly once
+
+    # no new data → a third run forwards nothing
+    drain()
+    assert spark.read.parquet(dest).count() == 180
