@@ -45,6 +45,29 @@ from migbq_spark.session import ensure_runtime_confs
 
 _MAX_JDBC_PARTITIONS = 256
 
+#: message fragments that plausibly mean "this identifier-quoting combo
+#: is wrong for this store" (SQLState 42xxx family: syntax error,
+#: object/column not found, case-folding mismatches).  Anything else —
+#: connectivity, auth, missing driver class — fails every combo the
+#: same way and should not be retried as a quoting problem.
+_IDENTIFIER_ERR_HINTS = (
+    "syntax",
+    "column",
+    "identifier",
+    "not found",
+    "does not exist",
+    "doesn't exist",
+    "invalid object name",
+    "unknown table",
+    "sqlstate: '42",
+    "sqlstate: 42",
+)
+
+
+def _is_identifier_error(e: Exception) -> bool:
+    msg = str(e).lower()
+    return any(h in msg for h in _IDENTIFIER_ERR_HINTS)
+
 
 class Forwarder:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
@@ -112,7 +135,15 @@ class Forwarder:
                 )
                 break
             except Exception as e:  # noqa: BLE001 - dialect probe
-                probe_err = e
+                # Only quoting-plausible failures continue the probe; a
+                # connectivity/auth/driver failure would fail all four
+                # combos identically and must surface AS ITSELF, not as
+                # a misleading last-combo quoted-identifier error.
+                if not _is_identifier_error(e):
+                    raise
+                # keep the FIRST identifier error: the unquoted combo's
+                # message names the store's actual complaint
+                probe_err = probe_err or e
         if bounds is None:
             raise probe_err
         # positional access: stores with case-insensitive identifiers

@@ -99,6 +99,10 @@ def _jpeg_dims(payload: bytes) -> tuple[int, int]:
         if seglen < 2:
             raise NotImplementedError("corrupt JPEG segment length")
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if j + 8 > len(payload):
+                # stream ends inside the SOF dimensions: same corrupt-
+                # stream contract as every other truncation path here
+                raise NotImplementedError("truncated SOF segment")
             height, width = struct.unpack(">HH", payload[j + 4 : j + 8])
             return width, height
         i = j + 1 + seglen

@@ -1237,7 +1237,11 @@ def dedup_keep_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     n_tokens = F.size(toks).cast("bigint")
     ttr = F.size(F.array_distinct(toks)).cast("bigint") * F.lit(1.0) / n_tokens
-    q = d.select(
+    # where(n_tokens > 0) mirrors the oracle's INNER join against its q
+    # CTE: a doc with zero non-empty tokens has no quality (0/0 = NULL
+    # here, no q row there) and is excluded from the keep/drop decision
+    # on BOTH sides rather than riding a NULL quality into `kept`.
+    q = d.where(n_tokens > 0).select(
         "doc_id",
         (
             F.lit(0.5) * ttr
@@ -1896,7 +1900,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens (matches the oracle's tok CTE, which is DISTINCT)
     n_all = F.size(toks).cast("bigint")
     ttr = n_tokens * F.lit(1.0) / n_all
-    q = d.select(
+    # where(n_all > 0) mirrors the oracle's INNER join against its q
+    # CTE: zero-token docs have no quality row there and would otherwise
+    # carry quality = 0/0 = NULL here, making every fate-CASE branch
+    # NULL-false and mis-filing the doc as 'kept'.
+    q = d.where(n_all > 0).select(
         "doc_id",
         "source",
         n_tokens.alias("n_tokens"),

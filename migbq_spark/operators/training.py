@@ -23,6 +23,7 @@ token-Jaccard scale path (LSH variant in pipeline.py).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1243,9 +1244,11 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): tokenization is row-local (no shuffle until the
     per-source audit); a production merge table (~50k merges) ships as
-    a broadcast trie consumed by a pandas UDF instead of 8 inline fold
-    stages — the plan shape (broadcast table + row-local rewrite +
-    one audit aggregation) is identical."""
+    a broadcast table consumed by one pandas UDF instead of 8 inline
+    fold stages — that path is IMPLEMENTED as
+    `tokenizer_bpe_apply_trie` below, pinned exactly equal to this
+    one; the plan shape (broadcast table + row-local rewrite + one
+    audit aggregation) is identical."""
     merges = [
         (r.left, r.right)
         for r in tokenizer_bpe_train_merges(spark, sf_dir)
@@ -1281,15 +1284,22 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Heaps'-law move as the minhash signature build): the 8-deep fold
     # runs |vocab| times and occurrence counts join it back (18.2 s →
     # 1.5 s at sf0.1)
-    occ = words.groupBy("doc_id", "source", "n_chars", "word").agg(
-        F.count(F.lit(1)).alias("n_occ")
-    )
     vocab_toks = (
         words.select("word")
         .distinct()
         .select(
             "word", F.size(F.expr(sym_expr)).cast("bigint").alias("word_toks")
         )
+    )
+    return _bpe_token_audit(words, vocab_toks)
+
+
+def _bpe_token_audit(words: DataFrame, vocab_toks: DataFrame) -> DataFrame:
+    """Shared tail of the two BPE-apply paths: join per-word token
+    counts back onto occurrences, roll up per document, then per
+    source."""
+    occ = words.groupBy("doc_id", "source", "n_chars", "word").agg(
+        F.count(F.lit(1)).alias("n_occ")
     )
     per_doc = (
         occ.join(vocab_toks, "word")
@@ -1307,3 +1317,83 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
         ).alias("chars_per_token"),
     )
+
+
+@register("tokenizer_bpe_apply_trie", oracle=None)  # rows-only: trained input
+def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-SCALE twin of `tokenizer_bpe_apply`: the merge table
+    ships as a BROADCAST variable consumed by ONE vectorized pandas UDF
+    instead of |merges| chained fold expressions.  The fold form bakes
+    each merge into the plan as a literal — fine for 8 learned merges,
+    impossible for a production ~50k-merge table (a 50k-deep expression
+    tree breaks codegen long before it breaks the optimizer).  Here the
+    plan has a single Arrow-batched Python node over the DISTINCT vocab
+    (plan-asserted in tests), and the merge table size only affects the
+    broadcast payload, not the plan.
+
+    Output is pinned EXACTLY equal to `tokenizer_bpe_apply` (one test
+    runs both): inside the UDF each word takes the same rank-order
+    greedy-leftmost merge passes as the fold, with an O(1) per-merge
+    symbol-presence skip so inapplicable merges (the overwhelming
+    majority under a big table, since a word only contains a few dozen
+    symbols) cost one set probe.  Iterative best-rank application (the
+    GPT-2 loop) was deliberately NOT used: it can diverge from
+    sequential passes on tables that violate the trainer's
+    derived-symbol invariant, and exact twin equality is the contract
+    here.
+
+    Scale (100 TB): tokenization stays row-local over the Heaps-bounded
+    vocab; the broadcast is one merge-table payload per executor; the
+    audit joins/aggregations are identical to the fold path's."""
+    import pandas as pd
+
+    merges = [
+        (r.left, r.right, r.left + r.right)
+        for r in tokenizer_bpe_train_merges(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    bc = spark.sparkContext.broadcast(merges)
+
+    @F.pandas_udf("bigint")
+    def bpe_word_toks(col: pd.Series) -> pd.Series:
+        table = bc.value
+
+        def n_toks(word: str) -> int:
+            syms = list(word + "_")
+            present = set(syms)
+            for left, right, merged in table:
+                if left not in present or right not in present:
+                    continue
+                out: list[str] = []
+                changed = False
+                for x in syms:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = merged
+                        changed = True
+                    else:
+                        out.append(x)
+                if changed:
+                    syms = out
+                    present = set(syms)
+            return len(syms)
+
+        return col.map(n_toks)
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_chars"
+        ),
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    vocab_toks = (
+        words.select("word")
+        .distinct()
+        .select("word", bpe_word_toks("word").alias("word_toks"))
+    )
+    return _bpe_token_audit(words, vocab_toks)

@@ -247,17 +247,69 @@ class PkRangeStreamReader(SimpleDataSourceStreamReader):
         t = t.select(cols).sort_by(self.pk)
         return t
 
+    def _hi_bound(self, lo_excl):
+        """Smallest pk upper bound that — by parquet row-group STATISTICS
+        alone, no data read — still guarantees the next stride can fill
+        ``batch_size`` rows past ``lo_excl``.  This is what bounds the
+        per-micro-batch read: without it, ``read`` would scan every row
+        beyond the offset each batch (O(N²/batch) over a full drain).
+
+        Returns ``None`` when stats are missing or when fewer than
+        ``batch_size`` rows remain (then the unbounded read IS the
+        bounded read — it returns only the tail)."""
+        import pyarrow.dataset as ds
+
+        try:
+            groups = []  # (min, max, num_rows) per live row group
+            for frag in ds.dataset(self.path, format="parquet").get_fragments():
+                md = frag.metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                ci = names[self.pk]
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        return None  # stats gap → no safe pruning
+                    if lo_excl is None or st.max > lo_excl:
+                        groups.append(
+                            (st.min, st.max, md.row_group(rg).num_rows)
+                        )
+        except Exception:
+            return None
+        # Integer min/max stats are exact, so a group with max > lo_excl
+        # holds >= 1 row past the offset; a group with min > lo_excl
+        # holds ALL its rows past it.  Accumulate groups in max order
+        # until the guaranteed row count reaches batch_size — the last
+        # accumulated max is a sufficient cap.
+        groups.sort(key=lambda g: g[1])
+        guaranteed = 0
+        for mn, mx, nrows in groups:
+            guaranteed += nrows if (lo_excl is None or mn > lo_excl) else 1
+            if guaranteed >= self.batch_size:
+                return mx
+        return None  # tail smaller than one stride: read it all
+
     def read(self, start: dict):
         last = start.get("last_pk")
-        t = self._read_range(last, None)
-        n = min(t.num_rows, self.batch_size)
-        if n == 0:
+        t = self._read_range(last, self._hi_bound(last))
+        if t.num_rows == 0:
             return iter([]), start
+        # Cut the stride at a pk-VALUE boundary, not a row-count
+        # boundary: if the batch_size'th row shares its pk with the
+        # next row (non-unique pk), extend so equal keys never straddle
+        # the offset — `pk > last` would skip the straddlers forever.
+        n = min(t.num_rows, self.batch_size)
+        pks = t.column(self.pk)
+        while n < t.num_rows and pks[n].as_py() == pks[n - 1].as_py():
+            n += 1
         t = t.slice(0, n)
-        new_last = t.column(self.pk)[n - 1].as_py()
+        new_last = pks[n - 1].as_py()
         # materialized list, not a generator: Spark's prefetch cache
         # copy.copy()s the iterator for replay, and generators don't
-        # copy.  One stride is batch_size-bounded by construction.
+        # copy.  One stride is batch_size-bounded by construction (plus
+        # any run of duplicate boundary keys).
         rows = [tuple(r.values()) for r in t.to_pylist()]
         return iter(rows), {"last_pk": new_last}
 
@@ -311,10 +363,24 @@ def register_pkrange_stream_source(spark) -> None:
 
 
 class LoadJobCommitMessage(WriterCommitMessage):
-    """Per-task receipt: (staged file name, rows, bytes)."""
+    """Per-task receipt: (staged file name, rows, bytes).
 
-    def __init__(self, filename: str, n_rows: int, n_bytes: int):
+    ``final_filename`` (streaming epochs only) is the deterministic name
+    ``commit`` publishes the attempt-unique staged file under — staging
+    names must be attempt-unique so concurrent attempts of one partition
+    (speculation, zombie post-retry attempts) can never interleave
+    writes into a shared gzip stream, while the published name stays
+    deterministic so a REPLAYED epoch overwrites instead of duplicating."""
+
+    def __init__(
+        self,
+        filename: str,
+        n_rows: int,
+        n_bytes: int,
+        final_filename: str | None = None,
+    ):
         self.filename, self.n_rows, self.n_bytes = filename, n_rows, n_bytes
+        self.final_filename = final_filename or filename
 
 
 class LoadJobWriter(DataSourceWriter):
@@ -426,6 +492,7 @@ class EpochLoadJobStreamWriter(DataSourceStreamWriter):
         import gzip
         import json
         import os
+        import uuid as _uuid
 
         from pyspark import TaskContext
 
@@ -433,8 +500,13 @@ class EpochLoadJobStreamWriter(DataSourceStreamWriter):
         part = tc.partitionId() if tc is not None else 0
         staging = os.path.join(self.dest, "_staging")
         os.makedirs(staging, exist_ok=True)
-        # deterministic name: a replayed (epoch, partition) OVERWRITES
-        fname = f"part-{part:05d}.jsonl.gz"
+        # Stage under an ATTEMPT-unique name (two live attempts of the
+        # same partition — speculative execution, or a zombie attempt
+        # surviving a retry — must never share a gzip stream); commit()
+        # renames to the deterministic epoch filename, which is what
+        # keeps a replayed epoch an overwrite rather than a duplicate.
+        final = f"part-{part:05d}.jsonl.gz"
+        fname = f"part-{part:05d}-{_uuid.uuid4().hex[:8]}.jsonl.gz"
         tmp = os.path.join(staging, fname)
         n = 0
         with gzip.open(tmp, "wt") as fh:
@@ -442,7 +514,9 @@ class EpochLoadJobStreamWriter(DataSourceStreamWriter):
                 fh.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
                 fh.write("\n")
                 n += 1
-        return LoadJobCommitMessage(fname, n, os.path.getsize(tmp))
+        return LoadJobCommitMessage(
+            fname, n, os.path.getsize(tmp), final_filename=final
+        )
 
     def commit(self, messages, batchId: int):
         import json
@@ -459,8 +533,11 @@ class EpochLoadJobStreamWriter(DataSourceStreamWriter):
                 continue
             src = os.path.join(staging, m.filename)
             if os.path.exists(src):
-                shutil.move(src, os.path.join(epoch_dir, m.filename))
-                files.append({"file": m.filename, "rows": m.n_rows})
+                # attempt-unique staged name -> deterministic epoch name
+                dst = getattr(m, "final_filename", m.filename)
+                shutil.move(src, os.path.join(epoch_dir, dst))
+                files.append({"file": dst, "rows": m.n_rows})
+        # also sweeps losing-attempt leftovers from this epoch
         shutil.rmtree(staging, ignore_errors=True)
         with open(os.path.join(self.dest, "_EPOCHS.jsonl"), "a") as fh:
             fh.write(

@@ -797,3 +797,21 @@ def test_bpe_apply_consistent_with_reference_tokenization(spark, sf_dir):
         for r in Q["tokenizer_bpe_apply"](spark, sf_dir).collect()
     }
     assert got == dict(expect)
+
+
+def test_bpe_apply_trie_twin_exact_and_single_arrow_node(spark, sf_dir):
+    """r6: the broadcast-table pandas-UDF apply path must (a) produce
+    EXACTLY the fold path's per-source audit and (b) plan tokenization
+    as a single Arrow-batched Python node (no chained fold expressions,
+    no extra Python stages) — the production ~50k-merge plan shape."""
+    fold = {
+        tuple(r) for r in Q["tokenizer_bpe_apply"](spark, sf_dir).collect()
+    }
+    trie_df = Q["tokenizer_bpe_apply_trie"](spark, sf_dir)
+    assert {tuple(r) for r in trie_df.collect()} == fold
+    plan = trie_df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final plan followed by the initial plan: count
+    # Python nodes in the FINAL section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in final  # no row-at-a-time Python

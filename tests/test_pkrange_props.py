@@ -100,3 +100,92 @@ def test_jpeg_walk_recovers_dims_through_any_marker_prefix(w, h, junk):
     sof = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
     parts.append(b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof)
     assert _jpeg_dims(b"".join(parts)) == (w, h)
+
+
+def test_jpeg_truncated_sof_raises_contract_error():
+    """A stream that ends INSIDE the SOF dimension payload must raise the
+    walker's corrupt-stream contract error, not a bare struct.error
+    (r5 ADVICE)."""
+    import pytest
+
+    from migbq_spark.operators.multimodal import _jpeg_dims
+
+    sof = struct.pack(">BHHB", 8, 7, 9, 1) + b"\x01\x11\x00"
+    good = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    assert _jpeg_dims(good) == (9, 7)
+    # cut inside the height/width words (after marker + seglen + precision)
+    for cut in range(5, 9):
+        with pytest.raises(NotImplementedError):
+            _jpeg_dims(good[:cut])
+
+
+def _stream_reader(path, batch_size):
+    from migbq_spark.pkrange_source import PkRangeStreamReader
+
+    return PkRangeStreamReader(
+        {"path": str(path), "pk": "pk", "batch_size": str(batch_size)}
+    )
+
+
+def _drain_stream(reader):
+    """Drive the stream reader's offset loop directly (no Spark session):
+    returns (all rows in drain order, per-batch row counts)."""
+    off = reader.initialOffset()
+    rows, batches = [], []
+    while True:
+        it, off2 = reader.read(off)
+        batch = list(it)
+        if not batch:
+            assert off2 == off, "empty batch must not advance the offset"
+            return rows, batches
+        rows += batch
+        batches.append(len(batch))
+        off = off2
+
+
+def test_stream_read_is_bounded_and_cuts_at_pk_value_boundary(tmp_path):
+    """r5 ADVICE: (a) each micro-batch must read a stats-bounded range,
+    not every row past the offset; (b) duplicate pk values straddling
+    the batch_size cut must never be skipped by the next `pk > last`."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # duplicate run exactly straddling the first batch_size=4 cut:
+    # pks 1,2,3,5,5,5,8,9 — row 4 (0-based 3) and rows 4-5 share pk 5
+    pks = [1, 2, 3, 5, 5, 5, 8, 9]
+    t = pa.table({"pk": pa.array(pks, pa.int64()),
+                  "v": pa.array(range(len(pks)), pa.int64())})
+    p = tmp_path / "dup.parquet"
+    pq.write_table(t, p, row_group_size=3)
+
+    rows, batches = _drain_stream(_stream_reader(p, 4))
+    # every row forwarded exactly once, in pk order
+    assert sorted(r[1] for r in rows) == list(range(len(pks)))
+    assert [r[0] for r in rows] == sorted(pks)
+    # first batch extended past batch_size to the pk-value boundary
+    assert batches[0] == 6 and sum(batches) == len(pks)
+
+
+def test_stream_hi_bound_prunes_row_groups(tmp_path):
+    """The stats-derived hi bound must cap a micro-batch read well below
+    the file's max pk when later row groups can't be needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10_000
+    t = pa.table({"pk": pa.array(range(n), pa.int64()),
+                  "v": pa.array(range(n), pa.int64())})
+    p = tmp_path / "big.parquet"
+    pq.write_table(t, p, row_group_size=500)
+
+    r = _stream_reader(p, 100)
+    hi = r._hi_bound(None)
+    # one 500-row group already guarantees 100 rows
+    assert hi is not None and hi <= 499
+    hi2 = r._hi_bound(4_321)
+    assert hi2 is not None and 4_321 < hi2 <= 5_499
+    # bounded read serves exactly one stride and advances correctly
+    rows, batches = _drain_stream(_stream_reader(p, 1_000))
+    assert len(rows) == n and batches[0] == 1_000
+    # missing-stats / tail fallback: remaining rows < batch_size → None
+    assert _stream_reader(p, 100)._hi_bound(n - 50) is None
