@@ -714,6 +714,156 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_sign(p: int, j: int) -> int:
+    """±1 hyperplane entry for (plane p, dim j): md5-parity of the first
+    digest byte — reproducible in any engine with an md5 function, no
+    RNG state (same family as the portable minhash seeds)."""
+    import hashlib as _hl
+
+    return 1 if _hl.md5(f"rp:{p}:{j}".encode()).digest()[0] % 2 == 0 else -1
+
+
+@register(
+    "ann_rp_lsh_topk_portable",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+    planes AS (SELECT unnest(generate_series(0, 11)) AS p),
+    signs AS (
+        SELECT p, j,
+               CASE WHEN CAST(concat('0x',
+                        substr(md5('rp:' || p || ':' || j), 1, 2)) AS INT)
+                        % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM planes CROSS JOIN dims
+    ),
+    scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id, j, se[j + 1] AS v FROM scaled CROSS JOIN dims
+    ),
+    proj AS (
+        SELECT sv.vec_id, s.p, SUM(sv.v * s.s) AS dot
+        FROM sv JOIN signs s ON s.j = sv.j
+        GROUP BY sv.vec_id, s.p
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id,
+               unnest(list_prepend(sig,
+                   list_transform(generate_series(0, 11),
+                                  p -> xor(sig, 1::BIGINT << p)))) AS bucket
+        FROM sigs WHERE vec_id < 10
+    ),
+    pairs AS (
+        SELECT DISTINCT q_id, c.vec_id AS n_id
+        FROM qprobe JOIN sigs c ON c.sig = qprobe.bucket
+        WHERE q_id <> c.vec_id
+    ),
+    simt AS (
+        SELECT p.q_id, p.n_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> qs.se[i] * ns.se[i])) AS BIGINT) AS sim_scaled
+        FROM pairs p
+        JOIN scaled qs ON qs.vec_id = p.q_id
+        JOIN scaled ns ON ns.vec_id = p.n_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY sim_scaled DESC, n_id ASC
+        ) AS rnk
+        FROM simt
+    )
+    SELECT q_id, n_id, sim_scaled, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_rp_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE twin of `ann_rp_lsh_topk` (r6) — the move that
+    gave the minhash and simhash families their portable variants,
+    applied to sign-LSH: every float enters through ONE deterministic
+    fixed-point quantization (floor(x·10⁶) as int64; x arrives as
+    float32 so the float→double product is exact IEEE in both engines),
+    and everything after — hyperplane projections, signature bits,
+    candidate ranking — is pure int64 arithmetic, which no engine can
+    reorder into a different answer.  A near-zero projection therefore
+    flips the SAME way everywhere, closing the float-sign caveat that
+    keeps the float twin rows-only.
+
+    Same index structure as the float twin: 12 md5-parity ±1
+    hyperplanes, packed sign signature, hamming-1 multi-probe, exact
+    rank within the probe set — but ranked by the scaled integer dot
+    product (sim_scaled ≈ cosine·10¹², max |value| ≈ 64·10¹² « 2⁶³).
+    Top-k agreement with float cosine ranking is pinned in tests.
+
+    Scale (100 TB): identical plan shape to `ann_rp_lsh_topk` — one
+    narrow projection per row (12 zip_with/aggregate HOFs over the
+    64-dim array, JVM-side), a bucket-keyed shuffle of (id, sig, se),
+    13× multi-probe fan on the query side only."""
+    _N_PLANES = 12
+    e = load(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    sv = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", scaled.alias("se")
+    )
+
+    def proj(p: int) -> F.Column:
+        signs = F.array(*[F.lit(_rp_sign(p, j)) for j in range(64)])
+        return F.aggregate(
+            F.zip_with("se", signs, lambda x, s: x * s.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    sig = sum(
+        (
+            F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_N_PLANES)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    sigs = sv.select("vec_id", "se", sig.alias("sig"))
+    probes = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)],
+    )
+    q = sigs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("se").alias("q_se"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = sigs.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("se").alias("n_se"),
+        F.col("sig").alias("bucket"),
+    )
+    sim = F.aggregate(
+        F.zip_with("q_se", "n_se", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_scaled"), F.asc("n_id"))
+    return (
+        q.join(cand, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("sim_scaled"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @register(

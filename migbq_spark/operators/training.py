@@ -1345,7 +1345,6 @@ def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): tokenization stays row-local over the Heaps-bounded
     vocab; the broadcast is one merge-table payload per executor; the
     audit joins/aggregations are identical to the fold path's."""
-    import pandas as pd
 
     merges = [
         (r.left, r.right, r.left + r.right)

@@ -487,6 +487,11 @@ class EpochLoadJobStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict, schema):
         self.dest = options["path"]
         self.cols = [f.name for f in schema.fields]
+        # failure injection for the crash-replay test: the FIRST write
+        # call that sees this path absent creates it and dies AFTER
+        # staging its part — simulating a task lost between staging and
+        # commit; every later attempt/run proceeds normally
+        self.fail_once_path = options.get("fail_once_path")
 
     def write(self, iterator):
         import gzip
@@ -514,6 +519,17 @@ class EpochLoadJobStreamWriter(DataSourceStreamWriter):
                 fh.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
                 fh.write("\n")
                 n += 1
+        if self.fail_once_path:
+            try:
+                fd = os.open(
+                    self.fail_once_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                os.close(fd)
+                raise RuntimeError(
+                    "injected task failure after staging (crash-replay test)"
+                )
+            except FileExistsError:
+                pass  # already failed once: proceed normally
         return LoadJobCommitMessage(
             fname, n, os.path.getsize(tmp), final_filename=final
         )

@@ -15,7 +15,7 @@ code's "do not ship" message; R5 failures are reported and counted too
 (both must be fixed before their rotation lands).
 
 Usage:  python scripts/preflight.py [out.md]
-Writes a markdown log (default PREFLIGHT_r05.md) and exits non-zero if
+Writes a markdown log (default PREFLIGHT_r06.md) and exits non-zero if
 any preflighted query fails.
 """
 
@@ -36,7 +36,7 @@ from migbq_spark import registry  # noqa: E402
 from migbq_spark.testing import compare_driver, duckdb_conn  # noqa: E402
 
 SF_DIR = os.environ.get("PREFLIGHT_SF_DIR", "/root/testdata/sf0.01")
-OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r05.md"
+OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r06.md"
 
 
 def run_window(spark, con, queries, oracles, window, title, lines) -> int:
@@ -117,11 +117,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r5, graded this round)", lines,
+        "DRIVER_WINDOW (r6, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R6_WINDOW),
-        "R6_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R7_WINDOW),
+        "R7_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")

@@ -815,3 +815,32 @@ def test_bpe_apply_trie_twin_exact_and_single_arrow_node(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in final  # no row-at-a-time Python
+
+
+def test_rp_lsh_portable_hashable_and_recall(spark, sf_dir, duck):
+    """r6: the fixed-point sign-LSH twin must (a) value-hash-match its
+    DuckDB oracle (the portability claim) and (b) keep the float twin's
+    recall bar vs exact brute-force cosine."""
+    from migbq_spark.testing import compare_driver
+
+    from __spark_entry__ import oracle_sql
+
+    r = compare_driver(
+        Q["ann_rp_lsh_topk_portable"](spark, sf_dir),
+        duck,
+        oracle_sql()["ann_rp_lsh_topk_portable"],
+    )
+    assert r["ok"], r
+
+    exact = {
+        (r.q_id, r.n_id) for r in Q["cosine_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id)
+        for r in Q["ann_rp_lsh_topk_portable"](spark, sf_dir).collect()
+    }
+    assert approx
+    recall = len(exact & approx) / len(exact)
+    probed_fraction = 13 / 2 ** 12
+    print(f"portable RP-LSH recall @5: {recall:.3f}")
+    assert recall >= 10 * probed_fraction

@@ -417,3 +417,86 @@ def test_pk_stream_source_picks_up_new_data_between_runs(spark, tmp_path):
     # no new data → a third run forwards nothing
     drain()
     assert spark.read.parquet(dest).count() == 180
+
+
+def test_stream_loadjob_crash_replay_exactly_once(spark, tmp_path):
+    """r6 (VERDICT #6): kill a micro-batch AFTER its tasks staged data
+    but BEFORE the epoch commit, restart the query from the same
+    checkpoint, and prove the replayed epoch publishes cleanly — the
+    exactly-once claim exercised through an actual crash, not just
+    idempotent-overwrite reasoning."""
+    import glob
+    import gzip
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from migbq_spark.pkrange_source import (
+        register_loadjob_stream_sink,
+        register_pkrange_stream_source,
+    )
+
+    register_pkrange_stream_source(spark)
+    register_loadjob_stream_sink(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    n_rows = 250
+    pdf = pd.DataFrame({"pk": range(n_rows), "val": list(range(n_rows))})
+    pq.write_table(pa.Table.from_pandas(pdf), str(src / "part1.parquet"))
+
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    boom = str(tmp_path / "boom_marker")
+
+    def drain():
+        sdf = (
+            spark.readStream.format("migbq_pkrange_stream")
+            .option("path", str(src))
+            .option("pk", "pk")
+            .option("batch_size", "100")
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("migbq_loadjob_stream")
+            .option("path", dest)
+            .option("fail_once_path", boom)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # first run dies mid-epoch: a task staged its part, then crashed
+    with pytest.raises(Exception, match="injected task failure"):
+        drain()
+    # the marker proves the injection fired; the failed epoch must have
+    # published NOTHING (two-phase commit: no commit without all tasks)
+    assert (tmp_path / "boom_marker").exists()
+    failed_rows = 0
+    for f in glob.glob(f"{dest}/epoch=*/*.jsonl.gz"):
+        with gzip.open(f, "rt") as fh:
+            failed_rows += sum(1 for _ in fh)
+
+    # restart from the SAME checkpoint: the crashed batch replays; the
+    # SimpleDataSourceStreamReader availableNow fallback serves ONE
+    # stride per run, so keep draining until the offset stops moving
+    for _ in range(n_rows // 100 + 2):
+        drain()
+    rows = []
+    for f in glob.glob(f"{dest}/epoch=*/*.jsonl.gz"):
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["pk"] for r in rows) == list(range(n_rows))  # exactly once
+    assert not (tmp_path / "dest" / "_staging").exists()
+    # receipts cover every published row exactly once per epoch
+    epochs = [
+        json.loads(line)
+        for line in (tmp_path / "dest" / "_EPOCHS.jsonl").read_text().splitlines()
+    ]
+    by_id = {}
+    for e in epochs:
+        by_id[e["batch_id"]] = e  # replayed epoch's receipt supersedes
+    assert sum(e["n_rows"] for e in by_id.values()) == n_rows
