@@ -78,14 +78,21 @@ def main() -> None:
     # distinct plan), a fixed driver cost that is noise at any real data
     # scale; the warm runs measure actual execution throughput.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for qid in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             df = queries[qid](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[qid] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[qid] = round(min(runs), 4)
+        # (max-min)/min over the 3 runs: the box-noise witness — r5's
+        # "untouched query regressed 80-110%" episode was unattributable
+        # because min-of-3 discarded the spread (r5 VERDICT item 3)
+        spread[qid] = round(
+            (max(runs) - min(runs)) / max(min(runs), 1e-9) * 100.0, 1
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -95,6 +102,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "spread_pct": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

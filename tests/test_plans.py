@@ -189,6 +189,10 @@ _PY_ALLOWED = {
     "mm_decode_headers",  # r4: real PNG/JPEG header parse is mapInPandas
     "mm_audio_headers",  # r4: real WAV RIFF-chunk probe is mapInPandas
     "mm_video_headers",  # r4: real MP4 box-walk probe is mapInPandas
+    # r6: the production BPE apply IS a declared broadcast-table pandas
+    # UDF (single Arrow node over the distinct vocab, plan-asserted in
+    # test_pipeline.py) — Python here is the design, not a leak
+    "tokenizer_bpe_apply_trie",
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
