@@ -1,24 +1,33 @@
-"""Generate an sf1 (10x sf0.1) fixture set for scale-ratio measurement.
+"""Generate scaled fixture sets (sf1 = 10x sf0.1, sf10 = 10x sf1) for
+scale-ratio measurement.
 
 The driver ships sf{0.001,0.01,0.1} only (TESTDATA.md, read-only); every
-100 TB claim in SCALE.md is therefore a design argument until at least
-one 10x datapoint exists (r5 VERDICT "Next round" #2).  This script
-builds `.stage/sf1/` from PUBLIC knowledge of the fixture shapes
+100 TB claim in SCALE.md is therefore a design argument until measured
+scale-up datapoints exist (r5 VERDICT "Next round" #2).  This script
+builds `.stage/sf{N}/` from PUBLIC knowledge of the fixture shapes
 (FIXTURES.md):
 
 - `documents` / `embeddings` are generated fresh with the OBSERVED
   sf0.1 statistics (31-word vocab, uniform 10-100 words/doc, 20
   sources, 5 langs; 64-dim L2-normalized float32 vectors, labels 0-9)
-  at 10x row counts — fresh generation (not replication) keeps the
-  near-dup/LSH bucket distributions comparable to the shipped fixture
-  instead of planting 10-cliques of exact duplicates.
-- The star-schema + `events` tables are replicated 10x with key-offset
-  remaps (PKs and FKs shifted per replica), preserving per-key densities
-  (events/user, lines/order) so window/session/stream costs scale in
-  ROWS, not in per-key skew.
+  at FACTOR x the source row counts — fresh generation (not
+  replication) keeps the near-dup/LSH bucket distributions comparable
+  to the shipped fixture instead of planting FACTOR-cliques of exact
+  duplicates.
+- The star-schema + `events` tables are replicated FACTOR x with
+  key-offset remaps (PKs and FKs shifted per replica by max(key)+1 of
+  the SOURCE, so chaining sf0.1 -> sf1 -> sf10 stays consistent),
+  preserving per-key densities (events/user, lines/order) so
+  window/session/stream costs scale in ROWS, not in per-key skew.
+- region/nation are FIXED at every sf (copied verbatim; replicating
+  them would duplicate their PKs and fan out every join).
 
-Deterministic (seed 42).  Output is git-ignored scratch; regenerate at
-will:  python scripts/gen_scale_fixture.py [out_dir]
+Deterministic (seed 42 + factor).  Output is git-ignored scratch.
+
+Usage:
+    python scripts/gen_scale_fixture.py                 # sf0.1 -> .stage/sf1
+    python scripts/gen_scale_fixture.py .stage/sf10 .stage/sf1 10
+    #                                   ^out          ^src      ^factor
 """
 
 from __future__ import annotations
@@ -30,45 +39,62 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = Path("/root/testdata/sf0.1")
-OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else (
-    Path(__file__).resolve().parent.parent / ".stage" / "sf1"
-)
-FACTOR = 10
+REPO = Path(__file__).resolve().parent.parent
+OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / ".stage" / "sf1"
+SRC = Path(sys.argv[2]) if len(sys.argv) > 2 else Path("/root/testdata/sf0.1")
+FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-#: observed sf0.1 vocabulary (31 words, near-uniform frequency)
-VOCAB = None  # derived from the shipped fixture below
+#: key columns shifted per replica; offset = max(key)+1 of the source,
+#: applied to the PK table and every FK referencing it
+SHIFT_KEYS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
 
-#: per-replica PK/FK offsets = sf0.1 table sizes (FIXTURES.md)
-OFFSETS = {
-    "orders": {"o_orderkey": 150_000, "o_custkey": 15_000},
-    "lineitem": {
-        "l_orderkey": 150_000,
-        "l_partkey": 20_000,
-        "l_suppkey": 1_000,
-    },
-    "events": {"event_id": 100_000, "user_id": 1_500},
-    "customer": {"c_custkey": 15_000},
-    "part": {"p_partkey": 20_000},
-    "supplier": {"s_suppkey": 1_000},
+#: which table's key defines each offset (FKs reuse the PK's offset)
+KEY_OF = {
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "c_custkey": ("customer", "c_custkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
 }
 
 
-def replicate(name: str) -> None:
+def _offsets() -> dict[str, int]:
+    offs = {}
+    for col, (tbl, key) in KEY_OF.items():
+        if col not in offs:
+            t = pq.read_table(SRC / f"{tbl}.parquet", columns=[key])
+            offs[col] = int(pa.compute.max(t.column(key)).as_py()) + 1
+    return offs
+
+
+def replicate(name: str, offs: dict[str, int]) -> None:
     t = pq.read_table(SRC / f"{name}.parquet")
-    offs = OFFSETS.get(name, {})
-    parts = []
-    for i in range(FACTOR):
-        cols = {}
-        for f in t.schema:
-            c = t.column(f.name)
-            if f.name in offs and i > 0:
-                c = pa.compute.add(c, offs[f.name] * i)
-            cols[f.name] = c
-        parts.append(pa.table(cols, schema=t.schema if not offs else None))
-    out = pa.concat_tables(parts)
-    pq.write_table(out, OUT / f"{name}.parquet")
-    print(f"{name}: {t.num_rows} -> {out.num_rows}")
+    keys = SHIFT_KEYS.get(name, [])
+    # stream replicas through one writer: FACTOR x a multi-million-row
+    # table must not be concatenated in memory
+    with pq.ParquetWriter(OUT / f"{name}.parquet", t.schema) as w:
+        for i in range(FACTOR):
+            cols = []
+            for f in t.schema:
+                c = t.column(f.name)
+                if f.name in keys and i > 0:
+                    c = pa.compute.add(c, offs[f.name] * i).cast(f.type)
+                cols.append(c)
+            w.write_table(pa.Table.from_arrays(cols, schema=t.schema))
+    n = pq.ParquetFile(OUT / f"{name}.parquet").metadata.num_rows
+    print(f"{name}: {t.num_rows} -> {n}")
 
 
 def gen_documents(rng: np.random.Generator) -> None:
@@ -80,9 +106,14 @@ def gen_documents(rng: np.random.Generator) -> None:
     langs = np.array(["en", "es", "de", "fr", "zh"])
     sources = np.array([f"src{i}" for i in range(20)])
     lens = rng.integers(10, 101, size=n)
-    texts = [
-        " ".join(rng.choice(vocab, size=ln)) for ln in lens
-    ]
+    varr = np.array(vocab)
+    # one big draw, then slice per doc: ~20x faster than per-doc choice
+    flat = varr[rng.integers(0, len(varr), size=int(lens.sum()))]
+    texts = []
+    pos = 0
+    for ln in lens:
+        texts.append(" ".join(flat[pos:pos + ln]))
+        pos += ln
     t = pa.table(
         {
             "doc_id": pa.array(np.arange(n), pa.int64()),
@@ -120,16 +151,15 @@ def gen_embeddings(rng: np.random.Generator) -> None:
 
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
-    rng = np.random.default_rng(42)
-    # region/nation are FIXED at every sf (FIXTURES.md): copy verbatim —
-    # replicating them would duplicate their PKs and fan out every join
+    rng = np.random.default_rng(42 + FACTOR)
     for name in ["region", "nation"]:
         pq.write_table(pq.read_table(SRC / f"{name}.parquet"),
                        OUT / f"{name}.parquet")
         print(f"{name}: copied (fixed)")
+    offs = _offsets()
     for name in ["supplier", "customer", "part", "orders", "lineitem",
                  "events"]:
-        replicate(name)
+        replicate(name, offs)
     gen_documents(rng)
     gen_embeddings(rng)
     print(f"wrote {OUT}")
