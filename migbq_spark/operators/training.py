@@ -1297,17 +1297,19 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_token_audit(words: DataFrame, vocab_toks: DataFrame) -> DataFrame:
     """Shared tail of the two BPE-apply paths: join per-word token
     counts back onto occurrences, roll up per document, then per
-    source."""
-    occ = words.groupBy("doc_id", "source", "n_chars", "word").agg(
-        F.count(F.lit(1)).alias("n_occ")
-    )
+    source.
+
+    Join BEFORE the per-doc aggregation: the vocab side is
+    Heaps-bounded (AQE broadcasts it at any realistic size), so the
+    join is map-side and the groupBy's partial aggregation collapses
+    the exploded token stream to one row per doc BEFORE the exchange.
+    The previous shape (4-key occurrence groupBy, then join) shuffled
+    every exploded token row — measured 134 s at sf10 (500 k docs,
+    ~27 M tokens) against this shape's single doc-keyed exchange."""
     per_doc = (
-        occ.join(vocab_toks, "word")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.first("n_chars").alias("n_chars"),
-            F.sum(F.col("n_occ") * F.col("word_toks")).alias("n_tokens"),
-        )
+        words.join(vocab_toks, "word")
+        .groupBy("doc_id", "source", "n_chars")
+        .agg(F.sum("word_toks").alias("n_tokens"))
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
