@@ -1398,3 +1398,103 @@ def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", bpe_word_toks("word").alias("word_toks"))
     )
     return _bpe_token_audit(words, vocab_toks)
+
+
+# ---------------------------------------------- quality_perplexity_filter
+
+@register(
+    "quality_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks WHERE len(ts) >= 2)
+    ),
+    tr AS (
+        SELECT w1, w2, COUNT(*) AS c2
+        FROM pos WHERE doc_id % 10 < 8 GROUP BY 1, 2
+    ),
+    un AS (SELECT w1, SUM(c2) AS c1 FROM tr GROUP BY w1),
+    v AS (SELECT COUNT(*) AS vsz FROM un),
+    scored AS (
+        SELECT p.doc_id,
+               -log2((COALESCE(tr.c2, 0) + 1) * 1.0
+                     / (COALESCE(un.c1, 0) + v.vsz)) AS bits
+        FROM pos p
+        LEFT JOIN tr ON tr.w1 = p.w1 AND tr.w2 = p.w2
+        LEFT JOIN un ON un.w1 = p.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(bits) / COUNT(*), 4) AS avg_bits,
+           ROUND(SUM(bits) / COUNT(*), 4) > 4.9 AS dropped
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY-BASED QUALITY FILTERING (r6) — the CCNet-style action
+    op that `ngram_lm_bigram_probs` only computes statistics for: an
+    add-one-smoothed bigram LM is TRAINED on the train split
+    (doc_id % 10 < 8, the repo's split convention), then EVERY doc with
+    ≥2 tokens is scored with its average surprisal in bits
+    (−log₂ P(w₂|w₁) averaged over the doc's bigrams; unseen bigrams
+    cost −log₂(1/(c(w₁)+V))), and docs above the 4.9-bit threshold
+    (≈ uniform surprisal over the fixture's 31-word vocab) are flagged
+    dropped — the filter real pipelines run with a KenLM, expressed
+    with a distributed-trainable LM.
+
+    Hash mode: all probabilities are ratios of exact integers; log₂ is
+    the single IEEE operation per bigram, then ROUND(·,4) on the
+    per-doc mean — the repo's standard float-determinism recipe
+    (SURVEY.md §7.4), validated at sf0.001/0.01/0.1.
+
+    Scale (100 TB): bigram extraction is row-local; the LM tables
+    collapse map-side to the Heaps-bounded bigram vocab; scoring joins
+    are keyed on (w1, w2)/(w1) — broadcastable for any LM that fits an
+    executor (a 50 M-entry bigram table does), else co-partitioned with
+    one shuffle; the verdict is one doc-keyed partial-agg exchange."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    tr = (
+        pos.filter(F.pmod("doc_id", F.lit(10)) < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    un = tr.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = un.agg(F.count(F.lit(1)).alias("vsz"))
+    bits = -F.log2(
+        (F.coalesce("c2", F.lit(0)) + 1)
+        * F.lit(1.0)
+        / (F.coalesce("c1", F.lit(0)) + F.col("vsz"))
+    )
+    scored = (
+        pos.join(tr, ["w1", "w2"], "left")
+        .join(un, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", bits.alias("bits"))
+    )
+    avg_bits = F.round(F.sum("bits") / F.count(F.lit(1)), 4)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg_bits.alias("avg_bits"),
+        (avg_bits > 4.9).alias("dropped"),
+    )

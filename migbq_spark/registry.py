@@ -107,6 +107,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: one parity-guarded continuously since it was first graded.  (The two
 #: r5-window ids in that span are skipped: their evidence is newest.)
 R7_WINDOW: tuple[str, ...] = (
+    # new r6 op (added after the r6 rotation): grade FIRST next round
+    "quality_perplexity_filter",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -156,7 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "join_asof",
     "join_skew_salted",
     "win_rownum_dedup",
-    "win_rank_topk_group",
 )
 
 
