@@ -107,8 +107,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: one parity-guarded continuously since it was first graded.  (The two
 #: r5-window ids in that span are skipped: their evidence is newest.)
 R7_WINDOW: tuple[str, ...] = (
-    # new r6 op (added after the r6 rotation): grade FIRST next round
+    # new r6 ops (added after the r6 rotation): grade FIRST next round
     "quality_perplexity_filter",
+    "dedup_semantic_lsh_portable",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -140,7 +141,6 @@ R7_WINDOW: tuple[str, ...] = (
     "check_count_reconcile",
     "retry_missing_ranges",
     "merge_upsert_latest",
-    "compact_merge_on_read",
     "cdc_snapshot_diff",
     "table_checksum_md5",
     "checksum_incremental_update",

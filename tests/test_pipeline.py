@@ -844,3 +844,49 @@ def test_rp_lsh_portable_hashable_and_recall(spark, sf_dir, duck):
     probed_fraction = 13 / 2 ** 12
     print(f"portable RP-LSH recall @5: {recall:.3f}")
     assert recall >= 10 * probed_fraction
+
+
+def test_semantic_lsh_dedup_hashable_and_recall(spark, sf_dir, duck):
+    """r6: the unsupervised sign-LSH embedding near-dup must (a) value-
+    hash-match its DuckDB oracle and (b) recover a predictable fraction
+    of the brute-force pair set at the fixture threshold (banded
+    candidates: P = 1-(1-p^4)^3; the fixture's tau=0.3 pairs sit near
+    per-plane agreement p ~ 0.6 -> expected recall ~ 0.3; production
+    thresholds ~0.85 push recall toward 1)."""
+    from migbq_spark.testing import compare_driver
+
+    from __spark_entry__ import oracle_sql
+
+    r = compare_driver(
+        Q["dedup_semantic_lsh_portable"](spark, sf_dir),
+        duck,
+        oracle_sql()["dedup_semantic_lsh_portable"],
+    )
+    assert r["ok"], r
+
+    # brute-force truth: same fixed-point quantization, all pairs
+    exact = {
+        (a, b)
+        for a, b, s in duck.execute("""
+            WITH scaled AS (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)
+                                AS BIGINT)) AS se
+                FROM embeddings
+            )
+            SELECT a.vec_id, b.vec_id,
+                   CAST(list_sum(list_transform(generate_series(1, 64),
+                        i -> a.se[i] * b.se[i])) AS BIGINT)
+            FROM scaled a JOIN scaled b ON a.vec_id < b.vec_id
+        """).fetchall()
+        if s >= 300_000_000_000
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in Q["dedup_semantic_lsh_portable"](spark, sf_dir).collect()
+    }
+    assert got <= exact  # every emitted pair is a true pair (exact verify)
+    recall = len(got) / len(exact)
+    print(f"semantic LSH recall @tau=0.3: {recall:.3f} ({len(got)}/{len(exact)})")
+    assert 0.1 <= recall <= 0.9  # banded-candidate regime, not all/nothing
