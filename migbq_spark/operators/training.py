@@ -1498,3 +1498,51 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_bits.alias("avg_bits"),
         (avg_bits > 4.9).alias("dropped"),
     )
+
+
+# ---------------------------------------------- mix_temperature_sampling
+
+@register(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_docs) AS total, SUM(sqrt(n_docs)) AS z FROM c)
+    SELECT source, n_docs,
+           ROUND(n_docs * 1.0 / t.total, 4) AS p_raw,
+           ROUND(sqrt(n_docs) / t.z, 4) AS q_temp,
+           ROUND((sqrt(n_docs) / t.z) / (n_docs * 1.0 / t.total), 4)
+               AS boost
+    FROM c CROSS JOIN t
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED SOURCE SAMPLING (r6) — the q_i ∝ p_i^α
+    mixture (α = 0.5 here) multilingual corpora are sampled with so
+    low-resource sources aren't drowned by head sources: per source the
+    raw share p_raw, the temperature-flattened share q_temp, and the
+    boost factor q/p a dataloader applies as its per-source sampling
+    weight.  Complements `mix_weighted_sources` (fixed configured
+    weights) with the DERIVED weighting real multilingual runs use.
+
+    Determinism: counts are exact integers; sqrt is one
+    correctly-rounded IEEE op; the two scalar sums + divisions land
+    behind ROUND(·,4) — the repo's standard float recipe (SURVEY §7.4).
+
+    Scale (100 TB): one map-side-combinable count per source, one
+    broadcast row of scalars joined back — the corpus is read once and
+    the mixture table is |sources| rows regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt("n_docs")).alias("z"),
+    )
+    p_raw = F.col("n_docs") * F.lit(1.0) / F.col("total")
+    q_temp = F.sqrt("n_docs") / F.col("z")
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        F.round(p_raw, 4).alias("p_raw"),
+        F.round(q_temp, 4).alias("q_temp"),
+        F.round(q_temp / p_raw, 4).alias("boost"),
+    )

@@ -110,6 +110,7 @@ R7_WINDOW: tuple[str, ...] = (
     # new r6 ops (added after the r6 rotation): grade FIRST next round
     "quality_perplexity_filter",
     "dedup_semantic_lsh_portable",
+    "mix_temperature_sampling",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -145,7 +146,6 @@ R7_WINDOW: tuple[str, ...] = (
     "table_checksum_md5",
     "checksum_incremental_update",
     "pk_gap_detection",
-    "scd2_dimension_build",
     "join_inner_equi",
     "join_broadcast_dim",
     "join_left_outer",

@@ -890,3 +890,45 @@ def test_semantic_lsh_dedup_hashable_and_recall(spark, sf_dir, duck):
     recall = len(got) / len(exact)
     print(f"semantic LSH recall @tau=0.3: {recall:.3f} ({len(got)}/{len(exact)})")
     assert 0.1 <= recall <= 0.9  # banded-candidate regime, not all/nothing
+
+
+def test_cluster_canonical_and_funnel_drop_zero_token_docs(spark, tmp_path):
+    """r6 (r5 ADVICE #3): docs with zero non-empty tokens must be
+    EXCLUDED from the keep/drop decision on both engines — the Spark
+    side used to keep them with quality = 0/0 = NULL while the oracle's
+    inner join dropped them. The shipped fixtures contain no empty
+    docs, so this pins the fix on a synthetic corpus that does."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from migbq_spark.testing import compare_driver
+
+    from __spark_entry__ import oracle_sql
+
+    texts = ["alpha beta gamma", "alpha beta gamma", "", "   ", "delta"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0", "src0", "src1", "src1", "src2"],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = tmp_path / "sfz"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), str(sf / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    for qid in ("dedup_keep_cluster_canonical", "corpus_curation_funnel"):
+        r = compare_driver(Q[qid](spark, str(sf)), con, oracle_sql()[qid])
+        assert r["ok"], (qid, {k: v for k, v in r.items() if k != "ok"})
+    # and the zero-token docs are really absent from the decision
+    out = Q["dedup_keep_cluster_canonical"](spark, str(sf)).collect()
+    decided = {r.kept_doc_id for r in out}
+    assert decided <= {0, 1, 4} and sum(r.n_docs for r in out) == 3
