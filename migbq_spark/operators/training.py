@@ -1546,3 +1546,142 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q_temp, 4).alias("q_temp"),
         F.round(q_temp / p_raw, 4).alias("boost"),
     )
+
+
+# ------------------------------------------------- quality_gopher_rules
+
+@register(
+    "quality_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+               length(text)
+                 - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                 AS n_sym,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               ROUND(len(list_aggregate(ws, 'string_agg', ''))
+                     * 1.0 / len(ws), 4) AS mean_wlen,
+               ROUND(n_sym * 1.0 / GREATEST(n_chars, 1), 4) AS sym_ratio,
+               len(list_filter(list_distinct(ws),
+                   w -> w IN ('the', 'a', 'of', 'to', 'in'))) AS n_stop
+        FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_words, mean_wlen, sym_ratio, n_stop,
+           (n_words >= 20 AND mean_wlen BETWEEN 3 AND 10
+            AND sym_ratio <= 0.1 AND n_stop >= 2) AS passes
+    FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE RULE FILTERING (r6) — the public heuristic bundle
+    (Rae et al. 2021) every large text pipeline runs before model-based
+    scoring, as one row-local pass with a per-rule audit: word count
+    floor (>= 20 here, fixture-calibrated from the paper's 50), mean
+    word length in [3, 10], symbol-to-char ratio <= 0.1, and >= 2
+    distinct stopwords present — plus the combined verdict.  Integer /
+    exact-ratio arithmetic behind ROUND(·,4): hash mode.
+
+    Complements the statistical filters (`quality_score` blend,
+    `quality_perplexity_filter` LM surprisal): real funnels run the
+    cheap rules FIRST, so the expensive scorers see fewer docs.
+
+    Scale (100 TB): entirely row-local (split + array HOFs, no
+    shuffle, no UDF) — embarrassingly parallel at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    n_sym = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-z0-9 ]", "")
+    )
+    base = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        n_sym.alias("n_sym"),
+        F.length("text").alias("n_chars"),
+    ).filter(F.size("ws") > 0)
+    wlen_sum = F.aggregate(
+        "ws", F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_words = F.size("ws")
+    mean_wlen = F.round(wlen_sum * F.lit(1.0) / n_words, 4)
+    sym_ratio = F.round(
+        F.col("n_sym") * F.lit(1.0) / F.greatest("n_chars", F.lit(1)), 4
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array_distinct("ws"),
+            lambda w: w.isin("the", "a", "of", "to", "in"),
+        )
+    )
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        sym_ratio.alias("sym_ratio"),
+        n_stop.alias("n_stop"),
+    )
+    passes = (
+        (F.col("n_words") >= 20)
+        & F.col("mean_wlen").between(3, 10)
+        & (F.col("sym_ratio") <= 0.1)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.withColumn("passes", passes)
+
+
+# ---------------------------------------------- dedup_exact_normalized
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS norm_hash
+        FROM documents
+    ),
+    g AS (
+        SELECT norm_hash, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS group_size
+        FROM n GROUP BY norm_hash
+    )
+    SELECT n.doc_id, n.norm_hash, g.canonical_id, g.group_size,
+           n.doc_id <> g.canonical_id AS is_dup
+    FROM n JOIN g USING (norm_hash)
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMALIZED exact dedup (r6) — the canonicalize-then-hash pass
+    real pipelines run BEFORE MinHash: lowercase, collapse whitespace
+    runs, trim, md5 the result; docs sharing a normalized hash form a
+    group whose lowest doc_id is canonical and the rest are flagged
+    dups.  Catches the trivial near-dups (case / spacing variants)
+    that would otherwise waste LSH candidate budget.  md5 is the
+    portable hash family (same move as `dedup_minhash_portable`), so
+    the whole pass value-hash-checks.
+
+    Scale (100 TB): one narrow row-local normalization + one hash
+    group-by (map-side combinable) + a join co-partitioned with it —
+    `dedup_hash_exact`'s shape with the normalization the raw corpus
+    actually needs."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    )
+    n = d.select("doc_id", norm.alias("norm_hash"))
+    g = n.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return n.join(g, "norm_hash").select(
+        "doc_id",
+        "norm_hash",
+        "canonical_id",
+        "group_size",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )

@@ -111,6 +111,8 @@ R7_WINDOW: tuple[str, ...] = (
     "quality_perplexity_filter",
     "dedup_semantic_lsh_portable",
     "mix_temperature_sampling",
+    "quality_gopher_rules",
+    "dedup_exact_normalized",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -144,8 +146,6 @@ R7_WINDOW: tuple[str, ...] = (
     "merge_upsert_latest",
     "cdc_snapshot_diff",
     "table_checksum_md5",
-    "checksum_incremental_update",
-    "pk_gap_detection",
     "join_inner_equi",
     "join_broadcast_dim",
     "join_left_outer",
