@@ -946,9 +946,17 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pair set is pinned in tests.
 
     Scale (100 TB): signatures are 12 narrow JVM projections per row;
-    the candidate join shuffles (band, bkey, id, se) — sub-quadratic
-    for any corpus whose near-dup mass is clustered (the regime dedup
-    targets); the verify dot runs on candidates only.  No labels, no
+    the candidate join shuffles (band, bkey, id) — IDS ONLY, the
+    vectors are fetched back by id for the verify dot after the pair
+    set is distinct (carrying both 64-element arrays through the
+    bucket join multiplies the candidate shuffle width ~64× and was
+    measured to GC-kill the sf10 fixture at 96 M raw pairs; the
+    ids-only shape is also what the oracle's `pairs` CTE does).  The
+    fetch-back joins broadcast the quantized vector table when its
+    estimated size fits an executor (64 MB guard) — at corpus scale
+    they fall back to shuffle joins on the distinct, much smaller
+    candidate set.  Sub-quadratic for any corpus whose near-dup mass
+    is clustered (the regime dedup targets).  No labels, no
     driver-side state, no floats past quantization."""
     _N_PLANES, _BANDS, _BAND_BITS = 12, 3, 4
     e = load(spark, sf_dir, "embeddings")
@@ -975,9 +983,8 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("bigint")
-    bands = sv.select("vec_id", "se", sig.alias("sig")).select(
+    bands = sv.select("vec_id", sig.alias("sig")).select(
         "vec_id",
-        "se",
         F.explode(
             F.array(
                 *[
@@ -991,26 +998,30 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "se", "bb.b", "bb.bkey")
-    a = bands.select(
-        F.col("vec_id").alias("a_id"), F.col("se").alias("a_se"), "b", "bkey"
-    )
-    c = bands.select(
-        F.col("vec_id").alias("b_id"), F.col("se").alias("b_se"), "b", "bkey"
-    )
+    ).select("vec_id", "bb.b", "bb.bkey")
+    a = bands.select(F.col("vec_id").alias("a_id"), "b", "bkey")
+    c = bands.select(F.col("vec_id").alias("b_id"), "b", "bkey")
     pairs = (
         a.join(c, ["b", "bkey"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_se", "b_se")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    # verify fetch-back: ~520 B per quantized vector; broadcast while
+    # that comfortably fits an executor, shuffle-join past it
+    qa = sv.select(F.col("vec_id").alias("a_id"), F.col("se").alias("a_se"))
+    qb = sv.select(F.col("vec_id").alias("b_id"), F.col("se").alias("b_se"))
+    if e.count() * 520 <= (64 << 20):
+        qa, qb = F.broadcast(qa), F.broadcast(qb)
     sim = F.aggregate(
         F.zip_with("a_se", "b_se", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     return (
-        pairs.select("a_id", "b_id", sim.alias("sim_scaled"))
+        pairs.join(qa, "a_id")
+        .join(qb, "b_id")
+        .select("a_id", "b_id", sim.alias("sim_scaled"))
         .filter(F.col("sim_scaled") >= _SEMANTIC_TAU_SCALED)
     )
 
