@@ -687,3 +687,69 @@ def recursive_pk_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.cteRecursionLevelLimit", prior)
         else:
             spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+
+
+# ---------------------------------------------- load_dead_letter_quarantine
+
+@register(
+    "load_dead_letter_quarantine",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, event_type,
+               CAST(json_extract(props, '$.k') AS INT) AS k, value
+        FROM events
+    ),
+    f AS (
+        SELECT *,
+               list_filter([
+                   CASE WHEN k > 90 THEN 'k_overflow' END,
+                   CASE WHEN value > 550 THEN 'value_range' END
+               ], x -> x IS NOT NULL) AS fails
+        FROM t
+    )
+    SELECT event_id, event_type, k, value,
+           array_to_string(fails, ',') AS reason
+    FROM f WHERE len(fails) > 0
+    """,
+)
+def load_dead_letter_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEAD-LETTER quarantine for a typed load contract (r6) — migbq's
+    failed-row story ([pub:migbq] rows that violate the BigQuery target
+    schema during a MSSQL sync are diverted, not dropped, so the batch
+    commits and the misfits stay auditable): each source row is checked
+    against the destination contract (here: `k` must fit the target
+    column width `<= 90`, `value` must satisfy the range CHECK
+    `<= 550`), and VIOLATING rows are emitted with a deterministic
+    comma-joined reason list — the table an operator replays after
+    widening the target schema.  The happy-path rows are exactly
+    `events EXCEPT this` (no second operator needed — same scan).
+
+    Scale (100 TB): entirely row-local (JSON field extract + two
+    comparisons + array_compact), no shuffle, no UDF; the quarantine
+    side is the small output by design, so the sink write is cheap
+    regardless of source size."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    fails = F.array_compact(
+        F.array(
+            F.when(k > 90, F.lit("k_overflow")),
+            F.when(F.col("value") > 550, F.lit("value_range")),
+        )
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            k.alias("k"),
+            "value",
+            fails.alias("fails"),
+        )
+        .filter(F.size("fails") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            "k",
+            "value",
+            F.array_join("fails", ",").alias("reason"),
+        )
+    )

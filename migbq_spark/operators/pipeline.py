@@ -2258,3 +2258,83 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(kept) * F.lit(1.0) / F.count(F.lit(1)), 4
         ).alias("kept_frac"),
     )
+
+
+# ------------------------------------------------------- dup_span_ratio
+
+@register(
+    "dup_span_ratio",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM tok WHERE len(t) >= 5
+    ),
+    sp AS (
+        SELECT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+               t[i + 3] || ' ' || t[i + 4] AS span
+        FROM sh
+    ),
+    docs_per_span AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(COUNT(*) FILTER (d.nd >= 2) AS BIGINT) AS n_dup_spans,
+           ROUND(COUNT(*) FILTER (d.nd >= 2) * 1.0 / COUNT(*), 4)
+               AS dup_span_ratio
+    FROM sp JOIN docs_per_span d USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document duplicated-span ratio (r6) — the per-document
+    signal behind exact-substring dedup (public Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every token position, the 5-token span starting there is
+    "duplicated" iff the SAME span occurs in at least one OTHER
+    document; the doc-level ratio of duplicated positions is the
+    boilerplate / template score a curation funnel thresholds on.
+    Distinct from `repeated_ngram_ratio` (WITHIN-doc repetition) and
+    `contamination_overlap` (train→test leakage): this measures
+    corpus-wide redundancy at span granularity.
+
+    Scale (100 TB): spans are corpus-linear; the docs-per-span count
+    aggregates the DISTINCT (doc, span) set (map-side combinable), and
+    the only wide op is one shuffle join keyed on the span back to the
+    position stream.  At extreme scale hash the span to a 64-bit key
+    (`xxhash64`) to shrink the shuffle payload — kept as raw text here
+    so the DuckDB oracle stays byte-identical (the
+    `contamination_overlap` convention)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 5)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 5),"
+                " i -> concat_ws(' ', slice(t, i + 1, 5)))"
+            )
+        ).alias("span"),
+    )
+    docs_per_span = (
+        spans.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    joined = spans.join(docs_per_span, "span")
+    n_dup = F.count_if(F.col("nd") >= 2)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.round(n_dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "dup_span_ratio"
+        ),
+    )

@@ -113,6 +113,8 @@ R7_WINDOW: tuple[str, ...] = (
     "mix_temperature_sampling",
     "quality_gopher_rules",
     "dedup_exact_normalized",
+    "load_dead_letter_quarantine",
+    "dup_span_ratio",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -156,8 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "join_cross",
     "join_star_5way",
     "join_asof",
-    "join_skew_salted",
-    "win_rownum_dedup",
 )
 
 
