@@ -161,14 +161,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-def _portable_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, band, bkey) — banded MinHash signatures under the
-    PORTABLE md5-derived 60-bit hash family (each hash = top 60 bits of
+def _portable_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, mh0..mh15) — the 16 PORTABLE md5-derived 60-bit
+    MinHash components per document (each hash = top 60 bits of
     md5(seed ':' token), bit-identical between Spark's
     ``conv(substr(md5(..),1,15),16,10)`` and DuckDB's
     ``CAST('0x'||substr(md5(..),1,15) AS BIGINT)``).  Shared by
-    `dedup_minhash_portable` (source-blocked pair listing) and
-    `dedup_cross_source_cc` (unblocked cluster discovery)."""
+    `_portable_band_df` (banding) and `minhash_jaccard_estimate`
+    (component-match accuracy audit)."""
     toks = _tok_df(spark, sf_dir)
 
     def h(i: int) -> F.Column:
@@ -204,12 +204,21 @@ def _portable_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartitioned at sf0.1); on a many-split 100 TB scan the same move
     # trades map-side partial aggregation for guaranteed balance, bounded
     # by the explode fan-out.
-    mins = (
+    return (
         toks.repartition("doc_id", "source")
         .join(vocab_h, "token")
         .groupBy("doc_id", "source")
         .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(_MINHASH_K)])
     )
+
+
+def _portable_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, band, bkey) — `_portable_minhash_df` signatures
+    banded 4×4 (bkey = the comma-joined 4-tuple, no second hash —
+    portable).  Shared by `dedup_minhash_portable` (source-blocked pair
+    listing) and `dedup_cross_source_cc` (unblocked cluster
+    discovery)."""
+    mins = _portable_minhash_df(spark, sf_dir)
     rows_per_band = _MINHASH_K // _LSH_BANDS
     return mins.select(
         "doc_id",
@@ -2337,4 +2346,229 @@ def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
             "dup_span_ratio"
         ),
+    )
+
+
+# ---------------------------------------------- minhash_jaccard_estimate
+
+@register(
+    "minhash_jaccard_estimate",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, source, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, source, s
+    ),
+    sig AS (
+        SELECT doc_id, source, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, source, s // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sig a JOIN sig b
+          ON a.source = b.source AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.a_id, c.b_id,
+               SUM(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) AS n_match
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.a_id
+        JOIN mh mb ON mb.doc_id = c.b_id AND mb.s = ma.s
+        GROUP BY c.a_id, c.b_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    shared AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS shared
+        FROM cand c
+        JOIN tok ta ON ta.doc_id = c.a_id
+        JOIN tok tb ON tb.doc_id = c.b_id AND tb.t = ta.t
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT e.a_id, e.b_id,
+           ROUND(e.n_match / 16.0, 4) AS est_jaccard,
+           ROUND(COALESCE(s.shared, 0) * 1.0
+                 / (ca.n + cb.n - COALESCE(s.shared, 0)), 4)
+               AS exact_jaccard,
+           ROUND(ABS(e.n_match / 16.0
+                     - COALESCE(s.shared, 0) * 1.0
+                       / (ca.n + cb.n - COALESCE(s.shared, 0))), 4)
+               AS abs_err
+    FROM est e
+    LEFT JOIN shared s ON s.a_id = e.a_id AND s.b_id = e.b_id
+    JOIN cnt ca ON ca.doc_id = e.a_id
+    JOIN cnt cb ON cb.doc_id = e.b_id
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ACCURACY audit (r6) — for every banded-LSH candidate
+    pair, the sketch's Jaccard estimate (matching components / 16,
+    the unbiased MinHash estimator) next to the EXACT token-set
+    Jaccard and their absolute error, under the portable md5 60-bit
+    family (`_portable_minhash_df`).  This is the measurement a real
+    dedup deployment runs before trusting a signature width: it tells
+    you whether 16 components suffice at your similarity threshold or
+    you need 64/128.  Every arithmetic step is integer counts and one
+    IEEE division, so the whole audit value-hash-checks.
+
+    Scale (100 TB): candidates come from the same source-blocked
+    banded buckets as `dedup_minhash_portable` (sub-quadratic in the
+    dedup regime); the estimate join ships 16 bigints per doc (the
+    signature, NOT the token set), and the exact side reuses the
+    verify-join shape that is already the dedup path's cost — the
+    audit is therefore at most 2× the dedup run it qualifies, and in
+    production you run it on a SAMPLE of candidates."""
+    bands = _portable_band_df(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
+        .dropDuplicates()
+    )
+    mins = _portable_minhash_df(spark, sf_dir)
+    siga = mins.select(
+        F.col("doc_id").alias("a_id"),
+        F.array(*[f"mh{i}" for i in range(_MINHASH_K)]).alias("a_sig"),
+    )
+    sigb = mins.select(
+        F.col("doc_id").alias("b_id"),
+        F.array(*[f"mh{i}" for i in range(_MINHASH_K)]).alias("b_sig"),
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("a_sig", "b_sig", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    sets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("toks"),
+    )
+    sa = sets.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    sb = sets.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    shared = F.size(F.array_intersect("a_toks", "b_toks"))
+    exact = shared * F.lit(1.0) / (
+        F.size("a_toks") + F.size("b_toks") - shared
+    )
+    est = F.col("__n_match") / F.lit(16.0)
+    return (
+        cand.join(siga, "a_id")
+        .join(sigb, "b_id")
+        .withColumn("__n_match", n_match)
+        .join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------- embedding_quantize_int8
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, se,
+               GREATEST(list_max(list_transform(se, x -> abs(x))), 1)
+                   AS scale_int
+        FROM scaled
+    ),
+    q AS (
+        SELECT vec_id, scale_int,
+               list_transform(se,
+                   x -> CAST(FLOOR(x * 127.0 / scale_int) AS BIGINT)) AS qv,
+               list_transform(se,
+                   x -> x * 127
+                        - CAST(FLOOR(x * 127.0 / scale_int) AS BIGINT)
+                          * scale_int) AS err
+        FROM m
+    )
+    SELECT vec_id, scale_int,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           CAST(list_max(err) AS BIGINT) AS max_err_scaled,
+           CAST(list_sum(err) AS BIGINT) AS sum_err_scaled
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 vector quantization audit (r6) — the compression pass every
+    production ANN index runs before building (FAISS-style scalar
+    quantization, public): per vector, absmax scale over the
+    fixed-point representation, each component floor-quantized to
+    [-127, 127], and the reconstruction-error profile (max and sum of
+    `|x·127 − q·scale|`, in fixed-point·127 units) that tells you
+    whether int8 recall will hold.  After the one fixed-point
+    quantization every step is integer arithmetic plus one IEEE
+    division inside `FLOOR`, so the audit value-hash-checks
+    cross-engine — the same move as `ann_rp_lsh_topk_portable`.
+
+    Scale (100 TB): entirely row-local (three array HOFs per vector,
+    no shuffle, no UDF); in production the quantized column is written
+    next to the raw one and the index builds from it — this operator
+    is the audit that gates that write."""
+    e = load(spark, sf_dir, "embeddings")
+    se = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    base = e.select("vec_id", se.alias("se"))
+    scale = F.greatest(
+        F.array_max(F.transform("se", lambda x: F.abs(x))), F.lit(1).cast("bigint")
+    )
+    m = base.select("vec_id", "se", scale.alias("scale_int"))
+    qv = F.transform(
+        "se",
+        lambda x: F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint"),
+    )
+    err = F.transform(
+        "se",
+        lambda x: x * F.lit(127).cast("bigint")
+        - F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint")
+        * F.col("scale_int"),
+    )
+    q = m.select("vec_id", "scale_int", qv.alias("qv"), err.alias("err"))
+    list_sum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return q.select(
+        "vec_id",
+        "scale_int",
+        list_sum("qv").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.array_max("err").alias("max_err_scaled"),
+        list_sum("err").alias("sum_err_scaled"),
     )

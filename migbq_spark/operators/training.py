@@ -1685,3 +1685,106 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
+
+
+# ------------------------------------------------------ winsorize_by_key
+
+@register(
+    "winsorize_by_key",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND(b.lo, 4) AS lo,
+           ROUND(b.hi, 4) AS hi,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 4) AS winsorized,
+           (e.value < b.lo OR e.value > b.hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def winsorize_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group WINSORIZATION (r6) — the outlier-clipping pass feature
+    pipelines run before normalizing a heavy-tailed metric: exact
+    interpolated p05/p95 per event_type (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the `agg_percentile` parity), every row clamped
+    into the band, with the original value, the band, and a clip flag
+    kept for audit.  Complements `outlier_iqr_bounds` (detects) and
+    `robust_median_mad` (scores): this one APPLIES the treatment.
+
+    Scale (100 TB): the per-group bounds table is |groups| rows —
+    broadcast to the row stream (plan: BroadcastHashJoin, no shuffle
+    of the fact side); exact per-group percentiles sort within groups
+    only.  For a global percentile at extreme scale swap in
+    `approx_percentile` and accept rows-only checking."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    wins = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("lo", 4).alias("lo"),
+        F.round("hi", 4).alias("hi"),
+        F.round(wins, 4).alias("winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+# ----------------------------------------------- collapse_repeated_tokens
+
+@register(
+    "collapse_repeated_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]) AS kept
+        FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           array_to_string(kept, ' ') AS cleaned
+    FROM c
+    """,
+)
+def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate-token collapse (r6) — the stutter-cleaning
+    pass text pipelines run on OCR / ASR / scraped corpora ("the the",
+    "very very very"): token i is dropped iff it equals token i−1, the
+    cleaned text is re-joined, and the removal count is kept as a
+    quality signal (heavy stutter correlates with extraction failure).
+    A REWRITE operator, not a score: the output `cleaned` column is
+    the new corpus text, value-hash-checked byte-for-byte.
+
+    Implementation is one indexed-lambda `filter` per row on both
+    engines (Spark 0-based `(x, i)` with NULL-safe `get(t, i-1)`;
+    DuckDB 1-based `(x, i)` with NULL `t[0]`) — entirely row-local,
+    no shuffle, no UDF; embarrassingly parallel at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") > 0)
+    kept = F.filter(
+        "t",
+        lambda x, i: (i == F.lit(0)) | (x != F.get("t", i - F.lit(1))),
+    )
+    return base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned"),
+    )

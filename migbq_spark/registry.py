@@ -115,6 +115,10 @@ R7_WINDOW: tuple[str, ...] = (
     "dedup_exact_normalized",
     "load_dead_letter_quarantine",
     "dup_span_ratio",
+    "minhash_jaccard_estimate",
+    "embedding_quantize_int8",
+    "winsorize_by_key",
+    "collapse_repeated_tokens",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -154,10 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_range_theta",
-    "join_cross",
-    "join_star_5way",
-    "join_asof",
 )
 
 
