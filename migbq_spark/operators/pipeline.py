@@ -2572,3 +2572,84 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("err").alias("max_err_scaled"),
         list_sum("err").alias("sum_err_scaled"),
     )
+
+
+# ------------------------------------------------------ lang_id_confusion
+
+@register(
+    "lang_id_confusion",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t AS token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    freq AS (
+        SELECT lang, t AS token, COUNT(*) AS f
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+        GROUP BY lang, t
+    ),
+    profile AS (
+        SELECT lang, token
+        FROM (SELECT lang, token,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY f DESC, token) AS rn
+              FROM freq)
+        WHERE rn <= 10
+    ),
+    overlap AS (
+        SELECT tok.doc_id, profile.lang, COUNT(*) AS n_shared
+        FROM tok JOIN profile ON tok.token = profile.token
+        GROUP BY tok.doc_id, profile.lang
+    ),
+    pred AS (
+        SELECT doc_id, lang AS pred_lang
+        FROM (SELECT doc_id, lang, n_shared,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY n_shared DESC, lang) AS rn
+              FROM overlap)
+        WHERE rn = 1
+    ),
+    j AS (
+        SELECT d.lang, p.pred_lang
+        FROM documents d JOIN pred p USING (doc_id)
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n_lang FROM j GROUP BY lang)
+    SELECT j.lang, j.pred_lang, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / MAX(t.n_lang), 4) AS share,
+           (j.lang = j.pred_lang) AS is_correct
+    FROM j JOIN tot t USING (lang)
+    GROUP BY j.lang, j.pred_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX (r6) — the accuracy audit run
+    before trusting `lang_id_ngram`'s predictions in a routing
+    decision: actual label (the fixture's `lang` column) × predicted
+    label, with per-actual-language row-normalized shares and a
+    correctness flag.  The diagonal shares are per-class recall; a
+    hot off-diagonal cell names exactly WHICH language pair the
+    profile confuses — what you inspect before widening a profile.
+    Pure counts + one exact division: hash mode.
+
+    Scale (100 TB): composes `lang_id_ngram`'s own plan (broadcast
+    50-row profile, map-side classify) with one |langs|²-bounded
+    aggregate — the audit costs the same as the classifier."""
+    d = load(spark, sf_dir, "documents")
+    pred = lang_id_ngram(spark, sf_dir).select("doc_id", "pred_lang")
+    j = d.select("doc_id", "lang").join(pred, "doc_id").select(
+        "lang", "pred_lang"
+    )
+    tot = j.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        j.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.max("n_lang"), 4
+            ).alias("share"),
+        )
+        .withColumn("is_correct", F.col("lang") == F.col("pred_lang"))
+    )

@@ -1788,3 +1788,178 @@ def collapse_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("t") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("cleaned"),
     )
+
+
+# --------------------------------------------------- target_encoding_loo
+
+@register(
+    "target_encoding_loo",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                   AS s_e4,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           CAST(FLOOR(
+               (g.s_e4 - CAST(CAST(e.value AS DECIMAL(18,4)) * 10000
+                              AS BIGINT)) * 1.0 / (g.n - 1)
+           ) AS BIGINT) AS te_loo_e4
+    FROM events e JOIN g USING (event_type)
+    WHERE g.n > 1
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding (r6) — the categorical-feature
+    encoding supervised pipelines use to fold a high-cardinality key
+    into one numeric column without leaking the row's own label:
+    te(row) = (Σ_group value − value_row) / (n_group − 1).  The group
+    sums run in exact decimal (the `agg_stats_moments` convention —
+    never hash-check a raw double SUM, its merge order differs across
+    engines), and the encoding is emitted FIXED-POINT
+    (`te_loo_e4` = ⌊te · 10⁴⌋, a BIGINT): with 4-dp inputs the LOO
+    mean lands exactly on ROUND-grid ties (measured at sf0.001:
+    te = 47.07375 → Spark HALF_UP .0738 vs DuckDB binary-round .0737),
+    so rounding is the one non-portable step and floor-scaling is the
+    portable form — the `sim_scaled` convention.  Groups of one are
+    excluded (the encoding is undefined there), on both engines via
+    the same predicate.
+
+    Scale (100 TB): one map-side-combinable group aggregate over
+    |keys| rows, broadcast back to the row stream — the fact table is
+    never shuffled."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+        .cast("bigint")
+        .alias("s_e4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = e.join(F.broadcast(g), "event_type").filter(F.col("n") > 1)
+    v_e4 = (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint")
+    te_e4 = F.floor(
+        (F.col("s_e4") - v_e4) * F.lit(1.0) / (F.col("n") - 1)
+    ).cast("bigint")
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        te_e4.alias("te_loo_e4"),
+    )
+
+
+# -------------------------------------------------- js_divergence_sources
+
+@register(
+    "js_divergence_sources",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, t AS token, COUNT(*) AS n
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY source, t
+    ),
+    tot AS (SELECT source, SUM(n) AS total FROM cnt GROUP BY source),
+    p AS (
+        SELECT c.source, c.token, c.n * 1.0 / t.total AS p
+        FROM cnt c JOIN tot t USING (source)
+    ),
+    srcs AS (SELECT source FROM tot),
+    prs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    grid AS (
+        SELECT pr.src_a, pr.src_b, v.token,
+               COALESCE(pa.p, 0) AS pa, COALESCE(pb.p, 0) AS pb
+        FROM prs pr
+        CROSS JOIN (SELECT DISTINCT token FROM cnt) v
+        LEFT JOIN p pa ON pa.source = pr.src_a AND pa.token = v.token
+        LEFT JOIN p pb ON pb.source = pr.src_b AND pb.token = v.token
+        WHERE pa.p IS NOT NULL OR pb.p IS NOT NULL
+    )
+    SELECT src_a, src_b, COUNT(*) AS n_union_tokens,
+           ROUND(SUM(
+               0.5 * (CASE WHEN pa > 0
+                           THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END)
+             + 0.5 * (CASE WHEN pb > 0
+                           THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END)
+           ), 4) AS jsd_nats
+    FROM grid
+    GROUP BY src_a, src_b
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise JENSEN-SHANNON divergence between source token
+    distributions (r6) — the symmetric, bounded [0, ln 2] corpus-mix
+    diagnostic: which sources are lexically interchangeable and which
+    contribute genuinely different text (the measurement behind
+    `mix_weighted_sources` / `mix_temperature_sampling` weight
+    choices; complements `kl_divergence_drift`, which compares value
+    HISTOGRAMS of one stream over time).  Probabilities are exact
+    count ratios; the Σ p·ln(p/m) reduction is 4-dp rounded
+    (`entropy_by_source`'s float convention: per-term values are
+    identical, reduction-order ulps sit far below the grid).
+
+    Scale (100 TB): per-source token counts are map-side combinable;
+    the pair grid is |vocab| × |source pairs| with the Heaps-bounded
+    vocab on the big side and everything else broadcast — no shuffle
+    of the corpus after the first count."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    cnt = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("total"))
+    p = cnt.join(F.broadcast(tot), "source").select(
+        "source", "token", (F.col("n") * F.lit(1.0) / F.col("total")).alias("p")
+    )
+    srcs = tot.select("source")
+    prs = (
+        srcs.alias("a")
+        .crossJoin(srcs.alias("b"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    vocab = cnt.select("token").distinct()
+    grid = vocab.crossJoin(F.broadcast(prs))
+    pa = p.select(
+        F.col("source").alias("src_a"), "token", F.col("p").alias("pa")
+    )
+    pb = p.select(
+        F.col("source").alias("src_b"), "token", F.col("p").alias("pb")
+    )
+    g = (
+        grid.join(pa, ["src_a", "token"], "left")
+        .join(pb, ["src_b", "token"], "left")
+        .filter(F.col("pa").isNotNull() | F.col("pb").isNotNull())
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / F.lit(2)
+    term = F.lit(0.5) * (
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(F.col("pa") / m)).otherwise(
+            F.lit(0.0)
+        )
+    ) + F.lit(0.5) * (
+        F.when(F.col("pb") > 0, F.col("pb") * F.log(F.col("pb") / m)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return g.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_union_tokens"),
+        F.round(F.sum(term), 4).alias("jsd_nats"),
+    )

@@ -119,6 +119,9 @@ R7_WINDOW: tuple[str, ...] = (
     "embedding_quantize_int8",
     "winsorize_by_key",
     "collapse_repeated_tokens",
+    "lang_id_confusion",
+    "target_encoding_loo",
+    "js_divergence_sources",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -155,9 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "join_inner_equi",
     "join_broadcast_dim",
     "join_left_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
 )
 
 
