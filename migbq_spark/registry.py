@@ -122,6 +122,9 @@ R7_WINDOW: tuple[str, ...] = (
     "lang_id_confusion",
     "target_encoding_loo",
     "js_divergence_sources",
+    "lsh_bucket_skew_audit",
+    "stream_tws_value_ttl",
+    "corpus_curation_funnel_rules",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -155,9 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "merge_upsert_latest",
     "cdc_snapshot_diff",
     "table_checksum_md5",
-    "join_inner_equi",
-    "join_broadcast_dim",
-    "join_left_outer",
 )
 
 

@@ -84,13 +84,23 @@ def _warn_tws_fallback(op: str, exc: Exception) -> None:
     )
 
 
-def _drain(sdf: DataFrame, name_seed: str, mode: str = "append") -> str:
+def _drain(
+    sdf: DataFrame,
+    name_seed: str,
+    mode: str = "append",
+    ckpt: str | None = None,
+) -> str:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; returns the sink table name.
 
     Aggregations must drain in `complete` mode: in `append` mode a
     window is emitted only once the watermark passes it, so a bounded
     drain would permanently hold back the tail windows.
+
+    ``ckpt`` overrides the (normally per-call-unique) checkpoint
+    location so multi-run operators can RESUME state across drains —
+    the memory sink itself is still fresh per call, so each drain's
+    table holds only that run's emissions.
 
     Scopes `spark.sql.shuffle.partitions` → `_STREAM_SHUFFLE_PARTITIONS`
     around start+termination: the conf is read at query start and fixes
@@ -107,7 +117,9 @@ def _drain(sdf: DataFrame, name_seed: str, mode: str = "append") -> str:
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option("checkpointLocation", str(_CHECKPOINT_ROOT / name))
+            .option(
+                "checkpointLocation", ckpt or str(_CHECKPOINT_ROOT / name)
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -1453,3 +1465,206 @@ def stream_pk_sync_loadjob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .json(str(dest))
     )
+
+
+# ------------------------------------------------- TTL state (r6)
+
+_TTL_OUT_SCHEMA = (
+    "user_id bigint, n_batch bigint,"
+    " short_present boolean, long_present boolean"
+)
+#: Short-TTL window: long enough that state can never expire WITHIN a
+#: single availableNow drain on this box, short against the enforced
+#: 1.5 s inter-run sleep.
+_TTL_SHORT_MS = 500
+_TTL_LONG_MS = 3_600_000
+
+
+class TtlProbeProcessor(StatefulProcessor):
+    """Two ValueStates over the same key, differing only in TTL: `short`
+    (500 ms) and `long` (1 h).  Each batch reports whether each state
+    was still VISIBLE on entry (TTL is enforced by the state store at
+    read time), then rewrites both — so a second run ≥ short-TTL later
+    sees short_present=False / long_present=True for every key the
+    first run touched."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._short = handle.getValueState(
+            "short_ttl", "n bigint", ttlDurationMs=_TTL_SHORT_MS
+        )
+        self._long = handle.getValueState(
+            "long_ttl", "n bigint", ttlDurationMs=_TTL_LONG_MS
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        short_seen = self._short.exists()
+        long_seen = self._long.exists()
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        prev_s = int(self._short.get()[0]) if short_seen else 0
+        prev_l = int(self._long.get()[0]) if long_seen else 0
+        self._short.update((prev_s + n,))
+        self._long.update((prev_l + n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_batch": [n],
+                "short_present": [bool(short_seen)],
+                "long_present": [bool(long_seen)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_value_ttl",
+    oracle="""
+    WITH mid AS (
+        SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m FROM events
+    ),
+    a AS (
+        SELECT DISTINCT user_id FROM events, mid WHERE event_id <= m
+    ),
+    b AS (
+        SELECT user_id, COUNT(*) AS n_batch
+        FROM events, mid WHERE event_id > m GROUP BY user_id
+    )
+    SELECT b.user_id, b.n_batch,
+           FALSE AS short_present,
+           (a.user_id IS NOT NULL) AS long_present
+    FROM b LEFT JOIN a USING (user_id)
+    """,
+)
+def stream_tws_value_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE TTL through the real transformWithState transport (r6) —
+    the last piece of the Spark 4 arbitrary-state surface after
+    Value/List/MapState and timers: `getValueState(..., ttlDurationMs)`
+    with the RocksDB provider enforcing expiry at read time.  Two runs
+    against ONE checkpoint: run 1 drains the first half of events
+    (every key writes a 500 ms-TTL state and a 1 h-TTL state), the
+    operator then SLEEPS 1.5 s — strictly past the short TTL, far
+    inside the long one — and run 2 drains the second half, with each
+    key reporting which states it still sees.  That makes the
+    processing-time semantics DETERMINISTIC (the only timing the
+    result depends on is the enforced sleep), so the op is
+    hash-checked: short state always expired, long state present
+    exactly for keys the first run touched.
+
+    Scale (100 TB): TTL is the mechanism that keeps a
+    billions-of-keys state store bounded without manual timer
+    bookkeeping — expiry happens inside RocksDB compaction, no scan,
+    no per-key timer state; this operator is the semantics pin for
+    it."""
+    import glob
+    import shutil
+    import time as _time
+
+    ensure_runtime_confs(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    row = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    mid = (int(row["lo"]) + int(row["hi"])) // 2
+    a = ev.filter(F.col("event_id") <= mid)
+    b = ev.filter(F.col("event_id") > mid)
+
+    def _batch_expected() -> DataFrame:
+        a_keys = a.select("user_id").distinct().withColumn(
+            "__in_a", F.lit(True)
+        )
+        return (
+            b.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_batch"))
+            .join(a_keys, "user_id", "left")
+            .select(
+                "user_id",
+                "n_batch",
+                F.lit(False).alias("short_present"),
+                F.coalesce("__in_a", F.lit(False)).alias("long_present"),
+            )
+        )
+
+    if not _TWS_TRANSPORT_OK:
+        return _batch_expected()
+
+    tag = hashlib.md5(("tws_ttl_" + sf_dir).encode()).hexdigest()[:10]
+    stream_dir = _STAGE_ROOT / f"ttl_chunks_{tag}"
+    tmp_dir = _STAGE_ROOT / f"ttl_tmp_{tag}"
+    ckpt = str(_CHECKPOINT_ROOT / f"ttl_{tag}")
+    dests = [str(_STAGE_ROOT / f"ttl_out_{tag}_{i}") for i in (1, 2)]
+    for p in (stream_dir, tmp_dir, ckpt, *dests):
+        shutil.rmtree(p, ignore_errors=True)
+    stream_dir.mkdir(parents=True)
+
+    def _stage(df: DataFrame, fname: str) -> None:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        df.coalesce(1).write.parquet(str(tmp_dir))
+        part = glob.glob(str(tmp_dir / "part-*.parquet"))[0]
+        shutil.move(part, str(stream_dir / fname))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    _stage(a, "a.parquet")
+    schema = spark.read.parquet(str(stream_dir)).schema
+
+    def _run(dest: str) -> None:
+        # trigger(once=True), NOT availableNow: under
+        # timeMode="ProcessingTime" (which TTL requires) an
+        # availableNow drain never terminates — the MultiBatchExecutor
+        # keeps scheduling batches indefinitely (measured: 400+ stages
+        # before timeout).  Each phase stages exactly one new file, so
+        # the single once-batch covers all new data.  The sink is
+        # foreachBatch→parquet because a memory sink cannot RECOVER a
+        # checkpoint, and run 2 must resume run 1's state.
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(stream_dir))
+        )
+        with _state_store_confs(spark, ROCKSDB_STATE_CONFS):
+            updated = sdf.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=TtlProbeProcessor(),
+                outputStructType=_TTL_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+            saved = spark.conf.get("spark.sql.shuffle.partitions", None)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
+            )
+            try:
+                q = (
+                    updated.writeStream.foreachBatch(
+                        lambda df, _bid: df.write.mode("append")
+                        .parquet(dest)
+                    )
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(once=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                if saved is None:
+                    spark.conf.unset("spark.sql.shuffle.partitions")
+                else:
+                    spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    try:
+        _run(dests[0])  # run 1: first half writes both states
+        _time.sleep(1.5)  # strictly past the 500 ms TTL
+        _stage(b, "b.parquet")
+        _run(dests[1])  # run 2: second half probes state visibility
+        return spark.read.schema(
+            "user_id bigint, n_batch bigint,"
+            " short_present boolean, long_present boolean"
+        ).parquet(dests[1]).select(
+            "user_id", "n_batch", "short_present", "long_present"
+        )
+    except Exception as exc:
+        _warn_tws_fallback("stream_tws_value_ttl", exc)
+        return _batch_expected()

@@ -500,3 +500,23 @@ def test_stream_loadjob_crash_replay_exactly_once(spark, tmp_path):
     for e in epochs:
         by_id[e["batch_id"]] = e  # replayed epoch's receipt supersedes
     assert sum(e["n_rows"] for e in by_id.values()) == n_rows
+
+
+def test_tws_value_ttl_real_transport_and_semantics(spark, sf_dir):
+    """r6: the TTL op must (a) run the REAL transformWithState transport
+    under the repo session (no fallback warning), and (b) show the TTL
+    contract: short state expired for every probed key, long state
+    present exactly for keys the first run touched."""
+    import warnings as _w
+
+    from migbq_spark.registry import queries
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = queries()["stream_tws_value_ttl"](spark, sf_dir).collect()
+    assert not [
+        w for w in caught if "transport failed" in str(w.message)
+    ], "real transformWithState transport did not run"
+    assert out, "no probed keys"
+    assert all(not r.short_present for r in out)
+    assert any(r.long_present for r in out)
