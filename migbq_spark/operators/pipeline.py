@@ -2915,3 +2915,130 @@ def corpus_curation_funnel_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(kept) * F.lit(1.0) / F.count(F.lit(1)), 4
         ).alias("kept_frac"),
     )
+
+
+# ---------------------------------------------- quantize_recall_check
+
+@register(
+    "quantize_recall_check",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    m AS (
+        SELECT vec_id, se,
+               GREATEST(list_max(list_transform(se, x -> abs(x))), 1)
+                   AS scale_int
+        FROM scaled
+    ),
+    qv AS (
+        SELECT vec_id, se, scale_int,
+               list_transform(se,
+                   x -> CAST(FLOOR(x * 127.0 / scale_int) AS BIGINT)) AS q
+        FROM m
+    ),
+    pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.se[i] * b.se[i])) AS BIGINT) AS exact_dot,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.q[i] * b.q[i])) AS BIGINT)
+                 * a.scale_int * b.scale_int AS quant_dot
+        FROM qv a JOIN qv b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+    ),
+    ranked AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY exact_dot DESC, c_id) AS rk_e,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY quant_dot DESC, c_id) AS rk_q
+        FROM pairs
+    )
+    SELECT q_id,
+           CAST(COUNT(*) FILTER (rk_e <= 5 AND rk_q <= 5) AS BIGINT)
+               AS n_overlap,
+           ROUND(COUNT(*) FILTER (rk_e <= 5 AND rk_q <= 5) / 5.0, 4)
+               AS recall_at_5
+    FROM ranked GROUP BY q_id
+    """,
+)
+def quantize_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZED-SEARCH RECALL audit (r6) — the measurement that closes
+    the `embedding_quantize_int8` loop: for each of the 10 probe
+    vectors (the `cosine_topk` query convention), the top-5 neighbor
+    set under the EXACT fixed-point dot vs under the int8-quantized
+    dot (de-scaled by both vectors' absmax scales), and their overlap
+    — recall@5 of the compressed index.  This is the gate a production
+    ANN deployment runs before switching the index to int8: if recall
+    drops, you move to int8-with-refine (quantized candidate gen +
+    exact re-rank).  Every ranking key is a bigint and tiebreaks are
+    deterministic (c_id), so the whole audit value-hash-checks.
+
+    Scale (100 TB): |probes|·n pairs — linear in the corpus for a
+    bounded probe set, embarrassingly parallel, no shuffle except the
+    |probes|-keyed rank (each partition ≤ n rows); production uses a
+    sampled probe set exactly like this."""
+    e = load(spark, sf_dir, "embeddings")
+    se = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    base = e.select("vec_id", se.alias("se"))
+    scale = F.greatest(
+        F.array_max(F.transform("se", lambda x: F.abs(x))),
+        F.lit(1).cast("bigint"),
+    )
+    m = base.select("vec_id", "se", scale.alias("scale_int"))
+    q = F.transform(
+        "se",
+        lambda x: F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint"),
+    )
+    qv = m.select("vec_id", "se", "scale_int", q.alias("q"))
+    a = qv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("se").alias("a_se"),
+        F.col("scale_int").alias("a_scale"),
+        F.col("q").alias("a_q"),
+    )
+    b = qv.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("se").alias("b_se"),
+        F.col("scale_int").alias("b_scale"),
+        F.col("q").alias("b_q"),
+    )
+
+    def dot(x: str, y: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = (
+        b.join(F.broadcast(a), F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            dot("a_se", "b_se").alias("exact_dot"),
+            (dot("a_q", "b_q") * F.col("a_scale") * F.col("b_scale")).alias(
+                "quant_dot"
+            ),
+        )
+    )
+    w_e = Window.partitionBy("q_id").orderBy(F.desc("exact_dot"), F.asc("c_id"))
+    w_q = Window.partitionBy("q_id").orderBy(F.desc("quant_dot"), F.asc("c_id"))
+    ranked = pairs.select(
+        "q_id",
+        F.row_number().over(w_e).alias("rk_e"),
+        F.row_number().over(w_q).alias("rk_q"),
+    )
+    hit = F.count_if((F.col("rk_e") <= 5) & (F.col("rk_q") <= 5))
+    return ranked.groupBy("q_id").agg(
+        hit.cast("bigint").alias("n_overlap"),
+        F.round(hit / F.lit(5.0), 4).alias("recall_at_5"),
+    )

@@ -1963,3 +1963,64 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_union_tokens"),
         F.round(F.sum(term), 4).alias("jsd_nats"),
     )
+
+
+# ---------------------------------------------- packing_efficiency_report
+
+@register(
+    "packing_efficiency_report",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS off
+        FROM t
+    ),
+    p AS (
+        SELECT source, n_tokens,
+               (off + n_tokens - 1) // 256 - off // 256 + 1 AS n_chunks
+        FROM o
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + 255) // 256 AS BIGINT) AS n_chunks_used,
+           CAST(COUNT(*) FILTER (n_chunks > 1) AS BIGINT) AS n_split_docs,
+           ROUND(SUM(n_tokens) * 1.0
+                 / (((SUM(n_tokens) + 255) // 256) * 256), 4) AS fill_rate
+    FROM p GROUP BY source
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING EFFICIENCY report (r6) — the dataloader-facing summary
+    over `pack_sequences_budget`'s contiguous 256-token chunk layout:
+    per source, how many chunks the stream occupies, the fill rate of
+    that chunk budget (1.0 − padding waste), and how many documents
+    straddle a chunk boundary (each split doc costs the trainer a
+    truncated attention span or a cross-chunk mask).  This is the
+    number a training-data owner actually tunes packing against.
+    Composes the registered packing operator's own plan; pure integer
+    layout arithmetic + one ROUND: hash mode.
+
+    Scale (100 TB): one window over the per-source doc stream (the
+    packing plan itself) + one combinable aggregate."""
+    packed = pack_sequences_budget(spark, sf_dir)
+    total = F.sum("n_tokens")
+    chunks_used = F.floor((total + 255) / F.lit(256)).cast("bigint")
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        total.cast("bigint").alias("total_tokens"),
+        chunks_used.alias("n_chunks_used"),
+        F.count_if(F.col("n_chunks") > 1).cast("bigint").alias("n_split_docs"),
+        F.round(
+            total * F.lit(1.0) / (chunks_used * F.lit(256)), 4
+        ).alias("fill_rate"),
+    )

@@ -125,6 +125,8 @@ R7_WINDOW: tuple[str, ...] = (
     "lsh_bucket_skew_audit",
     "stream_tws_value_ttl",
     "corpus_curation_funnel_rules",
+    "quantize_recall_check",
+    "packing_efficiency_report",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -156,8 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "check_count_reconcile",
     "retry_missing_ranges",
     "merge_upsert_latest",
-    "cdc_snapshot_diff",
-    "table_checksum_md5",
 )
 
 
