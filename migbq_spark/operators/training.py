@@ -2024,3 +2024,144 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             total * F.lit(1.0) / (chunks_used * F.lit(256)), 4
         ).alias("fill_rate"),
     )
+
+
+# ---------------------------------------------- source_quality_matrix
+
+@register(
+    "source_quality_matrix",
+    oracle="""
+    WITH tks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+               length(text)
+                 - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                 AS n_sym,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    rules_pass AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   ROUND(len(list_aggregate(ws, 'string_agg', ''))
+                         * 1.0 / len(ws), 4) AS mean_wlen,
+                   ROUND(n_sym * 1.0 / GREATEST(n_chars, 1), 4)
+                       AS sym_ratio,
+                   len(list_filter(list_distinct(ws),
+                       w -> w IN ('the', 'a', 'of', 'to', 'in'))) AS n_stop
+            FROM tks WHERE len(ws) > 0)
+        WHERE n_words >= 20 AND mean_wlen BETWEEN 3 AND 10
+          AND sym_ratio <= 0.1 AND n_stop >= 2
+    ),
+    pos AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM tks WHERE len(ws) >= 2)
+    ),
+    tr AS (
+        SELECT w1, w2, COUNT(*) AS c2
+        FROM pos WHERE doc_id % 10 < 8 GROUP BY 1, 2
+    ),
+    un AS (SELECT w1, SUM(c2) AS c1 FROM tr GROUP BY w1),
+    v AS (SELECT COUNT(*) AS vsz FROM un),
+    scored AS (
+        SELECT p.doc_id,
+               -log2((COALESCE(tr.c2, 0) + 1) * 1.0
+                     / (COALESCE(un.c1, 0) + v.vsz)) AS bits
+        FROM pos p
+        LEFT JOIN tr ON tr.w1 = p.w1 AND tr.w2 = p.w2
+        LEFT JOIN un ON un.w1 = p.w1
+        CROSS JOIN v
+    ),
+    ppl AS (
+        SELECT doc_id,
+               ROUND(SUM(bits) / COUNT(*), 4) > 4.9 AS dropped
+        FROM scored GROUP BY doc_id
+    ),
+    nrm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS nh
+        FROM documents
+    ),
+    gmin AS (SELECT nh, MIN(doc_id) AS canon FROM nrm GROUP BY nh),
+    exact AS (
+        SELECT nrm.doc_id FROM nrm JOIN gmin USING (nh)
+        WHERE nrm.doc_id <> gmin.canon
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (r.doc_id IS NOT NULL) AS BIGINT)
+               AS n_rules_pass,
+           ROUND(COUNT(*) FILTER (r.doc_id IS NOT NULL) * 1.0
+                 / COUNT(*), 4) AS rules_pass_rate,
+           CAST(COUNT(*) FILTER (p.doc_id IS NOT NULL) AS BIGINT)
+               AS n_ppl_scored,
+           CAST(COUNT(*) FILTER (p.dropped) AS BIGINT) AS n_ppl_drop,
+           ROUND(COUNT(*) FILTER (p.dropped) * 1.0
+                 / GREATEST(COUNT(*) FILTER (p.doc_id IS NOT NULL), 1),
+                 4) AS ppl_drop_rate,
+           CAST(COUNT(*) FILTER (e.doc_id IS NOT NULL) AS BIGINT)
+               AS n_exact_dup,
+           ROUND(COUNT(*) FILTER (e.doc_id IS NOT NULL) * 1.0
+                 / COUNT(*), 4) AS exact_dup_rate
+    FROM documents d
+    LEFT JOIN rules_pass r ON r.doc_id = d.doc_id
+    LEFT JOIN ppl p ON p.doc_id = d.doc_id
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CORPUS HEALTH MATRIX (r6) — the marginal-rate
+    dashboard next to `corpus_curation_funnel_rules`' precedence fates:
+    for every source, how many docs pass the Gopher rules, how many the
+    perplexity filter would drop, and how many are normalized exact
+    dups — each signal counted INDEPENDENTLY (a doc can fail several),
+    which is what you read when deciding which source to fix versus
+    which to drop.  Counts and count-ratios only (no averaging of
+    rounded values — grid-aligned means can land exactly on ROUND
+    ties, the `target_encoding_loo` lesson): hash mode.
+
+    Scale (100 TB): three linear signals joined per doc then one
+    per-source combinable aggregate — strictly cheaper than the
+    funnel, which additionally orders the verdicts."""
+    d = load(spark, sf_dir, "documents")
+    rules = (
+        quality_gopher_rules(spark, sf_dir)
+        .filter(F.col("passes"))
+        .select("doc_id", F.lit(True).alias("rules_ok"))
+    )
+    ppl = quality_perplexity_filter(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("scored"), "dropped"
+    )
+    exact = (
+        dedup_exact_normalized(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("doc_id", F.lit(True).alias("is_exact_dup"))
+    )
+    j = (
+        d.select("doc_id", "source")
+        .join(rules, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+    )
+    n_rules = F.count_if(F.col("rules_ok"))
+    n_scored = F.count_if(F.col("scored"))
+    n_drop = F.count_if(F.col("dropped"))
+    n_dup = F.count_if(F.col("is_exact_dup"))
+    n = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        n.alias("n_docs"),
+        n_rules.cast("bigint").alias("n_rules_pass"),
+        F.round(n_rules * F.lit(1.0) / n, 4).alias("rules_pass_rate"),
+        n_scored.cast("bigint").alias("n_ppl_scored"),
+        n_drop.cast("bigint").alias("n_ppl_drop"),
+        F.round(
+            n_drop * F.lit(1.0) / F.greatest(n_scored, F.lit(1)), 4
+        ).alias("ppl_drop_rate"),
+        n_dup.cast("bigint").alias("n_exact_dup"),
+        F.round(n_dup * F.lit(1.0) / n, 4).alias("exact_dup_rate"),
+    )

@@ -127,6 +127,7 @@ R7_WINDOW: tuple[str, ...] = (
     "corpus_curation_funnel_rules",
     "quantize_recall_check",
     "packing_efficiency_report",
+    "source_quality_matrix",
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -157,7 +158,6 @@ R7_WINDOW: tuple[str, ...] = (
     "meta_progress_log",
     "check_count_reconcile",
     "retry_missing_ranges",
-    "merge_upsert_latest",
 )
 
 

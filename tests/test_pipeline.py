@@ -932,3 +932,60 @@ def test_cluster_canonical_and_funnel_drop_zero_token_docs(spark, tmp_path):
     out = Q["dedup_keep_cluster_canonical"](spark, str(sf)).collect()
     decided = {r.kept_doc_id for r in out}
     assert decided <= {0, 1, 4} and sum(r.n_docs for r in out) == 3
+
+
+def test_collapse_repeated_tokens_properties(spark, tmp_path):
+    """r6: the stutter collapse must be (a) idempotent — collapsing the
+    cleaned text again removes nothing — and (b) correct — no adjacent
+    duplicate survives, and removal count equals the adjacent-dup count
+    of the input.  Pinned on a synthetic corpus with heavy planted
+    stutter (the shipped fixtures' stutter is incidental)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "the the the cat sat sat on the mat",
+        "a a b b c c a a",
+        "x",
+        "no stutter at all here",
+        "z z z z z z z z",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "sf_synth"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf), d / "documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in Q["collapse_repeated_tokens"](spark, str(d)).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        expect = [t for i, t in enumerate(toks) if i == 0 or t != toks[i - 1]]
+        r = out[doc_id]
+        assert r.cleaned == " ".join(expect)
+        assert r.n_removed == len(toks) - len(expect)
+        # no adjacent dup survives
+        ct = r.cleaned.split(" ")
+        assert all(ct[i] != ct[i - 1] for i in range(1, len(ct)))
+
+    # idempotence: collapse(collapse(x)) == collapse(x)
+    pdf2 = pdf.assign(text=[out[i].cleaned for i in range(len(texts))])
+    d2 = tmp_path / "sf_synth2"
+    d2.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf2), d2 / "documents.parquet")
+    out2 = {
+        r.doc_id: r
+        for r in Q["collapse_repeated_tokens"](spark, str(d2)).collect()
+    }
+    assert all(out2[i].n_removed == 0 for i in range(len(texts)))
+    assert all(out2[i].cleaned == out[i].cleaned for i in range(len(texts)))
