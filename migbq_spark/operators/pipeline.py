@@ -873,6 +873,26 @@ def ann_rp_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_row_count(sf_dir: str, table: str) -> int:
+    """Row count from parquet METADATA (footer stats) — never a Spark
+    action, so plan-building operators can size broadcast decisions
+    without running a job.  Handles both single-file fixtures
+    (/root/testdata) and directory-parquet stage fixtures (.stage)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from migbq_spark.catalog import path_for
+
+    p = Path(path_for(sf_dir, table))
+    if p.is_dir():
+        return sum(
+            pq.ParquetFile(str(f)).metadata.num_rows
+            for f in p.glob("*.parquet")
+        )
+    return pq.ParquetFile(str(p)).metadata.num_rows
+
+
 #: semantic near-dup: min integer-scaled dot (≈ cosine × 10¹² for unit
 #: vectors) — 0.3 ≈ 2.4σ for 64-d random unit vectors, same calibration
 #: as `near_dup_embedding` (the fixture has no planted clusters; a real
@@ -1017,10 +1037,12 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a_id", "b_id"])
     )
     # verify fetch-back: ~520 B per quantized vector; broadcast while
-    # that comfortably fits an executor, shuffle-join past it
+    # that comfortably fits an executor, shuffle-join past it.  The row
+    # count comes from parquet METADATA (no Spark action — an eager
+    # count here would run a job every time the plan is merely built)
     qa = sv.select(F.col("vec_id").alias("a_id"), F.col("se").alias("a_se"))
     qb = sv.select(F.col("vec_id").alias("b_id"), F.col("se").alias("b_se"))
-    if e.count() * 520 <= (64 << 20):
+    if _parquet_row_count(sf_dir, "embeddings") * 520 <= (64 << 20):
         qa, qb = F.broadcast(qa), F.broadcast(qb)
     sim = F.aggregate(
         F.zip_with("a_se", "b_se", lambda x, y: x * y),
@@ -2469,7 +2491,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = shared * F.lit(1.0) / (
         F.size("a_toks") + F.size("b_toks") - shared
     )
-    est = F.col("__n_match") / F.lit(16.0)
+    est = F.col("__n_match") / F.lit(float(_MINHASH_K))
     return (
         cand.join(siga, "a_id")
         .join(sigb, "b_id")
@@ -2487,6 +2509,30 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------- embedding_quantize_int8
+
+def _quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, se, scale_int, q) — ONE fixed-point quantization shared
+    by `embedding_quantize_int8` (the audit) and `quantize_recall_check`
+    (the recall gate): se = ⌊x·10⁶⌋, scale_int = max(|se|, 1) absmax,
+    q = ⌊se·127/scale⌋.  Changing any constant here changes BOTH ops
+    together — the audits stay synchronized by construction."""
+    e = load(spark, sf_dir, "embeddings")
+    se = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    base = e.select("vec_id", se.alias("se"))
+    scale = F.greatest(
+        F.array_max(F.transform("se", lambda x: F.abs(x))),
+        F.lit(1).cast("bigint"),
+    )
+    m = base.select("vec_id", "se", scale.alias("scale_int"))
+    q = F.transform(
+        "se",
+        lambda x: F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint"),
+    )
+    return m.select("vec_id", "se", "scale_int", q.alias("q"))
+
 
 @register(
     "embedding_quantize_int8",
@@ -2539,27 +2585,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle, no UDF); in production the quantized column is written
     next to the raw one and the index builds from it — this operator
     is the audit that gates that write."""
-    e = load(spark, sf_dir, "embeddings")
-    se = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
-    )
-    base = e.select("vec_id", se.alias("se"))
-    scale = F.greatest(
-        F.array_max(F.transform("se", lambda x: F.abs(x))), F.lit(1).cast("bigint")
-    )
-    m = base.select("vec_id", "se", scale.alias("scale_int"))
-    qv = F.transform(
+    qe = _quantized_embeddings(spark, sf_dir)
+    err = F.zip_with(
         "se",
-        lambda x: F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint"),
+        "q",
+        lambda x, qq: x * F.lit(127).cast("bigint") - qq * F.col("scale_int"),
     )
-    err = F.transform(
-        "se",
-        lambda x: x * F.lit(127).cast("bigint")
-        - F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint")
-        * F.col("scale_int"),
+    q = qe.select(
+        "vec_id", "scale_int", F.col("q").alias("qv"), err.alias("err")
     )
-    q = m.select("vec_id", "scale_int", qv.alias("qv"), err.alias("err"))
     list_sum = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0).cast("bigint"), lambda acc, x: acc + x
     )
@@ -2983,22 +3017,7 @@ def quantize_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded probe set, embarrassingly parallel, no shuffle except the
     |probes|-keyed rank (each partition ≤ n rows); production uses a
     sampled probe set exactly like this."""
-    e = load(spark, sf_dir, "embeddings")
-    se = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
-    )
-    base = e.select("vec_id", se.alias("se"))
-    scale = F.greatest(
-        F.array_max(F.transform("se", lambda x: F.abs(x))),
-        F.lit(1).cast("bigint"),
-    )
-    m = base.select("vec_id", "se", scale.alias("scale_int"))
-    q = F.transform(
-        "se",
-        lambda x: F.floor(x * F.lit(127.0) / F.col("scale_int")).cast("bigint"),
-    )
-    qv = m.select("vec_id", "se", "scale_int", q.alias("q"))
+    qv = _quantized_embeddings(spark, sf_dir)
     a = qv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("se").alias("a_se"),

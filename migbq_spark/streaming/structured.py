@@ -84,12 +84,7 @@ def _warn_tws_fallback(op: str, exc: Exception) -> None:
     )
 
 
-def _drain(
-    sdf: DataFrame,
-    name_seed: str,
-    mode: str = "append",
-    ckpt: str | None = None,
-) -> str:
+def _drain(sdf: DataFrame, name_seed: str, mode: str = "append") -> str:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; returns the sink table name.
 
@@ -97,10 +92,9 @@ def _drain(
     window is emitted only once the watermark passes it, so a bounded
     drain would permanently hold back the tail windows.
 
-    ``ckpt`` overrides the (normally per-call-unique) checkpoint
-    location so multi-run operators can RESUME state across drains —
-    the memory sink itself is still fresh per call, so each drain's
-    table holds only that run's emissions.
+    NOTE: a memory sink cannot RECOVER a checkpoint, so multi-run
+    resume operators cannot use _drain — they need foreachBatch with a
+    stable checkpoint (see `stream_tws_value_ttl`).
 
     Scopes `spark.sql.shuffle.partitions` → `_STREAM_SHUFFLE_PARTITIONS`
     around start+termination: the conf is read at query start and fixes
@@ -117,9 +111,7 @@ def _drain(
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
-            .option(
-                "checkpointLocation", ckpt or str(_CHECKPOINT_ROOT / name)
-            )
+            .option("checkpointLocation", str(_CHECKPOINT_ROOT / name))
             .trigger(availableNow=True)
             .start()
         )
@@ -1473,9 +1465,10 @@ _TTL_OUT_SCHEMA = (
     "user_id bigint, n_batch bigint,"
     " short_present boolean, long_present boolean"
 )
-#: Short-TTL window: long enough that state can never expire WITHIN a
-#: single availableNow drain on this box, short against the enforced
-#: 1.5 s inter-run sleep.
+#: Short-TTL window: the op drains each phase as ONE once-trigger batch
+#: (state is written and read at most once per run, so intra-run expiry
+#: cannot occur by construction), and 500 ms is short against the
+#: enforced 1.5 s inter-run sleep.
 _TTL_SHORT_MS = 500
 _TTL_LONG_MS = 3_600_000
 

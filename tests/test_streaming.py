@@ -509,8 +509,13 @@ def test_tws_value_ttl_real_transport_and_semantics(spark, sf_dir):
     present exactly for keys the first run touched."""
     import warnings as _w
 
-    from migbq_spark.registry import queries
+    import pytest
 
+    from migbq_spark.registry import queries
+    from migbq_spark.streaming.pbcompat import PROTOBUF_OK
+
+    if not PROTOBUF_OK:
+        pytest.skip("transformWithState transport unavailable (no protobuf)")
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
         out = queries()["stream_tws_value_ttl"](spark, sf_dir).collect()
