@@ -241,11 +241,14 @@ def _decode_payload(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError("unknown payload format (real decoder stub)")
 
 
-@register("mm_pack_binary")  # rows-only: binary columns not oracle-hashable
-def mm_pack_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack each document into a multimodal record: opaque binary payload
-    + typed metadata struct (modality, byte length, source).  This is the
-    carrier schema every downstream multimodal op consumes."""
+def _pack_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multimodal carrier: opaque binary payload + typed metadata
+    struct (modality, byte length, source).  This is the schema every
+    downstream multimodal op consumes (mm_decode_stub, mm_frame_sample,
+    mm_meta_audit).  Kept as an internal helper because struct + binary
+    cells crash the driver's pandas sort-based canonicalizer (r6
+    CORRECTNESS: `unhashable type: 'dict'`) — the REGISTERED
+    `mm_pack_binary` projects a flattened, hash-checkable view."""
     d = load(spark, sf_dir, "documents")
     payload = F.encode(
         F.concat_ws("|", F.lit("IMG"), F.col("doc_id"), F.col("n_chars")), "utf-8"
@@ -261,6 +264,43 @@ def mm_pack_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_pack_binary",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, source,
+               'IMG|' || CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)
+                   AS payload_str
+        FROM documents
+    )
+    SELECT doc_id,
+           'image' AS modality,
+           CAST(length(payload_str) AS BIGINT) AS n_bytes,
+           source,
+           md5(payload_str) AS payload_md5
+    FROM p
+    """,
+)
+def mm_pack_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing view of the packed multimodal records: meta struct
+    flattened to scalar columns, payload rendered as its md5 hex digest
+    (the payload is ASCII, so DuckDB's md5 over the same string is
+    byte-identical) — upgrading this op from rows-only to a full
+    rows+schema+hash oracle check while keeping every cell scalar.
+    Downstream ops consume the typed `_pack_binary` helper unchanged.
+
+    Scale (100 TB): pure row-local projection + one JVM md5 per record;
+    no shuffle, no Python."""
+    packed = _pack_binary(spark, sf_dir)
+    return packed.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 @register("mm_decode_stub")  # rows-only: decode is a stubbed modality step
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches via mapInPandas.
@@ -268,7 +308,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     The iterator-of-batches contract, output schema, and per-partition
     execution are the real production shape; only `_decode_payload`'s
     body is fake (see its docstring)."""
-    packed = mm_pack_binary(spark, sf_dir)
+    packed = _pack_binary(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -465,7 +505,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a generated sequence).  Real video decode plugs into the same shape:
     one input row → few sampled-frame rows, all JVM-side except the
     decode itself."""
-    packed = mm_pack_binary(spark, sf_dir)
+    packed = _pack_binary(spark, sf_dir)
     n_frames = F.least(F.col("meta.n_bytes"), F.lit(30)).cast("int")
     return packed.select(
         "doc_id",
@@ -501,7 +541,7 @@ def mm_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): runs entirely on the metadata struct — the binary
     column is never read (columnar pruning elides it from the scan);
     one map-side-combinable aggregation."""
-    packed = mm_pack_binary(spark, sf_dir)
+    packed = _pack_binary(spark, sf_dir)
     return packed.select(
         F.col("meta.source").alias("source"),
         F.col("meta.n_bytes").alias("n_bytes"),

@@ -487,9 +487,35 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc.doc_id", "doc.lang", "doc.source", "doc.n_chars")
 
 
-@register("map_funcs")  # rows-only: MAP value hashing across engines unreliable
+@register(
+    "map_funcs",
+    oracle="""
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS cnt
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           string_agg(lang, ',' ORDER BY lang) AS langs_csv,
+           CAST(COALESCE(MAX(CASE WHEN lang = 'en' THEN cnt END), 0) AS BIGINT)
+               AS en_count,
+           COUNT(*) AS n_langs
+    FROM per GROUP BY source
+    """,
+)
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build MAP<lang, count> per source + element_at lookups."""
+    """MAP column functions — build MAP<lang, count> per source via
+    map_from_entries, then exercise map_keys / element_at / size.  The
+    registered projection renders the key array as a CSV string
+    (array_join over the already-sorted keys): the r6 driver run showed
+    raw ArrayType cells crash the driver's pandas sort-based
+    canonicalizer (`unhashable type: 'numpy.ndarray'`), and the
+    flattened form is also exactly expressible in DuckDB (string_agg
+    ORDER BY lang), upgrading the op from rows-only to a full
+    rows+schema+hash check.
+
+    Scale (100 TB): two map-side-combinable aggregations on (source,
+    lang) then source; the map itself stays bounded by the lang
+    vocabulary."""
     d = load(spark, sf_dir, "documents")
     per_lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
     return (
@@ -501,9 +527,11 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source",
-            F.map_keys("lang_counts").alias("langs"),
-            F.element_at("lang_counts", "en").alias("en_count"),
-            F.size(F.col("lang_counts")).alias("n_langs"),
+            F.array_join(F.map_keys("lang_counts"), ",").alias("langs_csv"),
+            F.coalesce(F.element_at("lang_counts", "en"), F.lit(0))
+            .cast("bigint")
+            .alias("en_count"),
+            F.size(F.col("lang_counts")).cast("bigint").alias("n_langs"),
         )
     )
 

