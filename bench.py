@@ -60,6 +60,21 @@ HEADLINE = [
     "pk_range_python_datasource",
 ]
 
+#: r6-family suite (r6 VERDICT #7): the heaviest ops added in r6 were
+#: only ever measured in one-off sweep/scaling artifacts; give them the
+#: same min-of-3 + spread_pct cross-round regression tracking as the r1
+#: mix.  `dup_span_ratio` AND its r7 hashed-shuffle twin both ride so
+#: the shuffle-payload win stays measured, not argued.
+R6_FAMILY = [
+    "quality_perplexity_filter",
+    "dedup_semantic_lsh_portable",
+    "quality_gopher_rules",
+    "corpus_curation_funnel_rules",
+    "source_quality_matrix",
+    "dup_span_ratio",
+    "dup_span_ratio_hashed",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +94,7 @@ def main() -> None:
     # scale; the warm runs measure actual execution throughput.
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for qid in HEADLINE:
+    for qid in HEADLINE + R6_FAMILY:
         runs = []
         for _ in range(3):
             df = queries[qid](spark, sf_dir)
@@ -98,9 +113,16 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # `value` stays the r1 headline-suite total so the
+                # cross-round baseline band (BASELINE.md 7.1-8.6 s)
+                # keeps comparing like with like; the r6-family suite
+                # rides as its own total + per-query rows in `queries`.
                 "metric": "headline_suite_sec",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(timings[q] for q in HEADLINE), 4),
                 "unit": "sec",
+                "r6_family_sec": round(
+                    sum(timings[q] for q in R6_FAMILY), 4
+                ),
                 "queries": timings,
                 "spread_pct": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

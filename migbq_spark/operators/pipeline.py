@@ -2338,10 +2338,11 @@ def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): spans are corpus-linear; the docs-per-span count
     aggregates the DISTINCT (doc, span) set (map-side combinable), and
     the only wide op is one shuffle join keyed on the span back to the
-    position stream.  At extreme scale hash the span to a 64-bit key
-    (`xxhash64`) to shrink the shuffle payload — kept as raw text here
-    so the DuckDB oracle stays byte-identical (the
-    `contamination_overlap` convention)."""
+    position stream.  This registered path keeps the RAW span string on
+    the shuffle for byte-fidelity; the production path is
+    `dup_span_ratio_hashed` (below), which shuffles `xxhash64(span)`
+    int64 keys instead (~4× fewer shuffle bytes, identical outputs,
+    pinned by test + the same oracle)."""
     d = load(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, ' '), t -> t <> '')")
     base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 5)
@@ -2361,6 +2362,83 @@ def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nd"))
     )
     joined = spans.join(docs_per_span, "span")
+    n_dup = F.count_if(F.col("nd") >= 2)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.round(n_dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "dup_span_ratio"
+        ),
+    )
+
+
+@register(
+    "dup_span_ratio_hashed",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+        FROM tok WHERE len(t) >= 5
+    ),
+    sp AS (
+        SELECT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+               t[i + 3] || ' ' || t[i + 4] AS span
+        FROM sh
+    ),
+    docs_per_span AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY span
+    )
+    SELECT sp.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(COUNT(*) FILTER (d.nd >= 2) AS BIGINT) AS n_dup_spans,
+           ROUND(COUNT(*) FILTER (d.nd >= 2) * 1.0 / COUNT(*), 4)
+               AS dup_span_ratio
+    FROM sp JOIN docs_per_span d USING (span)
+    GROUP BY sp.doc_id
+    """,
+)
+def dup_span_ratio_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION twin of `dup_span_ratio`: identical semantics, but
+    every wide op — the distinct, the docs-per-span aggregate, and the
+    span→positions join — keys on ``xxhash64(span)`` (8 bytes) instead
+    of the raw 5-token string (~30 bytes at the fixture's vocabulary,
+    unbounded on real text).  The r6 sf10 scaling run measured the
+    string-keyed path at 12.2× for the 13× data step with the
+    span-keyed shuffle dominating; hashing the key cuts shuffle bytes
+    ~4× while leaving the per-doc RATIO outputs bit-identical absent a
+    64-bit collision (corpus-wide span count must approach 2^32 before
+    a collision is likely; a collision only ever OVER-counts nd by
+    merging two spans).  Because the outputs match, the op hash-checks
+    against the SAME string-keyed DuckDB oracle — the collision-free
+    claim is driver-verified, not argued — and a pinning test asserts
+    exact equality with `dup_span_ratio` on the fixture.
+
+    Scale (100 TB): spans never materialize as strings past the
+    row-local hash; both shuffles carry (int64, int64) pairs."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 5)
+    spans = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 5),"
+                " i -> xxhash64(concat_ws(' ', slice(t, i + 1, 5))))"
+            )
+        ).alias("span_h"),
+    )
+    docs_per_span = (
+        spans.select("doc_id", "span_h")
+        .distinct()
+        .groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    joined = spans.join(docs_per_span, "span_h")
     n_dup = F.count_if(F.col("nd") >= 2)
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),

@@ -293,7 +293,18 @@ class PkRangeStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         last = start.get("last_pk")
-        t = self._read_range(last, self._hi_bound(last))
+        hi = self._hi_bound(last)
+        t = self._read_range(last, hi)
+        if t.num_rows == 0 and hi is not None:
+            # Defensive (r6 ADVICE): _hi_bound's guarantee rests on
+            # row-group min/max stats being EXACT for the pk's physical
+            # type.  If stats ever over-promise (e.g. truncated bounds
+            # on a non-integer pk), the bounded read could return 0 rows
+            # while rows remain past the cap — and an availableNow drain
+            # would then terminate early, silently dropping the tail.
+            # One unbounded retry distinguishes "stats lied" from
+            # "stream drained".
+            t = self._read_range(last, None)
         if t.num_rows == 0:
             return iter([]), start
         # Cut the stride at a pk-VALUE boundary, not a row-count

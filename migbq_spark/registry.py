@@ -44,6 +44,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # hash-checkable): grade FIRST
     "map_funcs",
     "mm_pack_binary",
+    # new r7 ops (newest code = grade early): the hashed-span and
+    # batched-BPE production twins
+    "dup_span_ratio_hashed",
+    "tokenizer_bpe_train_batched",
     # new r6 ops (added after the r6 rotation, never driver-run)
     "quality_perplexity_filter",
     "dedup_semantic_lsh_portable",
@@ -93,8 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streak_longest_active_days",
     "benford_first_digit",
     "rfm_segmentation",
-    "cohort_ltv_curve",
-    "meta_progress_log",
 )
 
 #: Pre-staged round-8 window: refresh continues along the oldest
@@ -105,7 +107,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: first graded; the last two r3 ids (stream_session_correlate,
 #: dup_cc_twostar) carry to r9.
 R8_WINDOW: tuple[str, ...] = (
-    # r2-graded control fills displaced from the r7 window
+    # r2-graded fills displaced from the r7 window
+    "cohort_ltv_curve",
+    "meta_progress_log",
     "check_count_reconcile",
     "retry_missing_ranges",
     # r3-graded span (oldest evidence after the r1/r2 refresh)

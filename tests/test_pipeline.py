@@ -759,6 +759,39 @@ def test_bpe_merges_match_reference(spark, sf_dir):
     assert got == expect
 
 
+def test_dup_span_ratio_hashed_twin_exact(spark, sf_dir):
+    """r7 (r6 VERDICT #4): the xxhash64-keyed production twin must emit
+    bit-identical per-doc ratios to the string-keyed path (no 64-bit
+    span collisions at fixture scale — and a collision would surface
+    here AND in the shared oracle hash)."""
+    a = sorted(map(tuple, Q["dup_span_ratio"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, Q["dup_span_ratio_hashed"](spark, sf_dir).collect()))
+    assert a == b
+    assert a, "fixture produced no span rows"
+
+
+def test_bpe_batched_trainer_exact_and_fewer_rounds(spark, sf_dir):
+    """r7 (r6 VERDICT #5): the batched-round trainer must learn the
+    EXACT merge table of the sequential path (disjoint-prefix batching
+    is equality-preserving, see _bpe_train) in strictly fewer driver
+    rounds — merges/rounds ratio > 1 is the whole point."""
+    from migbq_spark.operators.training import _bpe_train
+
+    seq_merges, seq_rounds = _bpe_train(spark, sf_dir, n_merges=8, batch_k=1)
+    bat_merges, bat_rounds = _bpe_train(spark, sf_dir, n_merges=8, batch_k=8)
+    assert bat_merges == seq_merges
+    assert seq_rounds == 8
+    assert bat_rounds < seq_rounds, (
+        f"batched trainer used {bat_rounds} rounds for 8 merges"
+    )
+    # and the registered twin matches the registered sequential op
+    a = [tuple(r) for r in Q["tokenizer_bpe_train_merges"](spark, sf_dir)
+         .orderBy("rank").collect()]
+    b = [tuple(r) for r in Q["tokenizer_bpe_train_batched"](spark, sf_dir)
+         .orderBy("rank").collect()]
+    assert a == b
+
+
 def test_bpe_apply_consistent_with_reference_tokenization(spark, sf_dir):
     """r5: corpus BPE token counts from the distributed apply must equal
     tokenizing every word with the reference merge algorithm."""

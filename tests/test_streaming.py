@@ -479,6 +479,7 @@ def test_stream_loadjob_crash_replay_exactly_once(spark, tmp_path):
     for f in glob.glob(f"{dest}/epoch=*/*.jsonl.gz"):
         with gzip.open(f, "rt") as fh:
             failed_rows += sum(1 for _ in fh)
+    assert failed_rows == 0  # no partial publish from the died epoch
 
     # restart from the SAME checkpoint: the crashed batch replays; the
     # SimpleDataSourceStreamReader availableNow fallback serves ONE
