@@ -17,7 +17,7 @@ them safe under any degree of parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
@@ -746,4 +746,63 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
             4,
         ).alias("t_stat"),
+    )
+
+
+@register(
+    "agg_mode_per_key",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_types,
+               SUM(cnt) OVER (PARTITION BY user_id) AS n_events
+        FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, cnt AS mode_count,
+           n_types, CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rk = 1
+    """,
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key MODE (most frequent value) with a DETERMINISTIC
+    tie-break — the aggregate SQL's own `mode()` leaves tie-order
+    undefined, so both engines compute it the explicit portable way:
+    count per (key, value), then rank (count DESC, value ASC) and keep
+    rank 1, alongside the key's distinct-value and total-event counts.
+    The per-user dominant event type is the canonical segmentation
+    input (`rfm_segmentation`'s frequency axis gets a WHAT, not just a
+    how-often).
+
+    Scale (100 TB): the pair count is map-side combinable; the window
+    runs over the COUNTED pairs (|users|·|event types|, vastly smaller
+    than the event stream), partitioned by user — no skew beyond the
+    type-cardinality bound."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_rk = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    w_all = Window.partitionBy("user_id")
+    ranked = counts.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n_types"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_events"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("event_type").alias("mode_event_type"),
+        F.col("cnt").alias("mode_count"),
+        "n_types",
+        "n_events",
     )

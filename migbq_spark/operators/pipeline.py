@@ -3139,3 +3139,426 @@ def quantize_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.cast("bigint").alias("n_overlap"),
         F.round(hit / F.lit(5.0), 4).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------- r7 additions
+
+@register(
+    "doc_chunk_stride",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, t, len(t) AS n_toks FROM tok WHERE len(t) >= 1
+    ),
+    s AS (
+        SELECT doc_id, n_toks, t,
+               unnest(generate_series(0, n_toks - 1, 48)) AS start_tok
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(start_tok // 48 AS BIGINT) AS chunk_no,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST(64, n_toks - start_tok) AS BIGINT) AS n_chunk_toks,
+           md5(array_to_string(
+               t[start_tok + 1 : start_tok + LEAST(64, n_toks - start_tok)],
+               ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def doc_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING TOKEN CHUNKING for training-sequence preparation:
+    each document is cut into chunk_len=64-token windows advancing by
+    stride=48 (16-token overlap — the standard context-carryover trick
+    so no span is ever split without being seen whole in a neighboring
+    chunk).  Per chunk: ordinal, start offset, length, and the md5 of
+    the chunk text — the content address a downstream packing /
+    dedup-by-chunk stage keys on.  Complements `pack_sequences_budget`
+    (which packs whole docs into fixed budgets): this op SPLITS long
+    docs, that op CONCATENATES short ones; real dataloaders run both.
+
+    Scale (100 TB): entirely row-local (sequence + slice + md5 inside
+    one projection, no shuffle, no Python); output rows ≈ corpus
+    tokens / stride.  The chunk md5 is computed from the SLICE, so the
+    full text column never leaves the scan stage."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).withColumn(
+        "n_toks", F.size("t")
+    ).filter(F.col("n_toks") >= 1)
+    chunks = base.select(
+        "doc_id",
+        "n_toks",
+        "t",
+        F.posexplode(
+            F.expr("sequence(0, n_toks - 1, 48)")
+        ).alias("chunk_no", "start_tok"),
+    )
+    n_chunk = F.least(F.lit(64), F.col("n_toks") - F.col("start_tok"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        n_chunk.cast("bigint").alias("n_chunk_toks"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("start_tok") + 1, n_chunk)
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@register(
+    "dedup_token_sort_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_filter(string_split(text, ' '),
+                                         t -> t <> '')),
+                   ' ')) AS fingerprint
+        FROM documents
+    ),
+    grp AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_docs_same_bag
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.fingerprint, g.canonical_id, g.n_docs_same_bag,
+           f.doc_id <> g.canonical_id AS is_dup
+    FROM fp f JOIN grp g USING (fingerprint)
+    """,
+)
+def dedup_token_sort_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-SORT (bag-of-words) duplicate fingerprinting: sort each
+    document's tokens and hash the result, so two docs that are mere
+    REORDERINGS of the same words collapse to one fingerprint — the
+    word-shuffle duplicate class that escapes `dedup_hash_exact`
+    (byte-exact), `dedup_exact_normalized` (whitespace/case) and
+    shifts every positional n-gram that `near_dup_jaccard` shingles
+    on.  Per doc: fingerprint, the group's canonical (min doc_id),
+    group size, and the is_dup verdict — the same keep-canonical
+    output contract as the other dedup family members.
+
+    Scale (100 TB): sort is per-row over the doc's own tokens
+    (row-local); one hash-keyed map-side-combinable aggregate plus an
+    AQE-broadcastable join back — identical plan shape to
+    `dedup_exact_normalized`, which measured linear to sf10."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.expr("filter(split(text, ' '), t -> t <> '')"))
+        )
+    )
+    base = d.select("doc_id", fp.alias("fingerprint"))
+    grp = base.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs_same_bag"),
+    )
+    return base.join(grp, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        "canonical_id",
+        "n_docs_same_bag",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+    )
+
+
+@register(
+    "sketch_count_min_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS token
+        FROM documents
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 3)) AS s),
+    cells AS (
+        SELECT s,
+               CAST(concat('0x', substr(md5(s || ':' || token), 1, 15))
+                    AS BIGINT) % 64 AS bucket,
+               COUNT(*) AS cell_count
+        FROM tok CROSS JOIN seeds
+        GROUP BY s, bucket
+    ),
+    truth AS (
+        SELECT token, COUNT(*) AS true_count FROM tok GROUP BY token
+    ),
+    top AS (
+        SELECT token, true_count,
+               ROW_NUMBER() OVER (ORDER BY true_count DESC, token) AS rk
+        FROM truth
+    ),
+    probe AS (
+        SELECT t.token, t.true_count, s.s,
+               CAST(concat('0x', substr(md5(s.s || ':' || t.token), 1, 15))
+                    AS BIGINT) % 64 AS bucket
+        FROM top t CROSS JOIN seeds s
+        WHERE t.rk <= 10
+    )
+    SELECT p.token, MAX(p.true_count) AS true_count,
+           MIN(c.cell_count) AS cms_estimate,
+           CAST(MIN(c.cell_count) - MAX(p.true_count) AS BIGINT)
+               AS overestimate
+    FROM probe p JOIN cells c ON c.s = p.s AND c.bucket = p.bucket
+    GROUP BY p.token
+    """,
+)
+def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy-hitter audit — the mergeable frequency
+    sketch (public Cormode & Muthukrishnan 2005) that answers "how
+    often does token X occur" in d×w counters instead of a
+    vocabulary-sized table: d=4 hash rows × w=64 buckets, each cell the
+    sum of counts hashing into it; a token's estimate is the MIN over
+    its 4 cells (always ≥ true count; over-estimation = collision
+    mass).  The op builds the sketch distributed, then audits it
+    against ground truth for the top-10 true heavy hitters —
+    (true_count, cms_estimate, overestimate) per token, the exact
+    numbers that size w for a target error at production scale.  The
+    hash family is the portable md5 construction shared with the
+    minhash/LSH ops, so every cell and estimate value-hash-checks
+    against DuckDB.
+
+    Scale (100 TB): the sketch aggregate is map-side combinable into
+    AT MOST d×w=256 cells regardless of corpus size — this is the op
+    you run when even the Heaps-bounded vocabulary is too big to
+    shuffle; cells from disjoint corpus shards ADD (mergeable), which
+    is how a 1000-executor fleet combines per-shard sketches for
+    free.  The ground-truth side exists only for the audit."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(text, ' '), t -> t <> '')")
+        ).alias("token")
+    )
+
+    def bucket(seed_col, token_col) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", seed_col, token_col)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        )
+
+    hashed = toks.select(
+        "token", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+    ).select("s", bucket(F.col("s"), F.col("token")).alias("bucket"))
+    cells = hashed.groupBy("s", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    top = truth.select(
+        "token",
+        "true_count",
+        F.row_number()
+        .over(Window.orderBy(F.desc("true_count"), F.asc("token")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 10)
+    probe = top.select(
+        "token", "true_count", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
+    ).select(
+        "token", "true_count", "s", bucket(F.col("s"), F.col("token")).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["s", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("true_count").alias("true_count"),
+            F.min("cell_count").alias("cms_estimate"),
+            (F.min("cell_count") - F.max("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+@register(
+    "matryoshka_prefix_rerank",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               CAST(list_sum(list_transform(generate_series(1, 16),
+                    i -> a.se[i] * b.se[i])) AS BIGINT) AS prefix_dot,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.se[i] * b.se[i])) AS BIGINT) AS full_dot
+        FROM scaled a JOIN scaled b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+    ),
+    ranked AS (
+        SELECT q_id, c_id, full_dot,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY prefix_dot DESC, c_id) AS rk_p,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY full_dot DESC, c_id) AS rk_f
+        FROM pairs
+    ),
+    funnel AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY full_dot DESC, c_id) AS rk_rerank
+        FROM ranked WHERE rk_p <= 20
+    )
+    SELECT r.q_id,
+           CAST(COUNT(*) FILTER (f.rk_rerank IS NOT NULL
+                                 AND f.rk_rerank <= 5) AS BIGINT)
+               AS n_overlap,
+           ROUND(COUNT(*) FILTER (f.rk_rerank IS NOT NULL
+                                  AND f.rk_rerank <= 5) / 5.0, 4)
+               AS recall_at_5
+    FROM ranked r
+    LEFT JOIN funnel f ON f.q_id = r.q_id AND f.c_id = r.c_id
+    WHERE r.rk_f <= 5
+    GROUP BY r.q_id
+    """,
+)
+def matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-STYLE truncate-then-refine retrieval audit (public
+    Kusupati et al. 2022 "Matryoshka Representation Learning"): stage 1
+    ranks every candidate by the 16-DIM PREFIX dot product (4× cheaper,
+    the coarse index a production system scans first) and keeps the
+    top-20; stage 2 re-ranks only those 20 by the full 64-dim dot and
+    takes the top-5.  Per probe: overlap of the funnel's top-5 with the
+    direct full-dim top-5 — recall@5 of the truncated first stage,
+    i.e. the number that tells you whether a 16-dim prefix index is
+    safe.  Same fixed-point integer dots as `quantize_recall_check`
+    (⌊x·10⁶⌋ bigints), so every ranking key hash-checks cross-engine.
+
+    Scale (100 TB): stage 1 is |probes|·n prefix dots (linear,
+    broadcast probes, no shuffle); stage 2 touches 20 rows per probe.
+    The whole point is that the n-proportional work happens at 16 dims
+    instead of 64 — on a real corpus the prefix index is also the one
+    short enough to cache in executor memory."""
+    qv = _quantized_embeddings(spark, sf_dir)
+    base = qv.select("vec_id", "se", F.slice("se", 1, 16).alias("pe"))
+    a = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("se").alias("a_se"),
+        F.col("pe").alias("a_pe"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("se").alias("b_se"),
+        F.col("pe").alias("b_pe"),
+    )
+
+    def dot(x: str, y: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = b.join(F.broadcast(a), F.col("c_id") != F.col("q_id")).select(
+        "q_id",
+        "c_id",
+        dot("a_pe", "b_pe").alias("prefix_dot"),
+        dot("a_se", "b_se").alias("full_dot"),
+    )
+    w_p = Window.partitionBy("q_id").orderBy(F.desc("prefix_dot"), F.asc("c_id"))
+    w_f = Window.partitionBy("q_id").orderBy(F.desc("full_dot"), F.asc("c_id"))
+    ranked = pairs.select(
+        "q_id",
+        "c_id",
+        "full_dot",
+        F.row_number().over(w_p).alias("rk_p"),
+        F.row_number().over(w_f).alias("rk_f"),
+    )
+    w_r = Window.partitionBy("q_id").orderBy(F.desc("full_dot"), F.asc("c_id"))
+    funnel = (
+        ranked.filter(F.col("rk_p") <= 20)
+        .select("q_id", "c_id", F.row_number().over(w_r).alias("rk_rerank"))
+    )
+    exact5 = ranked.filter(F.col("rk_f") <= 5).select("q_id", "c_id")
+    hit = F.count_if(
+        F.col("rk_rerank").isNotNull() & (F.col("rk_rerank") <= 5)
+    )
+    return (
+        exact5.join(funnel, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            hit.cast("bigint").alias("n_overlap"),
+            F.round(hit / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS ng
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 2)) AS i
+              FROM tok WHERE len(t) >= 3)
+    ),
+    first_seen AS (
+        SELECT ng, MIN(doc_id) AS first_doc FROM tri GROUP BY ng
+    )
+    SELECT tri.doc_id,
+           COUNT(*) AS n_distinct_ngrams,
+           CAST(COUNT(*) FILTER (f.first_doc = tri.doc_id) AS BIGINT)
+               AS n_novel,
+           ROUND(COUNT(*) FILTER (f.first_doc = tri.doc_id) * 1.0
+                 / COUNT(*), 4) AS novelty_ratio
+    FROM tri JOIN first_seen f USING (ng)
+    GROUP BY tri.doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-CORPUS NOVELTY score: for each document, the
+    fraction of its distinct trigrams whose FIRST corpus occurrence
+    (min doc_id over all docs containing the trigram — ingestion
+    order) is this document.  Low novelty = the doc is mostly made of
+    n-grams the corpus already had — the streaming-ingest admission
+    signal ("is this crawl batch adding anything?") that complements
+    `dup_span_ratio` (corpus-wide redundancy, order-free) and
+    `heaps_law_vocab_growth` (aggregate vocab curve) with a PER-DOC,
+    order-aware number.
+
+    Scale (100 TB): distinct (doc, trigram) pairs are corpus-linear;
+    first-seen is one min-aggregate on the trigram key and the join
+    back is the same ng-keyed shuffle — `dup_span_ratio_hashed`'s
+    xxhash64-key trick applies verbatim when trigram strings dominate
+    the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 3)
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', slice(t, i + 1, 3)))"
+            )
+        ).alias("ng"),
+    ).distinct()
+    first_seen = tri.groupBy("ng").agg(F.min("doc_id").alias("first_doc"))
+    joined = tri.join(first_seen, "ng")
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        novel.alias("n_novel"),
+        F.round(novel * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "novelty_ratio"
+        ),
+    )

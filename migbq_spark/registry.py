@@ -45,9 +45,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "map_funcs",
     "mm_pack_binary",
     # new r7 ops (newest code = grade early): the hashed-span and
-    # batched-BPE production twins
+    # batched-BPE production twins + the r7 batch
     "dup_span_ratio_hashed",
     "tokenizer_bpe_train_batched",
+    "doc_chunk_stride",
+    "dedup_token_sort_fingerprint",
+    "sketch_count_min_heavy_hitters",
+    "matryoshka_prefix_rerank",
+    "doc_ngram_novelty",
+    "agg_mode_per_key",
     # new r6 ops (added after the r6 rotation, never driver-run)
     "quality_perplexity_filter",
     "dedup_semantic_lsh_portable",
@@ -91,12 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gini_concentration",
     "attribution_first_last",
     "pair_affinity_lift",
-    "kl_divergence_drift",
-    "dau_stickiness_jaccard",
-    "conversion_time_distribution",
-    "streak_longest_active_days",
-    "benford_first_digit",
-    "rfm_segmentation",
 )
 
 #: Pre-staged round-8 window: refresh continues along the oldest
@@ -108,6 +108,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: dup_cc_twostar) carry to r9.
 R8_WINDOW: tuple[str, ...] = (
     # r2-graded fills displaced from the r7 window
+    "kl_divergence_drift",
+    "dau_stickiness_jaccard",
+    "conversion_time_distribution",
+    "streak_longest_active_days",
+    "benford_first_digit",
+    "rfm_segmentation",
     "cohort_ltv_curve",
     "meta_progress_log",
     "check_count_reconcile",

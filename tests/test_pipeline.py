@@ -1022,3 +1022,46 @@ def test_collapse_repeated_tokens_properties(spark, tmp_path):
     }
     assert all(out2[i].n_removed == 0 for i in range(len(texts)))
     assert all(out2[i].cleaned == out[i].cleaned for i in range(len(texts)))
+
+
+def test_r7_batch_semantics(spark, sf_dir):
+    """r7 batch: semantic invariants beyond the oracle hash parity —
+    CMS never under-estimates; matryoshka funnel recall is a valid
+    fraction over exactly the 10 probes; chunking tiles each doc
+    exactly (first chunk at 0, stride 48, last chunk ends at n_toks);
+    the first document is 100% novel by construction; bag-fingerprint
+    groups partition the corpus."""
+    cms = Q["sketch_count_min_heavy_hitters"](spark, sf_dir).collect()
+    assert len(cms) == 10
+    assert all(r.cms_estimate >= r.true_count for r in cms)
+    assert all(r.overestimate == r.cms_estimate - r.true_count for r in cms)
+
+    mat = Q["matryoshka_prefix_rerank"](spark, sf_dir).collect()
+    assert sorted(r.q_id for r in mat) == list(range(10))
+    assert all(0.0 <= r.recall_at_5 <= 1.0 and 0 <= r.n_overlap <= 5
+               for r in mat)
+
+    chunks = Q["doc_chunk_stride"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: len([t for t in r.text.split(" ") if t])
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_no)
+        assert rows[0].start_tok == 0
+        assert all(r.start_tok == i * 48 for i, r in enumerate(rows))
+        last = rows[-1]
+        assert last.start_tok + last.n_chunk_toks == docs[doc_id]
+
+    nov = Q["doc_ngram_novelty"](spark, sf_dir).collect()
+    first_doc = min(r.doc_id for r in nov)
+    first = next(r for r in nov if r.doc_id == first_doc)
+    assert first.novelty_ratio == 1.0 and first.n_novel == first.n_distinct_ngrams
+
+    fp = Q["dedup_token_sort_fingerprint"](spark, sf_dir).collect()
+    assert len(fp) == len(docs)
+    canon = {r.fingerprint: r.canonical_id for r in fp}
+    for r in fp:
+        assert r.canonical_id == canon[r.fingerprint] <= r.doc_id
+        assert r.is_dup == (r.doc_id != r.canonical_id)
