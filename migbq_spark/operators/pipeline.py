@@ -3156,7 +3156,8 @@ def quantize_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT doc_id, n_toks, t,
-               unnest(generate_series(0, n_toks - 1, 48)) AS start_tok
+               unnest(generate_series(
+                   0, greatest(0, n_toks - 17), 48)) AS start_tok
         FROM b
     )
     SELECT doc_id,
@@ -3176,7 +3177,13 @@ def doc_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no span is ever split without being seen whole in a neighboring
     chunk).  Per chunk: ordinal, start offset, length, and the md5 of
     the chunk text — the content address a downstream packing /
-    dedup-by-chunk stage keys on.  Complements `pack_sequences_budget`
+    dedup-by-chunk stage keys on.  A stride start past
+    ``n_toks - overlap`` would yield a tail chunk FULLY CONTAINED in
+    its predecessor (e.g. n_toks=49: the 1-token chunk at start 48 is
+    already inside chunk 0), so starts are bounded at
+    ``greatest(0, n_toks - overlap - 1)`` — every emitted chunk
+    contributes at least one token unseen by the previous chunk.
+    Complements `pack_sequences_budget`
     (which packs whole docs into fixed budgets): this op SPLITS long
     docs, that op CONCATENATES short ones; real dataloaders run both.
 
@@ -3194,7 +3201,7 @@ def doc_chunk_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         "t",
         F.posexplode(
-            F.expr("sequence(0, n_toks - 1, 48)")
+            F.expr("sequence(0, greatest(0, n_toks - 17), 48)")
         ).alias("chunk_no", "start_tok"),
     )
     n_chunk = F.least(F.lit(64), F.col("n_toks") - F.col("start_tok"))

@@ -1187,11 +1187,21 @@ def _bpe_train(
     (x,a)/(b,y) — both symbol-sharing pairs that, by the prefix rule,
     ranked BELOW every accepted pair.  Counts of mutually disjoint pairs
     are invariant under each other's merges, so the sequential trainer
-    would have picked the same prefix in the same order.  (The one
-    ε-edge: a created pair tying an accepted pair's count exactly could
-    win a lexicographic tie-break sequentially; the equality pin in
-    tests/test_pipeline.py holds batched == sequential on the fixture.)
-    All accepted merges apply in ONE chained-fold projection per round."""
+    would have picked the same prefix in the same order.
+
+    TIE HARDENING (r7 ADVICE): a created pair (x, ab) whose count
+    exactly TIES an accepted pair's weight could win the lexicographic
+    tie-break sequentially.  Created-pair counts are bounded by their
+    symbol-sharing source pairs, so the batch fetches top-(k+1) and
+    computes ``cap`` = max weight over (a) the first symbol-sharing
+    row inside the batch (the heaviest sharing pair — ordering is
+    weight-desc) and (b) the (k+1)-th row (an upper bound for every
+    pair OUTSIDE the batch, sharing or not).  Prefix entries whose
+    weight is not STRICTLY greater than ``cap`` are dropped — no
+    created pair can then tie any accepted pair.  The argmax row alone
+    is always kept (accepting only the top-1 is sequential-exact by
+    definition), so progress is guaranteed.  All accepted merges apply
+    in ONE chained-fold projection per round."""
     d = load(spark, sf_dir, "documents")
     freqs = (
         d.select(
@@ -1209,25 +1219,38 @@ def _bpe_train(
 
     merges: list[tuple[int, str, str, int]] = []
     rounds = 0
+    fetch_k = batch_k + 1 if batch_k > 1 else 1
     while len(merges) < n_merges:
         top = (
             _bpe_pair_counts(words)
             .orderBy(F.desc("weight"), F.asc("left"), F.asc("right"))
-            .limit(batch_k)
+            .limit(fetch_k)
             .collect()
         )
         rounds += 1
         if not top:
             break
-        accepted: list[tuple[str, str, int]] = []
+        # cap starts at the (k+1)-th row's weight: upper bound on any
+        # pair outside the fetched batch (see docstring tie hardening)
+        cap = int(top[batch_k].weight) if len(top) > batch_k else 0
+        prefix = []
         used: set[str] = set()
-        for r in top:
+        for r in top[:batch_k]:
+            if {r.left, r.right} & used:
+                # first sharing row IS the heaviest sharing pair
+                cap = max(cap, int(r.weight))
+                break  # prefix rule: later counts may now be stale
+            prefix.append(r)
+            used |= {r.left, r.right, r.left + r.right}
+        # strict-tie guard: drop prefix tail not strictly above cap;
+        # the argmax row alone is always sequential-exact, keep it
+        while len(prefix) > 1 and int(prefix[-1].weight) <= cap:
+            prefix.pop()
+        accepted: list[tuple[str, str, int]] = []
+        for r in prefix:
             if len(merges) + len(accepted) >= n_merges:
                 break
-            if {r.left, r.right} & used:
-                break  # prefix rule: later counts may now be stale
             accepted.append((r.left, r.right, int(r.weight)))
-            used |= {r.left, r.right, r.left + r.right}
         for left, right, weight in accepted:
             merges.append((len(merges), left, right, weight))
         sym_expr = "syms"

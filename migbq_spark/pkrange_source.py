@@ -291,6 +291,30 @@ class PkRangeStreamReader(SimpleDataSourceStreamReader):
                 return mx
         return None  # tail smaller than one stride: read it all
 
+    def _group_maxima(self, lo_excl):
+        """Sorted distinct row-group maxima past ``lo_excl`` (stats
+        only, no data read) — the widening ladder for the stats-lied
+        retry in ``read``.  Empty on any stats gap."""
+        import pyarrow.dataset as ds
+
+        try:
+            maxima = set()
+            for frag in ds.dataset(self.path, format="parquet").get_fragments():
+                md = frag.metadata
+                names = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }
+                ci = names[self.pk]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        return []
+                    if lo_excl is None or st.max > lo_excl:
+                        maxima.add(st.max)
+            return sorted(maxima)
+        except Exception:
+            return []
+
     def read(self, start: dict):
         last = start.get("last_pk")
         hi = self._hi_bound(last)
@@ -302,9 +326,23 @@ class PkRangeStreamReader(SimpleDataSourceStreamReader):
             # on a non-integer pk), the bounded read could return 0 rows
             # while rows remain past the cap — and an availableNow drain
             # would then terminate early, silently dropping the tail.
-            # One unbounded retry distinguishes "stats lied" from
-            # "stream drained".
-            t = self._read_range(last, None)
+            # Widen PROGRESSIVELY through the remaining row-group maxima
+            # (doubling the group span each attempt) rather than one
+            # unbounded read: on a large backlog the old unbounded retry
+            # materialized every remaining row into one Arrow table
+            # before the stride cut (r7 ADVICE).  Geometric widening
+            # keeps total retry work within ~2x the final bounded read;
+            # the unbounded read is the LAST resort only, when even the
+            # global stats max returns nothing.
+            maxima = [m for m in self._group_maxima(last) if m > hi]
+            span = 1
+            while t.num_rows == 0 and maxima:
+                idx = min(span, len(maxima)) - 1
+                t = self._read_range(last, maxima[idx])
+                maxima = maxima[idx + 1:]
+                span *= 2
+            if t.num_rows == 0:
+                t = self._read_range(last, None)
         if t.num_rows == 0:
             return iter([]), start
         # Cut the stride at a pk-VALUE boundary, not a row-count

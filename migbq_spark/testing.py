@@ -83,10 +83,15 @@ def _pd_canon(pdf) -> tuple[list[str], list[str], list[str], list[str]]:
     unsafe = []
     for c in cols:
         if pdf[c].dtype == object:
-            for v in pdf[c].head(50):
-                if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
-                    unsafe.append(c)
-                    break
+            # Scan the FULL column (not a head sample): an op whose first
+            # non-scalar cell appears past row N would otherwise pass this
+            # check yet still crash the real driver canonicalizer — the
+            # exact r6 failure mode this function exists to catch.
+            if pdf[c].map(
+                lambda v: isinstance(v, (list, tuple, dict))
+                or type(v).__name__ == "ndarray"
+            ).any():
+                unsafe.append(c)
     if len(pdf):
         body = pdf.astype(str)
         rows = sorted(

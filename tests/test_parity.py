@@ -40,7 +40,9 @@ def test_rows_only_runs(qid, spark, sf_dir):
     pdf = df.toPandas()
     _, rows, _, unsafe = _pd_canon(pdf)
     assert not unsafe, f"driver-canonicalizer-unsafe columns: {unsafe}"
-    assert len(rows) >= 0
+    # Canonical row count must equal the DataFrame's own count — a
+    # canonicalizer that silently drops rows would otherwise pass.
+    assert len(rows) == df.count()
     # stable schema on re-run
     df2 = QUERIES[qid](spark, sf_dir)
     assert df.columns == df2.columns

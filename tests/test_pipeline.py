@@ -1053,6 +1053,10 @@ def test_r7_batch_semantics(spark, sf_dir):
         assert all(r.start_tok == i * 48 for i, r in enumerate(rows))
         last = rows[-1]
         assert last.start_tok + last.n_chunk_toks == docs[doc_id]
+        # no chunk is fully contained in its predecessor: chunk ends
+        # strictly increase, i.e. every chunk adds unseen tokens
+        ends = [r.start_tok + r.n_chunk_toks for r in rows]
+        assert all(b > a for a, b in zip(ends, ends[1:]))
 
     nov = Q["doc_ngram_novelty"](spark, sf_dir).collect()
     first_doc = min(r.doc_id for r in nov)

@@ -189,3 +189,42 @@ def test_stream_hi_bound_prunes_row_groups(tmp_path):
     assert len(rows) == n and batches[0] == 1_000
     # missing-stats / tail fallback: remaining rows < batch_size → None
     assert _stream_reader(p, 100)._hi_bound(n - 50) is None
+
+
+def test_stream_stats_lied_retry_widens_bounded(tmp_path, monkeypatch):
+    """r7 ADVICE: when row-group stats over-promise (bounded read returns
+    0 rows while rows remain further out), the retry must widen through
+    successive row-group maxima — NEVER one unbounded read that
+    materializes the whole remaining backlog into a single Arrow table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = 10_000
+    t = pa.table({"pk": pa.array(range(n), pa.int64()),
+                  "v": pa.array(range(n), pa.int64())})
+    p = tmp_path / "lied.parquet"
+    pq.write_table(t, p, row_group_size=500)
+
+    r = _stream_reader(p, 100)
+    calls = []
+    orig = r._read_range
+
+    def spy(lo, hi):
+        calls.append((lo, hi))
+        tbl = orig(lo, hi)
+        # simulate stats lying about rows below pk 5000: the groups
+        # claim them, the read comes back empty
+        return tbl.filter(pc.greater(tbl.column("pk"), 4_999))
+
+    monkeypatch.setattr(r, "_read_range", spy)
+    it, off = r.read(r.initialOffset())
+    rows = list(it)
+    # retry found the real rows (first live pk is 5000)...
+    assert len(rows) == 100 and rows[0][0] == 5_000
+    assert off == {"last_pk": 5_099}
+    # ...and every read along the way was hi-bounded; the widening
+    # ladder grew geometrically (strictly increasing hi per attempt)
+    assert all(hi is not None for _, hi in calls)
+    his = [hi for _, hi in calls]
+    assert len(his) > 1 and his == sorted(his)
