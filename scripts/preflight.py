@@ -129,11 +129,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r7, graded this round)", lines,
+        "DRIVER_WINDOW (r8, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R8_WINDOW),
-        "R8_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R9_WINDOW),
+        "R9_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")
