@@ -1138,18 +1138,125 @@ def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     """(left, right, weight) adjacent-symbol pair counts over the
     weighted symbol-sequence table — the distributed heart of BPE
     training (one shuffle per iteration)."""
+    # Guard size(syms) < 2: Spark's sequence(0, -1) DESCENDS ([0, -1]),
+    # so an un-guarded transform would emit phantom (sym, null) pairs
+    # for any word fully merged into one symbol — invisible at 8 merges
+    # on the fixture, real at production merge counts.
     pairs = words.select(
         "weight",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(syms) - 2),"
-                " i -> struct(syms[i] AS left, syms[i + 1] AS right))"
+                "IF(size(syms) < 2, array(),"
+                " transform(sequence(0, size(syms) - 2),"
+                " i -> struct(syms[i] AS left, syms[i + 1] AS right)))"
             )
         ).alias("p"),
     )
     return pairs.groupBy("p.left", "p.right").agg(
         F.sum("weight").alias("weight")
     )
+
+
+def _bpe_oracle_ctes(n_merges: int = 8) -> str:
+    """DuckDB CTE chain that reproduces the distributed BPE trainer
+    EXACTLY, by unrolling the ``n_merges`` iterations (the merge count
+    is a contract constant, so "iterative" is finitely expressible).
+
+    Representation trick: each word's symbol sequence is kept as a
+    single string with every symbol wrapped in chr(31) delimiters
+    (``\\x1f a \\x1f \\x1f b \\x1f`` for symbols [a, b]).  Because
+    symbols never contain chr(31), a pattern ``\\x1f L \\x1f \\x1f R
+    \\x1f`` can only match at true symbol boundaries, and SQL
+    ``replace`` — leftmost, non-overlapping, continue-after-replacement,
+    output never rescanned — is then EXACTLY the trainer's greedy
+    leftmost fold (`_bpe_merge_expr`): the merged symbol L||R never
+    re-merges within the same pass since L||R <> L for nonempty R.
+    Per round: adjacent-pair counts weighted by word frequency (all
+    adjacents, overlap-counting — same as `_bpe_pair_counts`), argmax
+    with (weight DESC, left, right) tie-break, one rewrite.  Assumes
+    corpus tokens don't contain chr(31) (true of the test tables; a
+    production corpus would pre-scrub control chars in `pii_scrub`
+    fashion)."""
+    sep = "chr(31)"
+    parts = [f"""WITH freq AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS word
+          FROM documents)
+    GROUP BY word
+),
+w0 AS (
+    SELECT word, weight,
+           {sep} || array_to_string(
+               list_transform(range(1, length(word) + 2),
+                              i -> substr(word || '_', i, 1)),
+               {sep} || {sep}) || {sep} AS s
+    FROM freq
+)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+p{i} AS (
+    SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(weight) AS BIGINT) AS weight
+    FROM (
+        SELECT weight,
+               unnest(list_transform(range(1, len(syms)),
+                                     j -> [syms[j], syms[j + 1]])) AS pr
+        FROM (SELECT weight,
+                     string_split(trim(s, {sep}), {sep} || {sep}) AS syms
+              FROM w{i})
+    )
+    GROUP BY pr[1], pr[2]
+),
+m{i} AS (
+    SELECT {i} AS rank, l, r, weight
+    FROM p{i} ORDER BY weight DESC, l ASC, r ASC LIMIT 1
+),
+w{i + 1} AS (
+    SELECT w.word AS word, w.weight AS weight,
+           replace(w.s, {sep} || m.l || {sep} || {sep} || m.r || {sep},
+                        {sep} || m.l || m.r || {sep}) AS s
+    FROM w{i} w, m{i} m
+)""")
+    return "".join(parts)
+
+
+def _bpe_trainer_oracle(n_merges: int = 8) -> str:
+    """Hash oracle for both trainer twins: the union of the per-round
+    argmax rows is the merge table."""
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(n_merges))
+    return _bpe_oracle_ctes(n_merges) + f"""
+SELECT rank, l AS "left", r AS "right", weight FROM ({union})"""
+
+
+def _bpe_apply_oracle(n_merges: int = 8) -> str:
+    """Hash oracle for both apply twins: tokenize the vocab with the
+    final symbol strings, join counts back to occurrences, audit per
+    source — mirrors `_bpe_token_audit`."""
+    sep = "chr(31)"
+    return _bpe_oracle_ctes(n_merges) + f""",
+v AS (
+    SELECT word,
+           CAST(len(string_split(trim(s, {sep}), {sep} || {sep}))
+                AS BIGINT) AS word_toks
+    FROM w{n_merges}
+),
+occ AS (
+    SELECT doc_id, source,
+           length(replace(text, ' ', '')) AS n_chars,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, source, n_chars, SUM(word_toks) AS n_tokens
+    FROM occ JOIN v USING (word)
+    GROUP BY doc_id, source, n_chars
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(n_chars) * 1.0 / SUM(n_tokens), 4) AS chars_per_token
+FROM per_doc GROUP BY source"""
 
 
 def _bpe_merge_expr(col_expr: str, left: str, right: str) -> str:
@@ -1262,7 +1369,7 @@ def _bpe_train(
     return merges, rounds
 
 
-@register("tokenizer_bpe_train_merges", oracle=None)  # rows-only: iterative
+@register("tokenizer_bpe_train_merges", oracle=_bpe_trainer_oracle())
 def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE TOKENIZER TRAINING — the step that turns a corpus
     into the merge table an LLM tokenizer ships with: start from
@@ -1274,7 +1381,10 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and merge every occurrence.  Output: (rank, left, right, weight) —
     the learned merge table.
 
-    Rows-only: iterative training is not SQL-expressible; pinned in
+    Hash-oracled since r8: the fixed merge count makes the iteration
+    finitely SQL-expressible — `_bpe_trainer_oracle` unrolls all 8
+    rounds in DuckDB (delimiter-string rewrite = the greedy fold) and
+    the driver value-hashes the full merge table.  Also pinned in
     tests against a pure-Python reference BPE on the same word
     frequencies.
 
@@ -1293,7 +1403,7 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tokenizer_bpe_train_batched", oracle=None)  # rows-only: iterative
+@register("tokenizer_bpe_train_batched", oracle=_bpe_trainer_oracle())
 def tokenizer_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION twin of `tokenizer_bpe_train_merges`: per driver
     round, collect the TOP-K pair counts and accept the longest
@@ -1313,7 +1423,7 @@ def tokenizer_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("tokenizer_bpe_apply", oracle=None)  # rows-only: consumes trained merges
+@register("tokenizer_bpe_apply", oracle=_bpe_apply_oracle())
 def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the `tokenizer_bpe_train_merges` merge table to the corpus:
     every document is tokenized word-by-word with the 8 learned merges
@@ -1324,7 +1434,8 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression ratio chars/token — the number a tokenizer change is
     judged by before a training run.
 
-    Rows-only (depends on the iteratively-trained table); pinned in
+    Hash-oracled since r8 (`_bpe_apply_oracle` re-derives the merge
+    table in SQL and tokenizes the vocab the same way); also pinned in
     tests against the reference tokenizer on sampled docs.
 
     Scale (100 TB): tokenization is row-local (no shuffle until the
@@ -1406,7 +1517,7 @@ def _bpe_token_audit(words: DataFrame, vocab_toks: DataFrame) -> DataFrame:
     )
 
 
-@register("tokenizer_bpe_apply_trie", oracle=None)  # rows-only: trained input
+@register("tokenizer_bpe_apply_trie", oracle=_bpe_apply_oracle())
 def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-SCALE twin of `tokenizer_bpe_apply`: the merge table
     ships as a BROADCAST variable consumed by ONE vectorized pandas UDF

@@ -210,15 +210,42 @@ def stream_session_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_correlate(load(spark, sf_dir, "events"))
 
 
-@register("stream_dedup_watermark")  # rows-only: watermark semantics not in SQL
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, TRUE AS survivor_in_source
+    FROM events
+    """,
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming dedup: readStream over the events
     parquet, withWatermark + dropDuplicates, drained synchronously with
-    an availableNow trigger into a memory sink.  Which duplicate survives
-    is nondeterministic by spec → rows-only (SURVEY §7.5)."""
+    an availableNow trigger into a memory sink.
+
+    Hash-oracled since r8 via a deterministic projection: WHICH
+    duplicate survives is nondeterministic by spec (SURVEY §7.5), but
+    the surviving KEY SET is exact and the survivor must be a real
+    source row.  So the driver-facing output inner-joins the drained
+    result back to the static events table on (user_id, event_type,
+    event_id): a fabricated survivor drops out (count mismatch), a
+    missed key or a double-kept key breaks the DISTINCT-per-key hash.
+    The full drained rows (incl. the arbitrary survivor's event_id/ts)
+    stay available via `run_streaming_dedup` and are pinned in
+    tests/test_streaming.py."""
     from migbq_spark.streaming.structured import run_streaming_dedup
 
-    return run_streaming_dedup(spark, sf_dir)
+    drained = run_streaming_dedup(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    return (
+        drained.join(ev, ["user_id", "event_type", "event_id"], "inner")
+        .select(
+            "user_id",
+            "event_type",
+            F.lit(True).alias("survivor_in_source"),
+        )
+    )
 
 
 @register(
