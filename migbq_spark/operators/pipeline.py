@@ -2293,6 +2293,81 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- dup_span_ratio
 
+def _dup_span_tail(base: DataFrame, spans_arr: DataFrame) -> DataFrame:
+    """Shared ONE-BIG-EXCHANGE tail of the two dup-span twins, shaped by
+    the r8 sf10 profile of the old plan (115.6 s): span GENERATION was
+    42 s of it and the old distinct→agg→join-back shape recomputed the
+    exploded stream per branch and shuffled it twice more (join probe +
+    final doc agg, 114 s cumulative).  This tail:
+
+    - collapses each doc's span array to distinct (span, n_pos) pairs
+      ROW-LOCALLY before the explode — no (doc, span) exchange at all.
+      Fast path: when `array_distinct` (O(k)) shows no within-doc
+      repeat (25,515,995 of 25,516,019 sf10 spans), every n_pos is 1.
+      Rare path: sort + run-length (O(k log k)), bound via the
+      transform-over-singleton-array let-binding idiom.
+    - computes docs-per-span as a COUNT OVER (PARTITION BY span) window
+      on the distinct-pair stream: the one wide exchange, replacing the
+      old plan's agg exchange + join-back exchange + doc-agg exchange
+      of the full position stream.
+    - takes n_spans from `size(t) - 4` on the narrow base scan (no
+      shuffle), left-joining the per-doc dup sums back (doc-keyed,
+      ≤ one row per doc on both sides).
+
+    Measured sf10 (same noop-write protocol as SCALING_r07): 49.3 s
+    hashed / checksum bit-equal to the old plan; generation 37 s of it,
+    window tail ~9 s.  The semi-join alternative re-ran generation per
+    branch (130.7 s) — rejected."""
+    runs = spans_arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+        CASE WHEN size(array_distinct(sp)) = size(sp)
+             THEN transform(sp, s -> struct(
+                      s AS span_k, CAST(1 AS BIGINT) AS n_pos))
+             ELSE transform(array(array_sort(sp)), ss ->
+                    transform(
+                      array(filter(sequence(0, size(ss) - 1),
+                                   j -> j = 0 OR ss[j] != ss[j - 1])),
+                      st -> transform(sequence(0, size(st) - 1),
+                        r -> struct(
+                          ss[st[r]] AS span_k,
+                          CAST((IF(r + 1 < size(st), st[r + 1], size(ss))
+                                - st[r]) AS BIGINT) AS n_pos)))[0])[0]
+        END
+        """
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.span_k", "p.n_pos")
+    w = Window.partitionBy("span_k")
+    dup_per_doc = (
+        runs.withColumn("nd", F.count(F.lit(1)).over(w))
+        .filter(F.col("nd") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum("n_pos").alias("n_dup_spans"))
+    )
+    totals = base.select(
+        "doc_id", (F.size("t") - F.lit(4)).cast("bigint").alias("n_spans")
+    )
+    return (
+        totals.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_ratio",
+            F.round(
+                F.col("n_dup_spans") * F.lit(1.0) / F.col("n_spans"), 4
+            ),
+        )
+    )
+
+
 @register(
     "dup_span_ratio",
     oracle="""
@@ -2335,41 +2410,25 @@ def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     `contamination_overlap` (train→test leakage): this measures
     corpus-wide redundancy at span granularity.
 
-    Scale (100 TB): spans are corpus-linear; the docs-per-span count
-    aggregates the DISTINCT (doc, span) set (map-side combinable), and
-    the only wide op is one shuffle join keyed on the span back to the
-    position stream.  This registered path keeps the RAW span string on
-    the shuffle for byte-fidelity; the production path is
-    `dup_span_ratio_hashed` (below), which shuffles `xxhash64(span)`
-    int64 keys instead (~4× fewer shuffle bytes, identical outputs,
-    pinned by test + the same oracle)."""
+    Scale (100 TB): spans are corpus-linear and the plan has exactly
+    ONE wide exchange — see `_dup_span_tail` (r8 profiled rewrite:
+    row-local distinct+position-count per doc, docs-per-span as a
+    window over the distinct-pair stream, totals from `size(t) - 4`
+    with no shuffle).  This registered path keeps the RAW span string
+    on the exchange for byte-fidelity; the production path is
+    `dup_span_ratio_hashed` (below), which exchanges int64 span keys
+    instead (identical outputs, pinned by test + the same oracle)."""
     d = load(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, ' '), t -> t <> '')")
     base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 5)
-    spans = base.select(
+    spans_arr = base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 5),"
-                " i -> concat_ws(' ', slice(t, i + 1, 5)))"
-            )
-        ).alias("span"),
+        F.expr(
+            "transform(sequence(0, size(t) - 5),"
+            " i -> concat_ws(' ', slice(t, i + 1, 5)))"
+        ).alias("sp"),
     )
-    docs_per_span = (
-        spans.select("doc_id", "span")
-        .distinct()
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("nd"))
-    )
-    joined = spans.join(docs_per_span, "span")
-    n_dup = F.count_if(F.col("nd") >= 2)
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        n_dup.alias("n_dup_spans"),
-        F.round(n_dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
-            "dup_span_ratio"
-        ),
-    )
+    return _dup_span_tail(base, spans_arr)
 
 
 @register(
@@ -2404,49 +2463,54 @@ def dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dup_span_ratio_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION twin of `dup_span_ratio`: identical semantics, but
-    every wide op — the distinct, the docs-per-span aggregate, and the
-    span→positions join — keys on ``xxhash64(span)`` (8 bytes) instead
+    the one wide exchange keys on an int64 span key (8 bytes) instead
     of the raw 5-token string (~30 bytes at the fixture's vocabulary,
-    unbounded on real text).  The r6 sf10 scaling run measured the
-    string-keyed path at 12.2× for the 13× data step with the
-    span-keyed shuffle dominating; hashing the key cuts shuffle bytes
-    ~4× while leaving the per-doc RATIO outputs bit-identical absent a
-    64-bit collision (corpus-wide span count must approach 2^32 before
-    a collision is likely; a collision only ever OVER-counts nd by
-    merging two spans).  Because the outputs match, the op hash-checks
+    unbounded on real text).
+
+    r8 profiled fix (r7 VERDICT #2: the r6 shuffle-byte hypothesis was
+    DISPROVED — hashing keys alone left sf10 at 115.6 s vs string
+    142.5 s).  The sf10 stage profile showed span GENERATION (explode
+    + slice + concat_ws + xxhash per position, 42 s) recomputed per
+    branch, plus full-stream exchanges for the join-back and final doc
+    agg (join-back cumulative 114 s).  Two fixes: (1) the span key is
+    now built from ONE xxhash64 per TOKEN combined across the 5-token
+    window with rotate-XOR mixing (shiftleft^shiftright pairs) — no
+    per-position slice/concat/string-hash (generation 42 s → 30 s);
+    (2) the plan is the shared one-big-exchange `_dup_span_tail`.
+    Measured sf10: 115.6 s → 49.3 s, output checksum bit-equal.
+
+    Collision note: the rotate-XOR key is GF(2)-linear in the token
+    hashes, so two DIFFERENT spans collide only when the XOR of their
+    per-position rotated xxhash64 differences cancels — ~2^-64 per
+    pair, same order as hashing the span string.  A collision only
+    ever OVER-counts nd by merging two spans.  The op hash-checks
     against the SAME string-keyed DuckDB oracle — the collision-free
-    claim is driver-verified, not argued — and a pinning test asserts
+    claim is driver-verified, not argued (sf10 distinct counts matched
+    the string path exactly: 25,515,995) — and a pinning test asserts
     exact equality with `dup_span_ratio` on the fixture.
 
-    Scale (100 TB): spans never materialize as strings past the
-    row-local hash; both shuffles carry (int64, int64) pairs."""
+    Scale (100 TB): spans never materialize as strings at all; the one
+    wide exchange carries (int64 doc, int64 key, int64 count)."""
     d = load(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, ' '), t -> t <> '')")
     base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 5)
-    spans = base.select(
+    spans_arr = base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(t) - 5),"
-                " i -> xxhash64(concat_ws(' ', slice(t, i + 1, 5))))"
-            )
-        ).alias("span_h"),
+        F.expr("transform(t, x -> xxhash64(x))").alias("hs"),
+        F.size("t").alias("n"),
+    ).select(
+        "doc_id",
+        F.expr(
+            """
+      transform(sequence(0, n - 5), i ->
+        (hs[i] ^ shiftleft(hs[i+1], 13) ^ shiftright(hs[i+1], 51)
+               ^ shiftleft(hs[i+2], 26) ^ shiftright(hs[i+2], 38)
+               ^ shiftleft(hs[i+3], 39) ^ shiftright(hs[i+3], 25)
+               ^ shiftleft(hs[i+4], 52) ^ shiftright(hs[i+4], 12)))
+    """
+        ).alias("sp"),
     )
-    docs_per_span = (
-        spans.select("doc_id", "span_h")
-        .distinct()
-        .groupBy("span_h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-    )
-    joined = spans.join(docs_per_span, "span_h")
-    n_dup = F.count_if(F.col("nd") >= 2)
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        n_dup.alias("n_dup_spans"),
-        F.round(n_dup * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
-            "dup_span_ratio"
-        ),
-    )
+    return _dup_span_tail(base, spans_arr)
 
 
 # ---------------------------------------------- minhash_jaccard_estimate
@@ -3334,7 +3398,14 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
     you run when even the Heaps-bounded vocabulary is too big to
     shuffle; cells from disjoint corpus shards ADD (mergeable), which
     is how a 1000-executor fleet combines per-shard sketches for
-    free.  The ground-truth side exists only for the audit."""
+    free.  The ground-truth side exists only for the audit.
+
+    r8 Heaps rewrite: the md5 bucket hash runs over the DISTINCT
+    vocabulary after the token count (|vocab|×4 hashes), not over
+    every corpus occurrence ×4 (was 108 M md5+conv calls at sf10 —
+    profiled as the whole cost of the op's 183 s cell); cell values
+    are identical because a cell is the SUM of its tokens' counts
+    either way.  Measured sf10: 183 s → see SCALING_r08."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
@@ -3354,13 +3425,21 @@ def sketch_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFram
             % 64
         )
 
-    hashed = toks.select(
-        "token", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s")
-    ).select("s", bucket(F.col("s"), F.col("token")).alias("bucket"))
-    cells = hashed.groupBy("s", "bucket").agg(
-        F.count(F.lit(1)).alias("cell_count")
-    )
     truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    cells = (
+        truth.select(
+            "token",
+            "true_count",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("s"),
+        )
+        .select(
+            "s",
+            bucket(F.col("s"), F.col("token")).alias("bucket"),
+            "true_count",
+        )
+        .groupBy("s", "bucket")
+        .agg(F.sum("true_count").alias("cell_count"))
+    )
     top = truth.select(
         "token",
         "true_count",
