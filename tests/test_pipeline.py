@@ -792,6 +792,19 @@ def test_bpe_batched_trainer_exact_and_fewer_rounds(spark, sf_dir):
     assert a == b
 
 
+def test_bpe_batched_trainer_exact_at_64_merges(spark, sf_dir):
+    """r8 (r7 VERDICT #3): twin equality pinned BEYOND the toy count —
+    at 64 merges the tie-hardened prefix rule must still reproduce the
+    sequential table exactly (the sf1 measurement: 57 rounds vs 64,
+    exact equality; deeper fixture runs exhaust the 31-word vocab)."""
+    from migbq_spark.operators.training import _bpe_train
+
+    seq, seq_rounds = _bpe_train(spark, sf_dir, n_merges=64, batch_k=1)
+    bat, bat_rounds = _bpe_train(spark, sf_dir, n_merges=64, batch_k=64)
+    assert bat == seq
+    assert bat_rounds <= seq_rounds
+
+
 def test_bpe_apply_consistent_with_reference_tokenization(spark, sf_dir):
     """r5: corpus BPE token counts from the distributed apply must equal
     tokenizing every word with the reference merge algorithm."""
