@@ -1463,16 +1463,14 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     d = load(spark, sf_dir, "documents")
-    words = d.select(
+    base = d.select(
         "doc_id",
         "source",
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
             "n_chars"
         ),
-        F.explode(
-            F.filter(F.split("text", " "), lambda t: t != "")
-        ).alias("word"),
-    )
+        F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
+    ).filter(F.size("t") >= 1)
     sym_expr = "split(concat(word, '_'), '')"
     for left, right in merges:
         sym_expr = (
@@ -1492,39 +1490,70 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs |vocab| times and occurrence counts join it back (18.2 s →
     # 1.5 s at sf0.1)
     vocab_toks = (
-        words.select("word")
+        base.select(F.explode("t").alias("word"))
         .distinct()
         .select(
             "word", F.size(F.expr(sym_expr)).cast("bigint").alias("word_toks")
         )
     )
-    return _bpe_token_audit(words, vocab_toks)
+    return _bpe_token_audit(base, vocab_toks)
 
 
-def _bpe_token_audit(words: DataFrame, vocab_toks: DataFrame) -> DataFrame:
-    """Shared tail of the two BPE-apply paths: join per-word token
-    counts back onto occurrences, roll up per document, then per
-    source.
+def _bpe_token_audit(base: DataFrame, vocab_toks: DataFrame) -> DataFrame:
+    """Shared tail of the two BPE-apply paths: per-doc word counts join
+    per-word token counts, roll up per document, then per source.
 
-    Join BEFORE the per-doc aggregation: the vocab side is
-    Heaps-bounded (AQE broadcasts it at any realistic size), so the
-    join is map-side and the groupBy's partial aggregation collapses
-    the exploded token stream to one row per doc BEFORE the exchange.
-    The previous shape (4-key occurrence groupBy, then join) shuffled
-    every exploded token row — measured 134 s at sf10 (500 k docs,
-    ~27 M tokens) against this shape's single doc-keyed exchange."""
-    per_doc = (
-        words.join(vocab_toks, "word")
-        .groupBy("doc_id", "source", "n_chars")
-        .agg(F.sum("word_toks").alias("n_tokens"))
+    r8 shape (the r6 join-before-rollup audit was re-profiled at sf10
+    and its occurrence EXPLODE alone — 27 M rows each carrying
+    (doc_id, source, n_chars, word-string) — cost 101 s of the 115 s
+    total): the explode now carries only int64 triples.  Per doc, the
+    (word, count) pairs are computed ROW-LOCALLY by sort+run-length
+    over the per-token xxhash64 array (the `_dup_span_tail` move), so
+    word strings never leave the scan stage; the Heaps-bounded vocab
+    side hashes its words once and broadcasts (word_h, word_toks) —
+    16 bytes/row, ~16 MB even at a 1 M-word production vocabulary.
+    source/n_chars rejoin doc-keyed AFTER the per-doc aggregation
+    (500 k narrow rows, not 27 M).  Measured sf10: 115.6 s → 31.2 s
+    (fold path), same outputs.  Hash collisions on the vocab join are
+    ~2^-64 per word pair and driver-verified by the string-keyed
+    DuckDB oracle."""
+    wc = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """
+      transform(array(array_sort(transform(t, w -> xxhash64(w)))), ss ->
+        transform(
+          array(filter(sequence(0, size(ss) - 1),
+                       j -> j = 0 OR ss[j] != ss[j - 1])),
+          st -> transform(sequence(0, size(st) - 1), r -> struct(
+            ss[st[r]] AS word_h,
+            CAST((IF(r + 1 < size(st), st[r + 1], size(ss)) - st[r])
+                 AS BIGINT) AS n_occ)))[0])[0]
+    """
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.word_h", "p.n_occ")
+    vocab_h = vocab_toks.select(
+        F.xxhash64("word").alias("word_h"), "word_toks"
     )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("n_chars"),
-        F.sum("n_tokens").alias("n_bpe_tokens"),
-        F.round(
-            F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
-        ).alias("chars_per_token"),
+    per_doc = (
+        wc.join(F.broadcast(vocab_h), "word_h")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n_occ") * F.col("word_toks")).alias("n_tokens"))
+    )
+    narrow = base.select("doc_id", "source", "n_chars")
+    return (
+        narrow.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
     )
 
 
@@ -1589,22 +1618,20 @@ def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
         return col.map(n_toks)
 
     d = load(spark, sf_dir, "documents")
-    words = d.select(
+    base = d.select(
         "doc_id",
         "source",
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
             "n_chars"
         ),
-        F.explode(
-            F.filter(F.split("text", " "), lambda t: t != "")
-        ).alias("word"),
-    )
+        F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
+    ).filter(F.size("t") >= 1)
     vocab_toks = (
-        words.select("word")
+        base.select(F.explode("t").alias("word"))
         .distinct()
         .select("word", bpe_word_toks("word").alias("word_toks"))
     )
-    return _bpe_token_audit(words, vocab_toks)
+    return _bpe_token_audit(base, vocab_toks)
 
 
 # ---------------------------------------------- quality_perplexity_filter
