@@ -328,3 +328,37 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert "bloom" in plan.lower(), plan
+
+
+def test_dup_span_one_wide_exchange_no_strings(spark, sf_dir):
+    """r8 plan contract for the profiled dup_span rewrite: exactly ONE
+    exchange carries the span-key stream (the window), the hashed twin
+    never materializes span STRINGS (no concat_ws anywhere in the
+    plan — keys are per-token xxhash64 mixed in-register), and the
+    docs-per-span count is a single Window node."""
+    p = _plan(Q["dup_span_ratio_hashed"](spark, sf_dir))
+    assert "concat_ws" not in p, "span strings leaked into the hashed plan"
+    assert "xxhash64" in p
+    assert p.count("hashpartitioning(span_k") == 1, p
+    assert p.count("Window") == 1, p
+    # string twin shares the tail: same single span-key exchange
+    p2 = _plan(Q["dup_span_ratio"](spark, sf_dir))
+    assert p2.count("hashpartitioning(span_k") == 1, p2
+
+
+def test_bpe_audit_explodes_hashes_not_strings(spark, sf_dir):
+    """r8 plan contract for the BPE-apply audit rewrite: the per-doc
+    word-count stream carries int64 word hashes (word_h) and the
+    per-doc rollup exchanges on doc_id; the only string-keyed exchange
+    left is the Heaps-bounded DISTINCT-vocab tokenization."""
+    p = _plan(Q["tokenizer_bpe_apply"](spark, sf_dir))
+    assert "word_h" in p
+    assert "hashpartitioning(doc_id" in p
+
+
+def test_cms_hashes_vocab_not_occurrences(spark, sf_dir):
+    """r8 plan contract for the CMS Heaps rewrite: the md5 bucket hash
+    must run over the counted DISTINCT vocabulary — i.e. cells
+    aggregate sum(true_count), not count(1) over exploded occurrences."""
+    p = _optimized(Q["sketch_count_min_heavy_hitters"](spark, sf_dir))
+    assert "sum(true_count" in p, p
