@@ -592,3 +592,117 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_error_ts",
         )
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    pos AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(j || ':' || k), 1, 15) AS BIGINT)
+               % 8192 AS pos
+        FROM dim, (VALUES (0), (1)) t(j)
+    ),
+    f AS (
+        SELECT l_orderkey,
+               CAST('0x' || substr(md5('0:' || l_orderkey), 1, 15) AS BIGINT)
+               % 8192 AS p0,
+               CAST('0x' || substr(md5('1:' || l_orderkey), 1, 15) AS BIGINT)
+               % 8192 AS p1
+        FROM lineitem
+    ),
+    pass AS (
+        SELECT l_orderkey FROM f
+        WHERE p0 IN (SELECT pos FROM pos) AND p1 IN (SELECT pos FROM pos)
+    ),
+    stats AS (
+        SELECT (SELECT COUNT(*) FROM f) AS n_fact,
+               (SELECT COUNT(*) FROM pass) AS n_bloom_pass,
+               (SELECT COUNT(*) FROM f
+                WHERE l_orderkey IN (SELECT k FROM dim)) AS n_exact
+    )
+    SELECT n_fact, n_bloom_pass, n_exact,
+           n_bloom_pass - n_exact AS n_false_pos,
+           ROUND((n_bloom_pass - n_exact) * 1.0 / (n_fact - n_exact), 4)
+               AS fp_rate
+    FROM stats
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER JOIN PREFILTER — the runtime-row-filter pattern that
+    makes selective fact⋈dim joins cheap at 100 TB: instead of
+    shuffling every lineitem row to discover that most match no urgent
+    order, build a tiny bit-set from the dim side's join keys and
+    prefilter the fact scan to rows whose key MIGHT match, then let the
+    exact join remove the (audited) false positives.
+
+    Portable construction so the filter itself is hash-verifiable in
+    DuckDB: k=2 positions per key, position_j = md5-derived 60-bit int
+    of ``j ':' key`` mod m=8192 (the md5 family shared with
+    `_portable_minhash_df`).  The "bloom" is the DISTINCT position set
+    (≤ 2·|dim| ints), expressed as two broadcast LEFT SEMI joins — one
+    per hash function — which is exactly how a real engine's runtime
+    bloom filter behaves (Spark's own
+    ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`` injects
+    the same shape below an exchange).  Output is the audit a pipeline
+    operator wants: fact rows, bloom-pass rows, exact matches, false
+    positives, and the fp rate among true negatives.
+
+    Scale (100 TB): the position set is bounded by the dim key count
+    (broadcastable whenever the dim side is join-broadcastable; at
+    2·|dim| > broadcast threshold you shrink m or fall back to the
+    plain shuffle join); the fact side is scanned ONCE, never shuffled
+    on the prefilter (both semi joins are map-side against the
+    broadcast), and the final counts are single partial-aggregable
+    scalars.  fp_rate ≈ (1-e^(-kn/m))^k — sized here to be non-zero at
+    test scale so the audit actually exercises the false-positive
+    path."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def h(prefix, key) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", prefix, key)), 1, 15), 16, 10
+        ).cast("bigint") % 8192
+
+    dim = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    pos = (
+        dim.select(
+            F.explode(
+                F.array(h(F.lit(0), F.col("k")), h(F.lit(1), F.col("k")))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    f = li.select(
+        "l_orderkey",
+        h(F.lit(0), F.col("l_orderkey")).alias("p0"),
+        h(F.lit(1), F.col("l_orderkey")).alias("p1"),
+    )
+    bloom_pass = f.join(
+        F.broadcast(pos), f.p0 == pos.pos, "left_semi"
+    ).join(F.broadcast(pos), F.col("p1") == pos.pos, "left_semi")
+    exact = f.join(F.broadcast(dim), f.l_orderkey == dim.k, "left_semi")
+    stats = (
+        f.agg(F.count(F.lit(1)).alias("n_fact"))
+        .crossJoin(bloom_pass.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+    )
+    return stats.select(
+        "n_fact",
+        "n_bloom_pass",
+        "n_exact",
+        (F.col("n_bloom_pass") - F.col("n_exact")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_bloom_pass") - F.col("n_exact"))
+            * F.lit(1.0)
+            / (F.col("n_fact") - F.col("n_exact")),
+            4,
+        ).alias("fp_rate"),
+    )

@@ -3648,3 +3648,424 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, len(toks) - 3 AS ng,
+               unnest(range(1, len(toks) - 2)) AS pos, toks
+        FROM t WHERE len(toks) >= 4
+    ),
+    gh AS (
+        SELECT doc_id, ng, pos,
+               CAST('0x' || substr(
+                   md5(array_to_string(toks[pos:pos+3], ' ')), 1, 15)
+                   AS BIGINT) AS h
+        FROM g
+    ),
+    w AS (
+        SELECT doc_id, ng, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                   AS wmin
+        FROM gh
+    )
+    SELECT DISTINCT doc_id, wmin AS fp
+    FROM w WHERE pos <= greatest(1, ng - 4)
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k=4-token shingle, slide a w=5 window
+    over the hash sequence, and keep each window's MINIMUM — a
+    guaranteed-coverage selection (every duplicated span ≥ k+w-1 tokens
+    shares at least one selected fingerprint) at ~2/(w+1) the density
+    of the full shingle set.  This sits between `doc_fingerprint`
+    (one hash per doc) and `dup_span_ratio` (every span): a compact
+    per-doc fingerprint SET suitable for plagiarism-style overlap
+    search.  Docs shorter than k+w-1 tokens keep the min of the grams
+    they have (one fingerprint); docs under k tokens have no gram and
+    are excluded, matching the oracle.
+
+    Portable md5 60-bit hash family (shared with
+    `_portable_minhash_df`) so the selection is hash-verified in
+    DuckDB, whose oracle formulates the window min with a SQL window
+    frame — a different formulation of the same math, guarding the
+    array-kernel implementation here.
+
+    Scale (100 TB): entirely ROW-LOCAL — grams, hashes, and the
+    sliding min are array ops (`transform`/`slice`/`array_min`) inside
+    one projection; no explode, no shuffle until the final per-doc
+    DISTINCT, whose input is already the winnowed ~2/(w+1) density.
+    The doc text never leaves the scan stage."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") >= 4)
+    # per-position gram hashes (1-based slice, 4 tokens each)
+    grams = F.expr(
+        "transform(sequence(1, n - 3), i -> "
+        " cast(conv(substring(md5(concat_ws(' ', slice(t, i, 4))), 1, 15),"
+        "           16, 10) as bigint))"
+    )
+    # window minima: min over g[j..j+4], j bounded so every window is
+    # full except the single clipped window of docs with ng < 5
+    sel = F.expr(
+        "transform(sequence(1, greatest(1, size(g) - 4)), j -> "
+        " array_min(slice(g, j, 5)))"
+    )
+    return (
+        base.select("doc_id", grams.alias("g"))
+        .select("doc_id", F.explode(F.array_distinct(sel)).alias("fp"))
+        .distinct()
+    )
+
+
+@register(
+    "prefix_dup_groups",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_filter(string_split(text, ' '),
+                               x -> x <> '')[1:16], ' ')) AS prefix_md5
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 16
+    )
+    SELECT prefix_md5,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id,
+           MAX(doc_id) AS max_dup_id
+    FROM p GROUP BY prefix_md5 HAVING COUNT(*) >= 2
+    """,
+)
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMON-PREFIX duplicate groups: hash each document's first 16
+    tokens and report groups sharing that prefix — the boilerplate-head
+    duplicate class (mirrored landing pages, templated headers, scraped
+    nav chrome) that full-content dedup misses whenever tails differ:
+    `dedup_hash_exact` needs byte equality, `dedup_token_sort_fingerprint`
+    needs the same bag, and shingle Jaccard dilutes a shared head with a
+    long divergent tail.  CCNet/RefinedWeb-style pipelines run exactly
+    this head-hash pass before paragraph dedup.  Docs under 16 tokens
+    are excluded (their "prefix" is the whole doc — `dedup_hash_exact`
+    territory).  Output is the GROUP report (fingerprint, size,
+    canonical min-id, max id as the dup example), not a per-doc
+    verdict — the shape a triage dashboard consumes.
+
+    Scale (100 TB): the prefix hash is computed from `slice(t, 1, 16)`
+    row-local (the text column dies at the scan), then ONE
+    map-side-combinable groupBy on the 128-bit hash; group rows with
+    HAVING n>=2 are a tiny fraction of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = (
+        d.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 16)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("t"), 1, 16))).alias(
+                "prefix_md5"
+            ),
+        )
+    )
+    return (
+        base.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("doc_id").alias("max_dup_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "hll_portable_merge",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        ORDER BY day LIMIT 7
+    ),
+    h AS (
+        SELECT CAST(e.ts AS DATE) AS day,
+               CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 2)
+                    AS BIGINT) AS bucket,
+               CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 3, 12)
+                    AS BIGINT) AS v,
+               e.user_id
+        FROM events e JOIN days d ON CAST(e.ts AS DATE) = d.day
+    ),
+    hr AS (
+        SELECT day, bucket, user_id,
+               CASE WHEN v = 0 THEN 49
+                    ELSE 49 - length(bin(v)) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT day, bucket, MAX(rho) AS r
+        FROM hr GROUP BY day, bucket
+    ),
+    day_est AS (
+        SELECT CAST(day AS VARCHAR) AS scope,
+               SUM(1::BIGINT << (49 - r))
+               + (256 - COUNT(*)) * (1::BIGINT << 49) AS s,
+               256 - COUNT(*) AS nempty
+        FROM regs GROUP BY day
+    ),
+    merged_regs AS (
+        SELECT bucket, MAX(r) AS r FROM regs GROUP BY bucket
+    ),
+    merged_est AS (
+        SELECT 'merged' AS scope,
+               SUM(1::BIGINT << (49 - r))
+               + (256 - COUNT(*)) * (1::BIGINT << 49) AS s,
+               256 - COUNT(*) AS nempty
+        FROM merged_regs
+    ),
+    exacts AS (
+        SELECT CAST(day AS VARCHAR) AS scope,
+               COUNT(DISTINCT user_id) AS n_exact
+        FROM hr GROUP BY day
+        UNION ALL
+        SELECT 'merged', COUNT(DISTINCT user_id) FROM hr
+    ),
+    ests AS (
+        SELECT scope, s, nempty,
+               0.7213 / (1 + 1.079 / 256) * 65536 * 562949953421312.0 / s
+                   AS est_raw
+        FROM (SELECT * FROM day_est UNION ALL SELECT * FROM merged_est)
+    )
+    SELECT e.scope, x.n_exact,
+           ROUND(CASE WHEN e.est_raw <= 640.0 AND e.nempty > 0
+                      THEN 256.0 * ln(256.0 / e.nempty)
+                      ELSE e.est_raw END, 4) AS est,
+           ROUND((CASE WHEN e.est_raw <= 640.0 AND e.nempty > 0
+                       THEN 256.0 * ln(256.0 / e.nempty)
+                       ELSE e.est_raw END - x.n_exact) * 1.0 / x.n_exact,
+                 4) AS rel_err
+    FROM ests e JOIN exacts x ON e.scope = x.scope
+    """,
+)
+def hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HYPERLOGLOG with hash-verified MERGE — per-day distinct
+    user estimates for the first 7 days plus the 7-day union estimated
+    by MERGING the per-day registers (bucket-wise max), each next to
+    its exact count and relative error.  Unlike
+    `agg_approx_distinct` / `active_users_7d_hll` (Spark's builtin HLL,
+    engine-specific ⇒ rows-only), this sketch is built from the
+    portable md5 family — bucket = first 2 hex chars (m=256),
+    rho = 49 − bitlength of the next 48 bits — so DuckDB reproduces
+    every register and BOTH estimates bit-for-bit: the oracle
+    hash-check verifies the max-monoid merge property itself, the
+    reason 100 TB rollups never recount history (same argument
+    `minhash_merge_incremental` makes for MinHash).
+
+    Determinism details: register sums use INTEGER terms
+    ``2^(49-rho)`` (exact, order-independent — a float Σ2^-rho spans
+    >52 bits of mantissa and would be partition-order-dependent); the
+    estimator arithmetic is a single fixed-order expression identical
+    in both engines, including the standard small-range linear-counting
+    correction (est ≤ 2.5m with empty buckets → m·ln(m/V)).
+
+    Scale (100 TB): registers are a (day, bucket) grouped MAX —
+    map-side-combinable, ≤ 256 rows per day out of the shuffle; the
+    merge is a 256-row rollup of rollups.  Exact counts (the audit
+    column) are the only expensive distincts and exist to grade the
+    sketch, not to serve it."""
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .orderBy("day")
+        .limit(7)
+    )
+    h = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .join(F.broadcast(days), "day")
+        .select(
+            "day",
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+                16, 10,
+            ).cast("bigint").alias("bucket"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 3, 12),
+                16, 10,
+            ).cast("bigint").alias("v"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("v") == 0, F.lit(49)).otherwise(
+                F.lit(49) - F.length(F.conv(F.col("v"), 10, 2))
+            ),
+        )
+    )
+    regs = h.groupBy("day", "bucket").agg(F.max("rho").alias("r"))
+    # F.shiftleft requires a Python-int bit count; the SQL form accepts a
+    # column expression
+    term = F.expr("shiftleft(cast(1 as bigint), 49 - r)")
+    two49 = F.lit(562949953421312).cast("bigint")
+
+    def est_df(grouped, scope_col):
+        return grouped.agg(
+            (F.sum(term) + (F.lit(256) - F.count(F.lit(1))) * two49).alias("s"),
+            (F.lit(256) - F.count(F.lit(1))).alias("nempty"),
+        ).select(
+            scope_col.alias("scope"),
+            "s",
+            "nempty",
+            (
+                F.lit(0.7213)
+                / (F.lit(1) + F.lit(1.079) / F.lit(256))
+                * F.lit(65536)
+                * F.lit(562949953421312.0)
+                / F.col("s")
+            ).alias("est_raw"),
+        )
+
+    day_est = est_df(regs.groupBy("day"), F.col("day").cast("string"))
+    merged_est = est_df(
+        regs.groupBy("bucket").agg(F.max("r").alias("r")).groupBy(),
+        F.lit("merged"),
+    )
+    ests = day_est.unionByName(merged_est)
+    exacts = (
+        h.groupBy(F.col("day").cast("string").alias("scope"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .unionByName(
+            h.agg(F.countDistinct("user_id").alias("n_exact")).select(
+                F.lit("merged").alias("scope"), "n_exact"
+            )
+        )
+    )
+    est_final = F.when(
+        (F.col("est_raw") <= 640.0) & (F.col("nempty") > 0),
+        F.lit(256.0) * F.log(F.lit(256.0) / F.col("nempty")),
+    ).otherwise(F.col("est_raw"))
+    return (
+        ests.join(exacts, "scope")
+        .select(
+            "scope",
+            "n_exact",
+            F.round(est_final, 4).alias("est"),
+            F.round(
+                (est_final - F.col("n_exact")) * F.lit(1.0) / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "embedding_outlier_audit",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2,
+               list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, l2,
+               mx / l2 AS spike,
+               CAST(round(mx / l2 * 1000000) AS BIGINT) AS su
+        FROM n
+    ),
+    stats AS (
+        SELECT COUNT(*) AS cnt, SUM(su) AS s1,
+               CAST(SUM(su * su) AS BIGINT) AS s2
+        FROM u
+    ),
+    z AS (
+        SELECT vec_id, l2, spike, su, cnt, s1, s2,
+               CASE WHEN s2 * 1.0 / cnt
+                         - (s1 * 1.0 / cnt) * (s1 * 1.0 / cnt) <= 0
+                    THEN 0.0
+                    ELSE (su - s1 * 1.0 / cnt)
+                         / sqrt(s2 * 1.0 / cnt
+                                - (s1 * 1.0 / cnt) * (s1 * 1.0 / cnt))
+               END AS zs
+        FROM u CROSS JOIN stats
+    )
+    SELECT vec_id,
+           ROUND(l2, 4) AS l2_norm,
+           ROUND(spike, 4) AS spike,
+           ROUND(zs, 4) AS z_score,
+           abs(zs) > 2.0 AS is_outlier
+    FROM z
+    """,
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DEGENERACY AUDIT: per vector, the L2 norm (sanity —
+    a normalized corpus should sit at ~1.0) and the SPIKINESS
+    max|xᵢ|/‖x‖ (how close the vector is to a one-hot axis), with a
+    population z-score over spikiness and a |z| > 2 outlier flag —
+    the screen that catches collapsed/degenerate embeddings (a few
+    dimensions dominating) which stay invisible to norm checks on a
+    unit-normalized corpus precisely BECAUSE every norm is 1.
+    Complements `embedding_quantize_int8` (precision) and
+    `quantize_recall_check` (ranking fidelity).
+
+    Determinism across engines: the norm/max are in-array-order folds
+    (same idiom as `near_dup_embedding`'s dot); the corpus mean/σ
+    would be PARTITION-ORDER-dependent as float sums, so spikiness is
+    quantized to integer micro-units and the moments are EXACT int64
+    sums (the `embed_label_centroid` trick); the z-score is then a
+    fixed-order double expression identical in both engines, so even
+    the |z| > 2 boundary decision cannot diverge.  A zero-variance
+    corpus short-circuits to z=0 in both engines rather than dividing
+    by zero.
+
+    Scale (100 TB): norm, max, and quantize are row-local in one
+    projection; the moments are one combinable 3-scalar aggregate
+    broadcast back; vectors are never shuffled.  (int64 Σsu² headroom:
+    ≤1e12 per row ⇒ exact to ~9e6 rows per partial; beyond that
+    promote the moment sums to decimal(38,0) — same plan shape.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    mx = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    u = emb.select(
+        "vec_id",
+        l2.alias("l2"),
+        (mx / l2).alias("spike"),
+        F.round(mx / l2 * F.lit(1000000)).cast("bigint").alias("su"),
+    )
+    stats = u.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("su").alias("s1"),
+        F.sum(F.col("su") * F.col("su")).alias("s2"),
+    )
+    mean = F.col("s1") * F.lit(1.0) / F.col("cnt")
+    var = F.col("s2") * F.lit(1.0) / F.col("cnt") - mean * mean
+    zs = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (F.col("su") - mean) / F.sqrt(var)
+    )
+    return u.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round("l2", 4).alias("l2_norm"),
+        F.round("spike", 4).alias("spike"),
+        F.round(zs, 4).alias("z_score"),
+        (F.abs(zs) > 2.0).alias("is_outlier"),
+    )

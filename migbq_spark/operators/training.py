@@ -2399,3 +2399,228 @@ def source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dup.cast("bigint").alias("n_exact_dup"),
         F.round(n_dup * F.lit(1.0) / n, 4).alias("exact_dup_rate"),
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT u.tok AS w, COUNT(*) AS c
+        FROM t, LATERAL unnest(toks) AS u(tok)
+        GROUP BY u.tok
+    ),
+    bi AS (
+        SELECT toks[pos] AS w1, toks[pos + 1] AS w2, COUNT(*) AS c_ab
+        FROM (
+            SELECT doc_id, toks, unnest(range(1, len(toks))) AS pos
+            FROM t WHERE len(toks) >= 2
+        )
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+               (SELECT SUM(c_ab) FROM bi) AS n_bi
+    )
+    SELECT w1, w2, c_ab,
+           ROUND(ln((c_ab * 1.0 / n_bi)
+                    / ((ua.c * 1.0 / n_uni) * (ub.c * 1.0 / n_uni))), 4)
+               AS pmi
+    FROM bi JOIN uni ua ON bi.w1 = ua.w
+            JOIN uni ub ON bi.w2 = ub.w
+            CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINTWISE MUTUAL INFORMATION collocations: the top-20 adjacent
+    token pairs whose co-occurrence most exceeds chance —
+    ``pmi = ln(P(a,b) / (P(a)·P(b)))`` with a min-support floor
+    (c_ab >= 5) so rare-pair noise can't dominate.  This is the
+    collocation-mining step a tokenizer/vocab pipeline runs to decide
+    which adjacent pairs deserve merged vocab entries, and the natural
+    companion to `ngram_lm_bigram_probs` (conditional probabilities)
+    and `tokenizer_bpe_train_merges` (frequency-greedy merges): PMI
+    ranks by association strength, not raw frequency.
+
+    Determinism across engines: the ORDER BY key is the ROUNDED pmi
+    (4 dp) with a (w1, w2) lexical tiebreak in BOTH engines, so a
+    1-ulp float difference in the unrounded ln() can never swap the
+    top-20 cut.
+
+    Scale (100 TB): bigram extraction is row-local (element_at over the
+    token array, no self-join); unigram and bigram counts are
+    map-side-combinable aggregates; the totals are two scalar
+    broadcasts; the unigram joins hit the Heaps-bounded vocab (AQE
+    broadcasts it); top-20 is TakeOrderedAndProject — no global
+    sort materialization."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).withColumn("n", F.size("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = F.expr(
+        "transform(sequence(1, n - 1), i ->"
+        " struct(element_at(t, i) as w1, element_at(t, i + 1) as w2))"
+    )
+    bi = (
+        base.filter(F.col("n") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        # total bigram count must include sub-floor pairs, so recompute
+        # from doc lengths: sum(max(n-1, 0)) — identical to the oracle's
+        # SUM over the unfloored bi CTE.
+        base.agg(
+            F.sum(F.greatest(F.col("n") - 1, F.lit(0))).alias("n_bi")
+        )
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") * F.lit(1.0) / F.col("n_bi"))
+        / (
+            (F.col("c_a") * F.lit(1.0) / F.col("n_uni"))
+            * (F.col("c_b") * F.lit(1.0) / F.col("n_uni"))
+        )
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, u.tok AS token
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), LATERAL unnest(toks) AS u(tok)
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM occ GROUP BY token
+            ORDER BY df DESC, token
+            LIMIT 100
+        )
+    )
+    SELECT o.doc_id,
+           COUNT(*) AS n_toks,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS oov_rate
+    FROM occ o LEFT JOIN vocab v ON o.token = v.token
+    GROUP BY o.doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per document against a deterministic
+    top-100-by-document-frequency vocabulary (ties broken by token
+    text) — the tokenizer-health metric a corpus pipeline tracks: a
+    rising OOV rate against a frozen vocab means the incoming data
+    drifted away from what the tokenizer was built on.  Complements
+    `token_count_bpe` (counts under a fixed tokenizer) and
+    `vocab_top_tokens` (builds the ranking this op freezes).
+
+    Scale (100 TB): document frequency is one map-side-combinable
+    distinct-aggregate over the Heaps-bounded vocab; the top-100 cut is
+    TakeOrderedAndProject; the per-doc membership test joins
+    occurrences against a 100-row broadcast (never a shuffle); the
+    final per-doc rollup is the one doc_id-keyed exchange."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(text, ' '), t -> t <> '')")
+        ).alias("token"),
+    )
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(100)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "sample_reservoir_per_key",
+    oracle="""
+    SELECT user_id, event_id, rk FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST('0x' || substr(
+                       md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT),
+                            event_id) AS rk
+        FROM events
+    ) WHERE rk <= 5
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY BOUNDED UNIFORM SAMPLE — exactly min(5, n) events per
+    user, chosen by ranking on a deterministic hash of the event id
+    (portable md5 60-bit family, event_id tiebreak).  This is the
+    scalable replacement for a classic streaming reservoir: because
+    the hash rank is a pure function of the ROW, the selection is
+    order-independent, idempotent across reruns/retries, and MERGEABLE
+    — two partial top-5-by-hash sets union to the true top-5, which a
+    sequential reservoir (state = seen-count) cannot do without
+    coordination.  Complements `stratified_sample_exact` (exact
+    per-stratum counts via full sort) and `sample_hash_bernoulli`
+    (unbounded per-key output): this is the "at most k per key" cap a
+    training-mix builder uses to stop heavy users dominating.
+
+    Scale (100 TB): one shuffle on user_id; within each key the window
+    keeps a running top-k — for skewed keys the same hash-rank
+    semantics can be computed as a partial-aggregable min-k monoid
+    (collect top-5 per partition, merge), so no key ever needs its
+    full event list in one task."""
+    ev = load(spark, sf_dir, "events")
+    hrank = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy(hrank, "event_id")
+    return (
+        ev.select("user_id", "event_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
