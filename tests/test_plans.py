@@ -362,3 +362,23 @@ def test_cms_hashes_vocab_not_occurrences(spark, sf_dir):
     aggregate sum(true_count), not count(1) over exploded occurrences."""
     p = _optimized(Q["sketch_count_min_heavy_hitters"](spark, sf_dir))
     assert "sum(true_count" in p, p
+
+
+def test_bloom_prefilter_all_broadcast_no_smj(spark, sf_dir):
+    """r8 plan contract for join_bloom_prefilter: the position-set
+    prefilter and the exact verify are ALL broadcast joins — the fact
+    side is never shuffled (that is the entire point of a runtime bloom
+    prefilter at 100 TB)."""
+    p = _plan(Q["join_bloom_prefilter"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") == 3, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_winnowing_row_local_until_distinct(spark, sf_dir):
+    """r8 plan contract for winnowing_fingerprint: gram hashing and
+    the sliding window min are row-local array kernels — the ONLY
+    exchange in the plan is the final distinct over the winnowed
+    (doc_id, fp) stream, and no pandas/python evaluation appears."""
+    p = _plan(Q["winnowing_fingerprint"](spark, sf_dir))
+    assert p.count("Exchange") == 1, p
+    assert "Python" not in p and "pandas" not in p.lower(), p
