@@ -644,9 +644,9 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB: k=2 positions per key, position_j = md5-derived 60-bit int
     of ``j ':' key`` mod m=8192 (the md5 family shared with
     `_portable_minhash_df`).  The "bloom" is the DISTINCT position set
-    (≤ 2·|dim| ints), expressed as two broadcast LEFT SEMI joins — one
-    per hash function — which is exactly how a real engine's runtime
-    bloom filter behaves (Spark's own
+    (≤ 2·|dim| ints), applied as broadcast membership joins — one per
+    hash function — which is exactly how a real engine's runtime bloom
+    filter behaves (Spark's own
     ``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`` injects
     the same shape below an exchange).  Output is the audit a pipeline
     operator wants: fact rows, bloom-pass rows, exact matches, false
@@ -655,12 +655,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): the position set is bounded by the dim key count
     (broadcastable whenever the dim side is join-broadcastable; at
     2·|dim| > broadcast threshold you shrink m or fall back to the
-    plain shuffle join); the fact side is scanned ONCE, never shuffled
-    on the prefilter (both semi joins are map-side against the
-    broadcast), and the final counts are single partial-aggregable
-    scalars.  fp_rate ≈ (1-e^(-kn/m))^k — sized here to be non-zero at
-    test scale so the audit actually exercises the false-positive
-    path."""
+    plain shuffle join); the fact side is scanned ONCE — the three
+    membership probes are broadcast LEFT joins that annotate flags in
+    the same stage as the scan (no row multiplication: positions are
+    distinct, dim keys unique), and all three counts come out of one
+    partial-aggregable rollup, never shuffling a fact row.  fp_rate ≈
+    (1-e^(-kn/m))^k — m sized so the rate is non-zero at test scale
+    and the false-positive path is actually exercised."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
 
@@ -685,14 +686,29 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         h(F.lit(0), F.col("l_orderkey")).alias("p0"),
         h(F.lit(1), F.col("l_orderkey")).alias("p1"),
     )
-    bloom_pass = f.join(
-        F.broadcast(pos), f.p0 == pos.pos, "left_semi"
-    ).join(F.broadcast(pos), F.col("p1") == pos.pos, "left_semi")
-    exact = f.join(F.broadcast(dim), f.l_orderkey == dim.k, "left_semi")
-    stats = (
-        f.agg(F.count(F.lit(1)).alias("n_fact"))
-        .crossJoin(bloom_pass.agg(F.count(F.lit(1)).alias("n_bloom_pass")))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+    # ONE pass over the fact side: three broadcast LEFT joins annotate
+    # each row with membership flags (pos is distinct and dim keys are
+    # unique, so no row multiplication), then a single combinable
+    # aggregate produces all three counts.  The first draft ran three
+    # separate fact scans (one per count) — correct, but 3x the scan
+    # cost, which is exactly what a 100 TB fact table cannot afford.
+    p0 = pos.select(F.col("pos").alias("pos0"))
+    p1 = pos.select(F.col("pos").alias("pos1"))
+    flagged = (
+        f.join(F.broadcast(p0), f.p0 == p0.pos0, "left")
+        .join(F.broadcast(p1), F.col("p1") == p1.pos1, "left")
+        .join(F.broadcast(dim), F.col("l_orderkey") == dim.k, "left")
+        .select(
+            (
+                F.col("pos0").isNotNull() & F.col("pos1").isNotNull()
+            ).cast("bigint").alias("in_bloom"),
+            F.col("k").isNotNull().cast("bigint").alias("in_exact"),
+        )
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum("in_bloom").alias("n_bloom_pass"),
+        F.sum("in_exact").alias("n_exact"),
     )
     return stats.select(
         "n_fact",
