@@ -4069,3 +4069,154 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zs, 4).alias("z_score"),
         (F.abs(zs) > 2.0).alias("is_outlier"),
     )
+
+
+@register(
+    "minhash_band_fp_audit",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, source, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, source, s
+    ),
+    sig AS (
+        SELECT doc_id, source, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, source, s // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sig a JOIN sig b
+          ON a.source = b.source AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, source, COUNT(*) AS n FROM tok
+            GROUP BY doc_id, source),
+    truth AS (
+        SELECT s.a_id, s.b_id
+        FROM (
+            SELECT ta.doc_id AS a_id, tb.doc_id AS b_id, COUNT(*) AS shared
+            FROM tok ta JOIN tok tb
+              ON ta.source = tb.source AND ta.t = tb.t
+             AND ta.doc_id < tb.doc_id
+            GROUP BY 1, 2
+        ) s
+        JOIN cnt ca ON ca.doc_id = s.a_id
+        JOIN cnt cb ON cb.doc_id = s.b_id
+        WHERE s.shared * 1.0 / (ca.n + cb.n - s.shared) >= 0.8
+    ),
+    hits AS (
+        SELECT COUNT(*) AS n_hit
+        FROM cand c JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM cand) AS n_cand,
+           n_hit,
+           ROUND(n_hit * 1.0 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4)
+               AS precision,
+           ROUND(n_hit * 1.0 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4)
+               AS recall
+    FROM hits
+    """,
+)
+def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BAND-TUNING AUDIT: measured precision and recall of the
+    4-band × 4-row MinHash banding against EXACT ground truth
+    (source-blocked token-set Jaccard ≥ 0.8) — the S-curve evidence a
+    pipeline owner needs before trusting `dedup_minhash_portable`'s
+    candidate generation at a new threshold: candidates = banded
+    bucket pairs, truth = exact pairs, hits = their intersection;
+    precision says how much exact-verify work the bands waste, recall
+    says what the bands MISS (the unrecoverable error, since
+    non-candidates are never verified).
+
+    Ground truth is inherently pairwise, so at 100 TB this audit runs
+    on a bounded SAMPLE (a few thousand docs — the fixture corpus here
+    plays that role); the measured (precision, recall) then governs
+    the full-corpus run whose candidates stay bucket-derived.  That
+    sampling contract is the standard way band parameters are tuned
+    and is this op's documented scale story; the blocked all-pairs
+    join below is the same shape as `near_dup_jaccard` (source-blocked,
+    adaptively tiled there).
+
+    Shares `_portable_band_df` (signatures + banding) with the dedup
+    ops, so the audit grades EXACTLY the production candidate
+    generator, not a reimplementation."""
+    bands = _portable_band_df(spark, sf_dir)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    toksets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = toksets.select(
+        F.col("doc_id").alias("a_id"),
+        "source",
+        F.col("toks").alias("a_toks"),
+    )
+    b = toksets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("toks").alias("b_toks"),
+    )
+    shared = F.size(F.array_intersect("a_toks", "b_toks"))
+    jac = shared / (F.size("a_toks") + F.size("b_toks") - shared)
+    truth = (
+        a.join(
+            b,
+            (F.col("source") == F.col("b_source"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.8)
+        .select("a_id", "b_id")
+    )
+    hits = cand.join(truth, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hits)
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit")
+                * F.lit(1.0)
+                / F.nullif(F.col("n_cand"), F.lit(0)),
+                4,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit")
+                * F.lit(1.0)
+                / F.nullif(F.col("n_true"), F.lit(0)),
+                4,
+            ).alias("recall"),
+        )
+    )

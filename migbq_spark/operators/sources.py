@@ -528,3 +528,150 @@ def load_job_sink_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "part-*.jsonl.gz")
         .json(dest)
     )
+
+
+@register(
+    "shard_ring_rebalance_audit",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS hv
+        FROM documents
+    ),
+    nodes AS (SELECT unnest(range(0, 9)) AS node),
+    vnodes AS (SELECT unnest(range(0, 64)) AS v),
+    ring AS (
+        SELECT node, CAST('0x' || substr(md5(node || '#' || v), 1, 15)
+                          AS BIGINT) AS bh
+        FROM nodes, vnodes
+    ),
+    owner8 AS (
+        SELECT h.doc_id,
+               COALESCE(
+                   arg_min(r.node, r.bh) FILTER (WHERE r.bh >= h.hv),
+                   arg_min(r.node, r.bh)) AS node
+        FROM h JOIN ring r ON r.node < 8
+        GROUP BY h.doc_id
+    ),
+    owner9 AS (
+        SELECT h.doc_id,
+               COALESCE(
+                   arg_min(r.node, r.bh) FILTER (WHERE r.bh >= h.hv),
+                   arg_min(r.node, r.bh)) AS node
+        FROM h JOIN ring r ON 1 = 1
+        GROUP BY h.doc_id
+    ),
+    modmoves AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN hv % 8 <> hv % 9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM h
+    ),
+    ringmoves AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN o8.node <> o9.node THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved
+        FROM owner8 o8 JOIN owner9 o9 USING (doc_id)
+    )
+    SELECT 'mod' AS scheme, n_docs, n_moved,
+           ROUND(n_moved * 1.0 / n_docs, 4) AS frac_moved
+    FROM modmoves
+    UNION ALL
+    SELECT 'ring', n_docs, n_moved, ROUND(n_moved * 1.0 / n_docs, 4)
+    FROM ringmoves
+    """,
+)
+def shard_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSISTENT-HASH RING vs MOD-N rebalancing audit: how many docs
+    change shard when a 9th node joins an 8-node layout, under (a)
+    naive ``hash % N`` assignment and (b) a consistent-hash ring with
+    64 virtual nodes per node (each doc owned by the successor
+    boundary of its hash, wrapping around) — the data-layout decision
+    behind every 100 TB ingest/bucketing scheme: mod-N invalidates
+    ~N/(N+1) ≈ 89 % of placements (and thus caches, co-located
+    buckets, and local state) on every rescale, while the ring moves
+    only ~1/(N+1) ≈ 11 %, exactly the docs adjacent to the new node's
+    boundaries.  Both schemes and both counts are hash-verified
+    (portable md5 family for doc hashes AND ring boundaries), so the
+    oracle checks the consistent-hashing property itself, not just
+    row counts.
+
+    Scale (100 TB): the ring is 576 rows broadcast; the successor
+    lookup is expressed as min_by over the boundary set per doc —
+    map-side expansion bounded by |ring| and immediately collapsed by
+    a partial aggregate before any exchange (a production assigner
+    would binary-search a sorted broadcast array; the plan shape —
+    broadcast + row-local resolve — is the same).  Doc hashes are
+    row-local; the move counts are scalar combinable aggregates."""
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint").alias("hv"),
+    )
+    ring = (
+        spark.range(9)
+        .select(F.col("id").cast("int").alias("node"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("v")))
+        .select(
+            "node",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("node"), F.col("v"))), 1, 15
+                ),
+                16, 10,
+            ).cast("bigint").alias("bh"),
+        )
+    )
+
+    def owners(nodes_pred):
+        r = ring.filter(nodes_pred)
+        return (
+            h.crossJoin(F.broadcast(r))
+            .groupBy("doc_id")
+            .agg(
+                F.coalesce(
+                    F.min_by(
+                        F.when(F.col("bh") >= F.col("hv"), F.col("node")),
+                        F.when(F.col("bh") >= F.col("hv"), F.col("bh")),
+                    ),
+                    F.min_by("node", "bh"),
+                ).alias("node")
+            )
+        )
+
+    o8 = owners(F.col("node") < 8).withColumnRenamed("node", "node8")
+    o9 = owners(F.lit(True)).withColumnRenamed("node", "node9")
+    ringmoves = (
+        o8.join(o9, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("node8") != F.col("node9"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+        .select(
+            F.lit("ring").alias("scheme"),
+            "n_docs",
+            "n_moved",
+            F.round(F.col("n_moved") * F.lit(1.0) / F.col("n_docs"), 4).alias(
+                "frac_moved"
+            ),
+        )
+    )
+    modmoves = h.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("hv") % 8 != F.col("hv") % 9, 1).otherwise(0)
+        ).alias("n_moved"),
+    ).select(
+        F.lit("mod").alias("scheme"),
+        "n_docs",
+        "n_moved",
+        F.round(F.col("n_moved") * F.lit(1.0) / F.col("n_docs"), 4).alias(
+            "frac_moved"
+        ),
+    )
+    return modmoves.unionByName(ringmoves)

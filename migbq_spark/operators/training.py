@@ -2624,3 +2624,57 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1) / 1152921504606846976.0)
+               / n_chars AS key
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, ROUND(key, 8) AS priority_key
+    FROM k
+    ORDER BY ROUND(key, 8) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PRIORITY SAMPLE (public Efraimidis–Spirakis A-ES): a
+    weight-proportional sample of 50 docs (weight = n_chars) chosen by
+    the largest ``u^(1/w)`` priority keys — equivalently the largest
+    ``ln(u)/w`` — with u a deterministic hash-uniform in (0, 1]
+    (portable md5 60-bit + 1, scaled by 2^60).  One pass, no global
+    weight total needed, and the selection is a top-k MONOID: partial
+    top-50 sets from independent shards merge to the true top-50,
+    which is what makes weighted sampling feasible on a 1000-executor
+    scan where a sequential weighted reservoir cannot be parallelized.
+    Complements `sample_hash_bernoulli` (unweighted, unbounded),
+    `sample_reservoir_per_key` (uniform per-key cap) and
+    `mix_temperature_sampling` (source-level reweighting).
+
+    Determinism across engines: ordering uses the ROUNDED key (8 dp)
+    with a doc_id tiebreak in BOTH engines — rounded collisions
+    resolve identically, and a 1-ulp ln() divergence would need to
+    straddle a 0.5e-8 rounding boundary to matter (~1e-8 per key).
+
+    Scale (100 TB): key computation is row-local in the scan
+    projection; top-50 is TakeOrderedAndProject (per-partition heaps +
+    a 50-row driver merge, no global sort)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 8)
+    return (
+        d.select("doc_id", "n_chars", key.alias("priority_key"))
+        .orderBy(F.desc("priority_key"), "doc_id")
+        .limit(50)
+    )

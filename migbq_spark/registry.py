@@ -98,14 +98,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edit_distance_pairs",
 )
 
-#: Pre-staged round-9 window: FIRST the eight late-r8 additions
+#: Pre-staged round-9 window: FIRST the eleven late-r8 additions
 #: (never driver-run — new evidence outranks refresh), then the nine
 #: staged-r8 ids trimmed at the exactly-50 rotation cut (streaming
 #: batch-equivalents + UDFs), then the oldest remaining evidence — the
 #: r2/r3 stragglers (merge_upsert_latest, stream_session_correlate)
 #: and the r4-graded span (control/TPC-H/relational/pipeline) in
-#: import order; the r4-graded relational tail displaced by the eight
-#: insertions (cond_case_coalesce, str_funcs, regexp_extract_json,
+#: import order; the r4-graded tail displaced by the eleven insertions
+#: (doc_token_entropy, filter_pred, project_cast_typemap,
+#: cond_case_coalesce, str_funcs, regexp_extract_json,
 #: json_path_extract, date_funcs, math_funcs, str_funcs2,
 #: unpivot_stack) rolls to the r10 rotation.  Every previously-graded
 #: id is parity-guarded continuously since it was first graded.
@@ -119,6 +120,9 @@ R9_WINDOW: tuple[str, ...] = (
     "sample_reservoir_per_key",
     "hll_portable_merge",
     "embedding_outlier_audit",
+    "sample_weighted_priority",
+    "shard_ring_rebalance_audit",
+    "minhash_band_fp_audit",
     # r3-graded carry-over trimmed from the r8 rotation (streaming
     # batch-equivalents + UDFs)
     "vec_pair_dot_hof",
@@ -162,9 +166,6 @@ R9_WINDOW: tuple[str, ...] = (
     "repeated_ngram_ratio",
     "cross_source_overlap",
     "heaps_law_vocab_growth",
-    "doc_token_entropy",
-    "filter_pred",
-    "project_cast_typemap",
 )
 
 
