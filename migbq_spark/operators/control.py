@@ -753,3 +753,74 @@ def load_dead_letter_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("fails", ",").alias("reason"),
         )
     )
+
+
+_SKEW_BUCKETS = 32
+
+
+@register(
+    "partition_skew_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT)
+                   % {_SKEW_BUCKETS} AS bucket
+        FROM events
+    ),
+    per AS (SELECT bucket, COUNT(*) AS n_rows FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n_rows) * 1.0 / {_SKEW_BUCKETS} AS mean_rows
+            FROM per)
+    SELECT bucket,
+           n_rows,
+           ROUND(n_rows / mean_rows, 4) AS skew_factor,
+           n_rows > 2 * mean_rows AS is_hot
+    FROM per CROSS JOIN tot
+    """,
+)
+def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRE-SHUFFLE SKEW AUDIT: rows per hash partition for a planned
+    shuffle key (events.user_id into 32 buckets), each bucket's load
+    factor vs the uniform mean, and a >2x hot-bucket flag — the
+    planning query a pipeline owner runs BEFORE keying a 100 TB join
+    or aggregation on a column, to decide between a plain shuffle,
+    `join_skew_salted`'s salting, or AQE skew splitting.  The mean is
+    computed over all {_SKEW_BUCKETS} buckets (empty buckets count as
+    0), so a key whose values collapse into few buckets shows the
+    full imbalance.
+
+    Bucket = portable md5-derived 60-bit hash mod 32 (the
+    `_portable_minhash_df` arithmetic), so the assignment — and the
+    audit verdict — is value-hash checked against DuckDB; a
+    production audit would swap in the engine's own partitioner hash
+    (`pmod(hash(key), n)`), same plan.
+
+    Scale (100 TB): one partial-aggregated groupBy down to <=32 rows,
+    then the mean as a global window over that tiny frame (a second
+    agg branch would re-scan the fact table); the audit costs one scan
+    regardless of key cardinality."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(_SKEW_BUCKETS),
+    )
+    per = ev.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    # The mean over a <=32-row frame: a global window (one single-
+    # partition exchange of 32 rows) instead of agg + join-back, which
+    # would re-run the events scan on the second branch.
+    mean_rows = (
+        F.sum("n_rows").over(Window.partitionBy())
+        * F.lit(1.0)
+        / F.lit(_SKEW_BUCKETS)
+    )
+    return per.select(
+        "bucket",
+        "n_rows",
+        F.round(F.col("n_rows") / mean_rows, 4).alias("skew_factor"),
+        (F.col("n_rows") > F.lit(2) * mean_rows).alias("is_hot"),
+    )

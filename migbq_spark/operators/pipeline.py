@@ -4185,11 +4185,23 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shared = F.size(F.array_intersect("a_toks", "b_toks"))
     jac = shared / (F.size("a_toks") + F.size("b_toks") - shared)
+    # Jaccard >= 0.8 forces |A∩B| >= 0.8·max(|A|,|B|), so the set sizes
+    # must satisfy 0.8·|B| <= |A| <= |B|/0.8.  Two integer compares per
+    # pair skip the array_intersect for pairs that can never reach the
+    # threshold — results identical, oracle unchanged.  On THIS fixture
+    # the band keeps 52% of pairs (measured: 325,278 of 622,500) and
+    # the wall time is a wash; on a size-diverse real corpus (doc
+    # lengths spanning orders of magnitude) it prunes the bulk of the
+    # blocked cross product, which is why the guard ships anyway.
+    size_band = (
+        F.size("a_toks") * F.lit(10) >= F.size("b_toks") * F.lit(8)
+    ) & (F.size("b_toks") * F.lit(10) >= F.size("a_toks") * F.lit(8))
     truth = (
         a.join(
             b,
             (F.col("source") == F.col("b_source"))
-            & (F.col("a_id") < F.col("b_id")),
+            & (F.col("a_id") < F.col("b_id"))
+            & size_band,
         )
         .select("a_id", "b_id", jac.alias("jac"))
         .filter(F.col("jac") >= 0.8)
@@ -4218,5 +4230,364 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.col("n_true"), F.lit(0)),
                 4,
             ).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------- paragraph-level dedup (CCNet)
+
+_BLOCK_TOKS = 8
+
+
+def _block_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, block_idx, block) — the document's token stream
+    cut into NON-overlapping `_BLOCK_TOKS`-token blocks (the corpus'
+    stand-in for CCNet's paragraphs: the fixture text is one line, so a
+    fixed token window is the deterministic segmentation both engines
+    can reproduce).  The final block keeps its natural short tail.
+    Entirely row-local: one `transform` over a `sequence`, no shuffle.
+    Shared by `paragraph_dedup_ccnet` and `boilerplate_top_blocks`."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.expr("filter(split(text, ' '), t -> t <> '')").alias("t"),
+        )
+        .filter(F.size("t") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(t) - 1) div {_BLOCK_TOKS}),"
+                    f" i -> struct(i as block_idx,"
+                    f" concat_ws(' ', slice(t, i * {_BLOCK_TOKS} + 1,"
+                    f" {_BLOCK_TOKS})) as block))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", "b.block_idx", "b.block")
+    )
+
+
+@register(
+    "paragraph_dedup_ccnet",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0, (len(t) - 1) // {_BLOCK_TOKS}))
+                   AS block_idx, t
+        FROM tok WHERE len(t) >= 1
+    ),
+    blk AS (
+        SELECT doc_id, source, block_idx,
+               array_to_string(
+                   t[block_idx * {_BLOCK_TOKS} + 1 :
+                     block_idx * {_BLOCK_TOKS} + {_BLOCK_TOKS}], ' ')
+                   AS block
+        FROM b
+    ),
+    kept AS (
+        SELECT doc_id, source, block_idx, block,
+               ROW_NUMBER() OVER (PARTITION BY block
+                                  ORDER BY doc_id, block_idx) = 1 AS keep
+        FROM blk
+    )
+    SELECT doc_id,
+           source,
+           COUNT(*) AS n_blocks,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+           ROUND(COUNT(*) FILTER (keep) * 1.0 / COUNT(*), 4) AS kept_ratio,
+           md5(coalesce(string_agg(block, ' ' ORDER BY block_idx)
+                            FILTER (keep), '')) AS kept_md5
+    FROM kept
+    GROUP BY doc_id, source
+    """,
+)
+def paragraph_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-STYLE PARAGRAPH DEDUP: cut every document into
+    non-overlapping 8-token blocks, keep only the FIRST occurrence of
+    each distinct block corpus-wide (first = smallest (doc_id,
+    block_idx) — CCNet's "hash each paragraph, drop duplicates after
+    the first" pass, the single highest-yield cleanup on raw crawl
+    text), and re-assemble what survives.  Emits per document the
+    block count, surviving-block count/ratio, and the md5 of the
+    re-assembled surviving text, so downstream stages can both FILTER
+    (kept_ratio floor) and RE-READ (kept_md5 names the cleaned text
+    deterministically).
+
+    Differs from `dup_span_ratio` (overlapping spans, MEASURES
+    duplication) and `dedup_hash_exact` (whole-doc): this op EDITS
+    inside documents, the action a crawl pipeline actually takes.
+
+    Scale (100 TB): block generation is row-local; the keep decision
+    is ONE row_number window keyed on the block string (the plan's
+    only wide exchange — at extreme scale key it on xxhash64(block)
+    to shrink the shuffle payload, kept as raw text here so the
+    DuckDB oracle is byte-identical); the per-doc re-assembly is one
+    doc-keyed aggregate, co-partitioned with nothing else needed.
+    The canonical-occurrence rule is a total order, so the output is
+    deterministic under any partitioning."""
+    blk = _block_df(spark, sf_dir)
+    w = Window.partitionBy("block").orderBy("doc_id", "block_idx")
+    kept = blk.withColumn("keep", F.row_number().over(w) == 1)
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "keep", "block"))
+                ),
+                lambda s: s["keep"],
+            ),
+            lambda s: s["block"],
+        ),
+    )
+    n_kept = F.count_if("keep")
+    return kept.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        n_kept.alias("n_kept"),
+        F.round(n_kept * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "kept_ratio"
+        ),
+        F.md5(kept_text).alias("kept_md5"),
+    )
+
+
+@register(
+    "boilerplate_top_blocks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0, (len(t) - 1) // {_BLOCK_TOKS}))
+                   AS block_idx, t
+        FROM tok WHERE len(t) >= 1
+    ),
+    blk AS (
+        SELECT doc_id, source,
+               array_to_string(
+                   t[block_idx * {_BLOCK_TOKS} + 1 :
+                     block_idx * {_BLOCK_TOKS} + {_BLOCK_TOKS}], ' ')
+                   AS block
+        FROM b
+        WHERE len(t) >= block_idx * {_BLOCK_TOKS} + {_BLOCK_TOKS}
+    )
+    SELECT block,
+           COUNT(*) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM blk
+    GROUP BY block
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occ DESC, block ASC
+    LIMIT 20
+    """,
+)
+def boilerplate_top_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE MINING: the 20 most-repeated 8-token blocks
+    corpus-wide with their occurrence / document / source spread — the
+    diagnostic a pipeline owner runs BEFORE `paragraph_dedup_ccnet` to
+    see WHAT the dedup is about to remove (repeated headers, footers,
+    cookie banners; here, the fixture's recycled phrases) and whether
+    it is one source's template or corpus-wide contamination.
+
+    Only FULL-width blocks participate: the final short tail of nearly
+    every document would otherwise flood the top-20 with 1-2 token
+    fragments (measured at sf0.001 — the entire top-20 was tails),
+    which is length-collision noise, not boilerplate.  Tails still
+    flow through `paragraph_dedup_ccnet`, which must edit whole
+    documents.
+
+    Determinism: (n_occ DESC, block ASC) is a total order because the
+    block string is unique per output row, so the LIMIT 20 set is
+    engine-independent.
+
+    Scale (100 TB): row-local block generation, one partial-aggregated
+    groupBy on the block string, and a TakeOrderedAndProject(20) —
+    per-partition top-20s flow to the driver, never the full block
+    vocabulary."""
+    blk = _block_df(spark, sf_dir).filter(
+        F.size(F.split("block", " ")) == _BLOCK_TOKS
+    )
+    return (
+        blk.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.desc("n_occ"), F.asc("block"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------- bloom-filter decontamination
+
+_BLOOM_M = 1 << 20  # bits; fill stays <10% at fixture scales
+_BLOOM_K = 3
+
+
+@register(
+    "decontaminate_bloom_portable",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, mod(doc_id, 10) AS m,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, m, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM tok WHERE len(t) >= 3
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, m,
+               t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM sh
+    ),
+    test_g AS (SELECT DISTINCT gram FROM g WHERE m = 9),
+    seeds AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+    bits AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(j || ':' || gram), 1, 15))
+                    AS BIGINT) % {_BLOOM_M} AS p
+        FROM test_g CROSS JOIN seeds
+    ),
+    tvocab AS (SELECT DISTINCT gram FROM g WHERE m < 8),
+    probe AS (
+        SELECT gram, j,
+               CAST(concat('0x', substr(md5(j || ':' || gram), 1, 15))
+                    AS BIGINT) % {_BLOOM_M} AS p
+        FROM tvocab CROSS JOIN seeds
+    ),
+    gflag AS (
+        SELECT pr.gram,
+               COUNT(*) FILTER (b.p IS NOT NULL) = {_BLOOM_K} AS bloom_hit
+        FROM probe pr LEFT JOIN bits b USING (p)
+        GROUP BY pr.gram
+    ),
+    gboth AS (
+        SELECT gf.gram, gf.bloom_hit, tg.gram IS NOT NULL AS exact_hit
+        FROM gflag gf LEFT JOIN test_g tg USING (gram)
+    )
+    SELECT tr.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(COUNT(*) FILTER (gb.bloom_hit) AS BIGINT) AS n_bloom,
+           CAST(COUNT(*) FILTER (gb.exact_hit) AS BIGINT) AS n_exact,
+           COUNT(*) FILTER (gb.bloom_hit) >= 3 AS bloom_dropped,
+           COUNT(*) FILTER (gb.exact_hit) >= 3 AS exact_dropped,
+           COUNT(*) FILTER (gb.bloom_hit) >= 3
+               AND NOT COUNT(*) FILTER (gb.exact_hit) >= 3 AS false_drop
+    FROM (SELECT doc_id, gram FROM g WHERE m < 8) tr
+    JOIN gboth gb USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER DECONTAMINATION — the 100 TB form of
+    `decontaminate_train_drop`: instead of shuffle-joining every train
+    shingle against the test-shingle vocabulary, build a Bloom filter
+    over the TEST shingles (k=3 portable md5-derived bit positions in
+    an m=2^20 space) and probe each train shingle against the
+    broadcast bit set; a doc leaking >=3 bloom-positive shingles is
+    dropped, mirroring the exact op's rule.  Because Bloom filters
+    have NO false negatives, every exactly-leaked doc is caught by
+    construction; the op also computes the exact decision per doc and
+    emits `false_drop` — the docs the bloom would sacrifice that exact
+    matching would keep — so the filter's cost is MEASURED, not
+    assumed (the audit that sizes m before a production run).
+
+    The bit positions use the same md5-to-60-bit arithmetic as
+    `_portable_minhash_df` (bit-identical in Spark and DuckDB), so the
+    entire bloom — membership decisions included — is value-hash
+    oracle-checked; an engine-specific production build would swap in
+    xxhash64 positions and `spark.util.sketch.BloomFilter`.
+
+    Scale (100 TB): the bit set is <= 3·|test vocab| int64s (bounded
+    by m = 2^20 DISTINCT values ~ 8 MB worst case — broadcastable by
+    construction, the point of a bloom); md5 runs once per DISTINCT
+    train shingle (Heaps-bounded vocab, the `_portable_minhash_df`
+    trick), never per occurrence; the only data-sized exchanges are
+    the distinct-(doc, gram) reduction and the final doc-keyed agg."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(10)).alias("m"),
+        F.expr("filter(split(text, ' '), t -> t <> '')").alias("t"),
+    ).filter(F.size("t") >= _SHINGLE_MIN_TOKS)
+    grams = base.select(
+        "doc_id",
+        "m",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+    def pos(j: int) -> F.Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(j), F.col("gram"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_BLOOM_M),
+        )
+
+    test_g = grams.filter(F.col("m") == 9).select("gram").distinct()
+    bits = (
+        test_g.select(
+            F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("p")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tvocab = grams.filter(F.col("m") < 8).select("gram").distinct()
+    probe = tvocab.select(
+        "gram",
+        F.explode(F.array(*[pos(j) for j in range(_BLOOM_K)])).alias("p"),
+    )
+    gflag = (
+        probe.join(F.broadcast(bits), "p", "left")
+        .groupBy("gram")
+        .agg((F.count_if(F.col("hit").isNotNull()) == _BLOOM_K).alias(
+            "bloom_hit"
+        ))
+    )
+    gboth = gflag.join(
+        F.broadcast(test_g.withColumn("in_test", F.lit(1))), "gram", "left"
+    ).select(
+        "gram", "bloom_hit", F.col("in_test").isNotNull().alias("exact_hit")
+    )
+    train_pairs = grams.filter(F.col("m") < 8).select("doc_id", "gram")
+    n_bloom = F.count_if("bloom_hit")
+    n_exact = F.count_if("exact_hit")
+    return (
+        train_pairs.join(gboth, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            n_bloom.alias("n_bloom"),
+            n_exact.alias("n_exact"),
+            (n_bloom >= 3).alias("bloom_dropped"),
+            (n_exact >= 3).alias("exact_dropped"),
+            ((n_bloom >= 3) & ~(n_exact >= 3)).alias("false_drop"),
         )
     )

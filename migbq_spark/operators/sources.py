@@ -32,7 +32,7 @@ from __future__ import annotations
 import hashlib
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -597,16 +597,20 @@ def shard_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the consistent-hashing property itself, not just
     row counts.
 
-    Scale (100 TB): the ring is 576 rows broadcast; the successor
-    lookup is expressed as min_by over the boundary set per doc —
-    map-side expansion bounded by |ring| and immediately collapsed by
-    a partial aggregate before any exchange (a production assigner
-    would binary-search a sorted broadcast array; the plan shape —
-    broadcast + row-local resolve — is the same).  Doc hashes are
-    row-local; the move counts are scalar combinable aggregates."""
+    Scale (100 TB): the ring's 576 boundaries cut the 60-bit hash
+    space into DISJOINT successor intervals, so ownership is a
+    coarse-bucket equi-join (the `join_interval_events` idiom): each
+    interval is exploded onto the ~2^50-wide grid cells it overlaps
+    (~1.6 k broadcast rows), each doc probes its own grid cell and
+    matches EXACTLY one interval — ~1.5 candidate rows per doc instead
+    of the naive 576-row expansion the first cut of this op used
+    (measured 21.7 s sf1 / 217.9 s sf10; the interval join removes the
+    576x constant).  Both rings resolve in the SAME doc pass via two
+    chained broadcast joins, the mod-N comparison is row-local, and
+    everything collapses in ONE scalar partial aggregate — the doc
+    stream is never exchanged at all."""
     d = load(spark, sf_dir, "documents")
     h = d.select(
-        "doc_id",
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
         ).cast("bigint").alias("hv"),
@@ -625,53 +629,86 @@ def shard_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("bh"),
         )
     )
+    grid = 1 << 50  # 1024 cells over the 60-bit md5-prefix space
+    hmax = (1 << 60) - 1
 
-    def owners(nodes_pred):
-        r = ring.filter(nodes_pred)
+    def interval_map(r: DataFrame, tag: str) -> DataFrame:
+        """(bkt{tag}, lo{tag}, hi{tag}, node{tag}): successor intervals
+        (lo, hi] of the ring's sorted boundaries, wrap interval
+        included, exploded onto the coarse grid cells they overlap.
+        |ring| rows in, ~|ring| + |grid| broadcastable rows out."""
+        w = Window.orderBy("bh")  # <=577-row frame: single task is fine
+        iv = r.select(
+            "node",
+            F.col("bh").alias("hi"),
+            F.lag("bh", 1, -1).over(w).alias("lo"),
+        )
+        wrap = r.agg(
+            F.min_by("node", "bh").alias("node"),
+            F.max("bh").alias("lo"),
+        ).select("node", F.lit(hmax).cast("bigint").alias("hi"), "lo")
         return (
-            h.crossJoin(F.broadcast(r))
-            .groupBy("doc_id")
-            .agg(
-                F.coalesce(
-                    F.min_by(
-                        F.when(F.col("bh") >= F.col("hv"), F.col("node")),
-                        F.when(F.col("bh") >= F.col("hv"), F.col("bh")),
-                    ),
-                    F.min_by("node", "bh"),
-                ).alias("node")
+            iv.unionByName(wrap)
+            .select(
+                F.col("node").alias(f"node{tag}"),
+                F.col("lo").alias(f"lo{tag}"),
+                F.col("hi").alias(f"hi{tag}"),
+                F.explode(
+                    F.sequence(
+                        F.expr(f"(lo + 1) div {grid}"),
+                        F.expr(f"hi div {grid}"),
+                    )
+                ).alias(f"bkt{tag}"),
             )
         )
 
-    o8 = owners(F.col("node") < 8).withColumnRenamed("node", "node8")
-    o9 = owners(F.lit(True)).withColumnRenamed("node", "node9")
-    ringmoves = (
-        o8.join(o9, "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(
-                F.when(F.col("node8") != F.col("node9"), 1).otherwise(0)
-            ).alias("n_moved"),
+    m8 = interval_map(ring.filter(F.col("node") < 8), "8")
+    m9 = interval_map(ring, "9")
+    owned = (
+        h.withColumn("dbkt", F.expr(f"hv div {grid}"))
+        .join(
+            F.broadcast(m8),
+            (F.col("dbkt") == F.col("bkt8"))
+            & (F.col("hv") > F.col("lo8"))
+            & (F.col("hv") <= F.col("hi8")),
         )
-        .select(
-            F.lit("ring").alias("scheme"),
-            "n_docs",
-            "n_moved",
-            F.round(F.col("n_moved") * F.lit(1.0) / F.col("n_docs"), 4).alias(
-                "frac_moved"
-            ),
+        .join(
+            F.broadcast(m9),
+            (F.col("dbkt") == F.col("bkt9"))
+            & (F.col("hv") > F.col("lo9"))
+            & (F.col("hv") <= F.col("hi9")),
         )
+        .select("hv", "node8", "node9")
     )
-    modmoves = h.agg(
+    stats = owned.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             F.when(F.col("hv") % 8 != F.col("hv") % 9, 1).otherwise(0)
-        ).alias("n_moved"),
+        ).alias("mod_moved"),
+        F.sum(
+            F.when(F.col("node8") != F.col("node9"), 1).otherwise(0)
+        ).alias("ring_moved"),
+    )
+    return stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("scheme"),
+                    F.col("n_docs"),
+                    F.col("mod_moved").alias("n_moved"),
+                ),
+                F.struct(
+                    F.lit("ring").alias("scheme"),
+                    F.col("n_docs"),
+                    F.col("ring_moved").alias("n_moved"),
+                ),
+            )
+        ).alias("s")
     ).select(
-        F.lit("mod").alias("scheme"),
-        "n_docs",
-        "n_moved",
-        F.round(F.col("n_moved") * F.lit(1.0) / F.col("n_docs"), 4).alias(
+        "s.scheme",
+        "s.n_docs",
+        "s.n_moved",
+        F.round(F.col("s.n_moved") * F.lit(1.0) / F.col("s.n_docs"), 4).alias(
             "frac_moved"
         ),
     )
-    return modmoves.unionByName(ringmoves)

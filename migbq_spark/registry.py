@@ -98,8 +98,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edit_distance_pairs",
 )
 
-#: Pre-staged round-9 window: FIRST the eleven late-r8 additions
-#: (never driver-run — new evidence outranks refresh), then the nine
+#: Pre-staged round-9 window: FIRST the fifteen late-r8 additions
+#: (never driver-run — new evidence outranks refresh; the last four —
+#: paragraph_dedup_ccnet, boilerplate_top_blocks,
+#: decontaminate_bloom_portable, partition_skew_audit — landed at the
+#: very end of r8 and displaced four r4-graded refresh ids to r10:
+#: contamination_overlap, repeated_ngram_ratio, cross_source_overlap,
+#: heaps_law_vocab_growth), then the nine
 #: staged-r8 ids trimmed at the exactly-50 rotation cut (streaming
 #: batch-equivalents + UDFs), then the oldest remaining evidence — the
 #: r2/r3 stragglers (merge_upsert_latest, stream_session_correlate)
@@ -112,6 +117,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: id is parity-guarded continuously since it was first graded.
 R9_WINDOW: tuple[str, ...] = (
     # late-r8 additions, hash-green in preflight/parity, never driver-run
+    "paragraph_dedup_ccnet",
+    "boilerplate_top_blocks",
+    "decontaminate_bloom_portable",
+    "partition_skew_audit",
     "join_bloom_prefilter",
     "winnowing_fingerprint",
     "prefix_dup_groups",
@@ -162,10 +171,9 @@ R9_WINDOW: tuple[str, ...] = (
     "dup_cc_twostar",
     "sample_hash_bernoulli",
     "dedup_cross_source_cc",
-    "contamination_overlap",
-    "repeated_ngram_ratio",
-    "cross_source_overlap",
-    "heaps_law_vocab_growth",
+    # (contamination_overlap, repeated_ngram_ratio, cross_source_overlap,
+    #  heaps_law_vocab_growth rolled to the r10 rotation — displaced by
+    #  the four end-of-r8 additions above, newest-evidence-first rule)
 )
 
 

@@ -1082,3 +1082,68 @@ def test_r7_batch_semantics(spark, sf_dir):
     for r in fp:
         assert r.canonical_id == canon[r.fingerprint] <= r.doc_id
         assert r.is_dup == (r.doc_id != r.canonical_id)
+
+
+def test_r8_final_batch_semantics(spark, sf_dir):
+    """End-of-r8 batch: semantic invariants beyond the oracle hash —
+    paragraph dedup conserves blocks, keeps exactly one copy of each
+    distinct block corpus-wide, and an untouched doc's kept_md5 equals
+    the md5 of its re-tokenized text; the bloom decontaminator has NO
+    false negatives (every exact-dropped doc is bloom-dropped) and
+    false_drop is exactly the disagreement; the skew audit's bucket
+    loads sum to the events row count; the ring audit moves ~1/9 under
+    the ring vs ~8/9 under mod-N."""
+    pd_rows = Q["paragraph_dedup_ccnet"](spark, sf_dir).collect()
+    blk = Q["boilerplate_top_blocks"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks = {
+        r.doc_id: [t for t in r.text.split(" ") if t] for r in docs
+    }
+    n_blocks_expected = {
+        d: (len(t) - 1) // 8 + 1 for d, t in toks.items() if t
+    }
+    assert {r.doc_id: r.n_blocks for r in pd_rows} == n_blocks_expected
+    # total kept == number of DISTINCT blocks in the corpus
+    distinct_blocks = {
+        " ".join(t[i * 8:i * 8 + 8])
+        for t in toks.values() if t
+        for i in range((len(t) - 1) // 8 + 1)
+    }
+    assert sum(r.n_kept for r in pd_rows) == len(distinct_blocks)
+    import hashlib
+    untouched = [r for r in pd_rows if r.n_kept == r.n_blocks]
+    assert untouched, "fixture should contain fully-novel docs"
+    r0 = untouched[0]
+    assert r0.kept_md5 == hashlib.md5(
+        " ".join(toks[r0.doc_id]).encode()
+    ).hexdigest()
+    # boilerplate: full-width blocks only, counts sorted descending
+    assert all(len(r.block.split(" ")) == 8 for r in blk)
+    occs = [r.n_occ for r in blk]
+    assert occs == sorted(occs, reverse=True) and all(o >= 2 for o in occs)
+
+    bl = Q["decontaminate_bloom_portable"](spark, sf_dir).collect()
+    assert all(r.n_bloom >= r.n_exact for r in bl)  # no false negatives
+    assert all(
+        (not r.exact_dropped) or r.bloom_dropped for r in bl
+    )
+    assert all(
+        r.false_drop == (r.bloom_dropped and not r.exact_dropped)
+        for r in bl
+    )
+
+    sk = Q["partition_skew_audit"](spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_rows for r in sk) == n_events
+    # is_hot is decided on the UNROUNDED mean (skew_factor is display-
+    # rounded), so recompute the exact rule
+    assert all(
+        r.is_hot == (r.n_rows > 2 * n_events / 32) for r in sk
+    )
+
+    ring = {r.scheme: r for r in Q["shard_ring_rebalance_audit"](spark, sf_dir).collect()}
+    assert ring["mod"].frac_moved > 0.75       # ~8/9 expected
+    assert ring["ring"].frac_moved < 0.25      # ~1/9 expected
+    assert ring["mod"].n_docs == ring["ring"].n_docs == len(
+        [t for t in toks.values()]
+    )

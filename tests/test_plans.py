@@ -382,3 +382,32 @@ def test_winnowing_row_local_until_distinct(spark, sf_dir):
     p = _plan(Q["winnowing_fingerprint"](spark, sf_dir))
     assert p.count("Exchange") == 1, p
     assert "Python" not in p and "pandas" not in p.lower(), p
+
+
+def test_paragraph_dedup_two_exchanges(spark, sf_dir):
+    """r8 plan contract for paragraph_dedup_ccnet: block generation is
+    row-local (no Python), the keep decision is ONE window keyed on the
+    block string, and the only exchanges are that window's plus the
+    doc-keyed re-assembly aggregate."""
+    p = _plan(Q["paragraph_dedup_ccnet"](spark, sf_dir))
+    assert p.count("Window") == 1, p
+    assert p.count("Exchange") == 2, p
+    assert "Python" not in p and "pandas" not in p.lower(), p
+
+
+def test_bloom_decontaminate_broadcasts_bitset(spark, sf_dir):
+    """r8 plan contract for decontaminate_bloom_portable: the bloom bit
+    set and the exact test-vocab probe join as BROADCAST joins (the
+    point of the bloom — the train side is never shuffled against the
+    test side)."""
+    p = _plan(Q["decontaminate_bloom_portable"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_partition_skew_single_scan(spark, sf_dir):
+    """r8 plan contract for partition_skew_audit: one scan of events,
+    one partial-aggregated groupBy (<=32 rows), the mean as a global
+    window over that tiny frame — no second scan of the fact table."""
+    p = _plan(Q["partition_skew_audit"](spark, sf_dir))
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Window") == 1, p
