@@ -4071,6 +4071,52 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id) — EXACT ground truth: same-source doc pairs with
+    token-set Jaccard >= 0.8.  Inherently pairwise (run on a bounded
+    sample at 100 TB — the contract `minhash_band_fp_audit` and
+    `minhash_band_shape_sweep` document).  Jaccard >= 0.8 forces
+    0.8·|B| <= |A| <= |B|/0.8, so two integer size compares skip the
+    array_intersect for pairs that can never reach the threshold —
+    result-identical, oracles unchanged.  On THIS fixture the band
+    keeps 52% of pairs (measured: 325,278 of 622,500) and the wall
+    time is a wash; on a size-diverse real corpus it prunes the bulk
+    of the blocked cross product, which is why the guard ships."""
+    toksets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = toksets.select(
+        F.col("doc_id").alias("a_id"),
+        "source",
+        F.col("toks").alias("a_toks"),
+    )
+    b = toksets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_source"),
+        F.col("toks").alias("b_toks"),
+    )
+    shared = F.size(F.array_intersect("a_toks", "b_toks"))
+    jac = shared / (F.size("a_toks") + F.size("b_toks") - shared)
+    size_band = (
+        F.size("a_toks") * F.lit(10) >= F.size("b_toks") * F.lit(8)
+    ) & (F.size("b_toks") * F.lit(10) >= F.size("a_toks") * F.lit(8))
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("b_source"))
+            & (F.col("a_id") < F.col("b_id"))
+            & size_band,
+        )
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.8)
+        .select("a_id", "b_id")
+    )
+
+
 @register(
     "minhash_band_fp_audit",
     oracle="""
@@ -4166,47 +4212,7 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    toksets = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.filter(F.split("text", " "), lambda t: t != "")
-        ).alias("toks"),
-    )
-    a = toksets.select(
-        F.col("doc_id").alias("a_id"),
-        "source",
-        F.col("toks").alias("a_toks"),
-    )
-    b = toksets.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("source").alias("b_source"),
-        F.col("toks").alias("b_toks"),
-    )
-    shared = F.size(F.array_intersect("a_toks", "b_toks"))
-    jac = shared / (F.size("a_toks") + F.size("b_toks") - shared)
-    # Jaccard >= 0.8 forces |A∩B| >= 0.8·max(|A|,|B|), so the set sizes
-    # must satisfy 0.8·|B| <= |A| <= |B|/0.8.  Two integer compares per
-    # pair skip the array_intersect for pairs that can never reach the
-    # threshold — results identical, oracle unchanged.  On THIS fixture
-    # the band keeps 52% of pairs (measured: 325,278 of 622,500) and
-    # the wall time is a wash; on a size-diverse real corpus (doc
-    # lengths spanning orders of magnitude) it prunes the bulk of the
-    # blocked cross product, which is why the guard ships anyway.
-    size_band = (
-        F.size("a_toks") * F.lit(10) >= F.size("b_toks") * F.lit(8)
-    ) & (F.size("b_toks") * F.lit(10) >= F.size("a_toks") * F.lit(8))
-    truth = (
-        a.join(
-            b,
-            (F.col("source") == F.col("b_source"))
-            & (F.col("a_id") < F.col("b_id"))
-            & size_band,
-        )
-        .select("a_id", "b_id", jac.alias("jac"))
-        .filter(F.col("jac") >= 0.8)
-        .select("a_id", "b_id")
-    )
+    truth = _exact_jaccard_pairs_df(spark, sf_dir)
     hits = cand.join(truth, ["a_id", "b_id"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -4590,4 +4596,284 @@ def decontaminate_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_exact >= 3).alias("exact_dropped"),
             ((n_bloom >= 3) & ~(n_exact >= 3)).alias("false_drop"),
         )
+    )
+
+
+# ------------------------------------- band-shape tuning / containment
+
+_SWEEP_ORACLE_SHAPE = """
+    cand{b}x{r} AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sig{b}x{r} a JOIN sig{b}x{r} b
+          ON a.source = b.source AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id
+    ),
+    m{b}x{r} AS (
+        SELECT '{b}x{r}' AS shape, {b} AS bands, {r} AS rows_per_band,
+               (SELECT COUNT(*) FROM cand{b}x{r}) AS n_cand,
+               (SELECT COUNT(*) FROM cand{b}x{r} c
+                JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id)
+                   AS n_hit
+    )"""
+
+
+@register(
+    "minhash_band_shape_sweep",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, source, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, source, s
+    ),
+    sig2x8 AS (
+        SELECT doc_id, source, s // 8 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, source, s // 8
+    ),
+    sig4x4 AS (
+        SELECT doc_id, source, s // 4 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, source, s // 4
+    ),
+    sig8x2 AS (
+        SELECT doc_id, source, s // 2 AS band,
+               string_agg(CAST(v AS VARCHAR), ',' ORDER BY s) AS bkey
+        FROM mh GROUP BY doc_id, source, s // 2
+    ),
+    cnt AS (SELECT doc_id, source, COUNT(*) AS n FROM tok
+            GROUP BY doc_id, source),
+    truth AS (
+        SELECT s.a_id, s.b_id
+        FROM (
+            SELECT ta.doc_id AS a_id, tb.doc_id AS b_id, COUNT(*) AS shared
+            FROM tok ta JOIN tok tb
+              ON ta.source = tb.source AND ta.t = tb.t
+             AND ta.doc_id < tb.doc_id
+            GROUP BY 1, 2
+        ) s
+        JOIN cnt ca ON ca.doc_id = s.a_id
+        JOIN cnt cb ON cb.doc_id = s.b_id
+        WHERE s.shared * 1.0 / (ca.n + cb.n - s.shared) >= 0.8
+    ),
+    """
+    + ",\n".join(
+        _SWEEP_ORACLE_SHAPE.format(b=b, r=r)[5:]
+        for b, r in ((2, 8), (4, 4), (8, 2))
+    )
+    + """
+    , allm AS (
+        SELECT * FROM m2x8 UNION ALL SELECT * FROM m4x4
+        UNION ALL SELECT * FROM m8x2
+    )
+    SELECT shape, bands, rows_per_band,
+           (SELECT COUNT(*) FROM truth) AS n_true, n_cand, n_hit,
+           ROUND(n_hit * 1.0 / NULLIF(n_cand, 0), 4) AS precision,
+           ROUND(n_hit * 1.0 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4)
+               AS recall
+    FROM allm
+    """,
+)
+def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH BAND-SHAPE TUNING SWEEP: precision and recall of EVERY band
+    shape one 16-component MinHash signature supports — 2 bands x 8
+    rows (steep S-curve: high precision, low recall), the production
+    4x4, and 8x2 (shallow: high recall, the verify stage pays for it)
+    — against ONE shared exact ground truth (source-blocked Jaccard
+    >= 0.8).  `minhash_band_fp_audit` grades the shipped shape; this
+    op is the decision TABLE a pipeline owner reads to pick b x r for
+    a target threshold (P(candidate) = 1-(1-j^r)^b), from the same
+    signatures at no extra signature cost.
+
+    Like the fp audit, ground truth is inherently pairwise, so at
+    100 TB this runs on a bounded SAMPLE (the fixture corpus plays
+    that role); candidates in the production run stay bucket-derived.
+    The three candidate sets reuse one signature build (Heaps-bounded
+    vocab hashing); each bucket self-join is blocked on (source, band,
+    bkey) exactly as production candidate generation is."""
+    mins = _portable_minhash_df(spark, sf_dir)
+    # ONE exploded band stream tags every (shape, band, bkey) — a
+    # per-shape loop would re-derive the whole signature lineage per
+    # union branch (measured: 32 parquet scans in the executed plan);
+    # this way the corpus is scanned once for ALL shapes and the
+    # candidate generation is ONE self-join keyed on (shape, source,
+    # band, bkey).
+    structs = [
+        F.struct(
+            F.lit(f"{b}x{r}").alias("shape"),
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{i * r + j}").cast("string")
+                    for j in range(r)
+                ],
+            ).alias("bkey"),
+        )
+        for b, r in ((2, 8), (4, 4), (8, 2))
+        for i in range(b)
+    ]
+    bands = mins.select(
+        "doc_id", "source", F.explode(F.array(*structs)).alias("bb")
+    ).select("doc_id", "source", "bb.shape", "bb.band", "bb.bkey")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.shape") == F.col("b.shape"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.shape").alias("shape"),
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    truth = _exact_jaccard_pairs_df(spark, sf_dir)
+    per_shape = (
+        cand.join(
+            truth.withColumn("is_true", F.lit(1)), ["a_id", "b_id"], "left"
+        )
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count_if(F.col("is_true").isNotNull()).alias("n_hit"),
+        )
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return per_shape.crossJoin(F.broadcast(n_true)).select(
+        "shape",
+        F.expr("cast(split(shape, 'x')[0] as int)").alias("bands"),
+        F.expr("cast(split(shape, 'x')[1] as int)").alias("rows_per_band"),
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.col("n_hit") * F.lit(1.0) / F.nullif("n_cand", F.lit(0)), 4
+        ).alias("precision"),
+        F.round(
+            F.col("n_hit") * F.lit(1.0) / F.nullif("n_true", F.lit(0)), 4
+        ).alias("recall"),
+    )
+
+
+@register(
+    "dedup_containment_superset",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    cnt AS (SELECT doc_id, source, COUNT(*) AS n FROM tok
+            GROUP BY doc_id, source),
+    pairs AS (
+        SELECT ta.doc_id AS x, tb.doc_id AS y, COUNT(*) AS shared
+        FROM tok ta JOIN tok tb
+          ON ta.source = tb.source AND ta.t = tb.t
+         AND ta.doc_id < tb.doc_id
+        GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT CASE WHEN cx.n < cy.n OR (cx.n = cy.n AND p.x < p.y)
+                    THEN p.x ELSE p.y END AS a_id,
+               CASE WHEN cx.n < cy.n OR (cx.n = cy.n AND p.x < p.y)
+                    THEN p.y ELSE p.x END AS b_id,
+               LEAST(cx.n, cy.n) AS n_a,
+               GREATEST(cx.n, cy.n) AS n_b,
+               p.shared
+        FROM pairs p
+        JOIN cnt cx ON cx.doc_id = p.x
+        JOIN cnt cy ON cy.doc_id = p.y
+    )
+    SELECT a_id, b_id, n_a, n_b,
+           ROUND(shared * 1.0 / n_a, 4) AS containment,
+           ROUND(shared * 1.0 / (n_a + n_b - shared), 4) AS jaccard,
+           shared * 1.0 / n_a >= 0.8
+               AND shared * 1.0 / (n_a + n_b - shared) < 0.8
+               AS proper_subset
+    FROM o
+    WHERE shared * 1.0 / n_a >= 0.8
+    """,
+)
+def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-SUPERSET CONTAINMENT: same-source doc pairs where >= 80%
+    of the SMALLER document's token set lives inside the larger one
+    (a_id = contained doc, b_id = container; tie on equal sizes broken
+    by doc_id).  Containment |A∩B|/|A| is the ASYMMETRIC similarity
+    Jaccard cannot see: a tweet quoted inside an article, a truncated
+    crawl of a full page, a doc re-published with boilerplate appended
+    all have high containment but LOW Jaccard (the union is dominated
+    by the larger doc), so Jaccard-threshold dedup keeps both copies.
+    `proper_subset` flags exactly those pairs — containment-dup but
+    NOT Jaccard-dup — which is the actionable output: a crawl pipeline
+    drops the contained doc and keeps the superset.
+
+    Like the band audits, the all-pairs ground-truth formulation is
+    bounded-sample by contract at 100 TB (the fixture corpus plays
+    that role); the production-scale candidate generator for
+    containment is asymmetric-LSH or the rare-span route
+    (`dup_span_ratio`'s span hashes joined doc-to-doc), both of which
+    keep candidates bucket-derived.  The blocked pair join here shares
+    `_exact_jaccard_pairs_df`'s shape; no size prefilter applies
+    because a small doc can be contained in a container of ANY size —
+    the asymmetry is the point."""
+    toksets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = toksets.select(
+        F.col("doc_id").alias("x"), "source", F.col("toks").alias("x_toks")
+    )
+    b = toksets.select(
+        F.col("doc_id").alias("y"),
+        F.col("source").alias("y_source"),
+        F.col("toks").alias("y_toks"),
+    )
+    nx, ny = F.size("x_toks"), F.size("y_toks")
+    shared = F.size(F.array_intersect("x_toks", "y_toks"))
+    x_is_a = (nx < ny) | ((nx == ny) & (F.col("x") < F.col("y")))
+    o = (
+        a.join(
+            b,
+            (F.col("source") == F.col("y_source")) & (F.col("x") < F.col("y")),
+        )
+        .select(
+            F.when(x_is_a, F.col("x")).otherwise(F.col("y")).alias("a_id"),
+            F.when(x_is_a, F.col("y")).otherwise(F.col("x")).alias("b_id"),
+            F.least(nx, ny).alias("n_a"),
+            F.greatest(nx, ny).alias("n_b"),
+            shared.alias("shared"),
+        )
+    )
+    containment = F.col("shared") * F.lit(1.0) / F.col("n_a")
+    jaccard = (
+        F.col("shared")
+        * F.lit(1.0)
+        / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    )
+    return o.filter(containment >= 0.8).select(
+        "a_id",
+        "b_id",
+        "n_a",
+        "n_b",
+        F.round(containment, 4).alias("containment"),
+        F.round(jaccard, 4).alias("jaccard"),
+        ((containment >= 0.8) & (jaccard < 0.8)).alias("proper_subset"),
     )

@@ -2678,3 +2678,83 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority_key"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "doc_length_log2_histogram",
+    oracle="""
+    WITH n AS (
+        SELECT len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_toks
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST(floor(log2(n_toks)) AS BIGINT) AS bin, n_toks
+        FROM n WHERE n_toks >= 1
+    ),
+    g AS (
+        SELECT bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        FROM b GROUP BY bin
+    )
+    SELECT bin,
+           CAST(2 ** bin AS BIGINT) AS lo_toks,
+           CAST(2 ** (bin + 1) - 1 AS BIGINT) AS hi_toks,
+           n_docs,
+           n_tokens,
+           ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 4) AS pct_tokens,
+           ROUND(SUM(n_tokens) OVER (ORDER BY bin)
+                     * 1.0 / SUM(n_tokens) OVER (), 4) AS cum_pct_tokens
+    FROM g
+    """,
+)
+def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-LENGTH PLANNING HISTOGRAM: documents and tokens per
+    power-of-two length bin, with each bin's share of the total token
+    mass and the cumulative share below it — the distribution a
+    training-data owner reads before choosing `pack_sequences_budget`'s
+    context budget (what fraction of tokens lives in docs longer than
+    the window and must be chunked by `doc_chunk_stride`?) and before
+    sizing length-bucketed batch groups.
+
+    floor(log2(n)) is exact in IEEE double for every bigint in range
+    (powers of two are representable; non-powers cannot straddle an
+    integer boundary), so the binning cannot diverge between engines.
+
+    Scale (100 TB): token counts are row-local; one partial-aggregated
+    groupBy to <= ~20 bins; the shares are windows over that tiny
+    frame.  One scan, one exchange of a few dozen rows."""
+    d = load(spark, sf_dir, "documents")
+    n = d.select(
+        F.size(F.expr("filter(split(text, ' '), t -> t <> '')")).alias(
+            "n_toks"
+        )
+    ).filter(F.col("n_toks") >= 1)
+    g = (
+        n.select(
+            F.floor(F.log2("n_toks")).cast("bigint").alias("bin"), "n_toks"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("bin").rangeBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "bin",
+        F.expr("shiftleft(1L, cast(bin as int))").alias("lo_toks"),
+        F.expr("shiftleft(1L, cast(bin as int) + 1) - 1L").alias("hi_toks"),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") * F.lit(1.0) / F.sum("n_tokens").over(w_all), 4
+        ).alias("pct_tokens"),
+        F.round(
+            F.sum("n_tokens").over(w_cum)
+            * F.lit(1.0)
+            / F.sum("n_tokens").over(w_all),
+            4,
+        ).alias("cum_pct_tokens"),
+    )

@@ -98,13 +98,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edit_distance_pairs",
 )
 
-#: Pre-staged round-9 window: FIRST the fifteen late-r8 additions
-#: (never driver-run — new evidence outranks refresh; the last four —
-#: paragraph_dedup_ccnet, boilerplate_top_blocks,
-#: decontaminate_bloom_portable, partition_skew_audit — landed at the
-#: very end of r8 and displaced four r4-graded refresh ids to r10:
-#: contamination_overlap, repeated_ngram_ratio, cross_source_overlap,
-#: heaps_law_vocab_growth), then the nine
+#: Pre-staged round-9 window: FIRST the eighteen late-r8 additions
+#: (never driver-run — new evidence outranks refresh; the last seven —
+#: minhash_band_shape_sweep, dedup_containment_superset,
+#: doc_length_log2_histogram, paragraph_dedup_ccnet,
+#: boilerplate_top_blocks, decontaminate_bloom_portable,
+#: partition_skew_audit — landed at the very end of r8 and displaced
+#: seven r3/r4-graded refresh ids to r10: dup_cc_twostar,
+#: sample_hash_bernoulli, dedup_cross_source_cc, contamination_overlap,
+#: repeated_ngram_ratio, cross_source_overlap, heaps_law_vocab_growth),
+#: then the nine
 #: staged-r8 ids trimmed at the exactly-50 rotation cut (streaming
 #: batch-equivalents + UDFs), then the oldest remaining evidence — the
 #: r2/r3 stragglers (merge_upsert_latest, stream_session_correlate)
@@ -117,6 +120,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: id is parity-guarded continuously since it was first graded.
 R9_WINDOW: tuple[str, ...] = (
     # late-r8 additions, hash-green in preflight/parity, never driver-run
+    "minhash_band_shape_sweep",
+    "dedup_containment_superset",
+    "doc_length_log2_histogram",
     "paragraph_dedup_ccnet",
     "boilerplate_top_blocks",
     "decontaminate_bloom_portable",
@@ -168,12 +174,10 @@ R9_WINDOW: tuple[str, ...] = (
     "quality_score",
     "token_count_bpe",
     "doc_fingerprint",
-    "dup_cc_twostar",
-    "sample_hash_bernoulli",
-    "dedup_cross_source_cc",
-    # (contamination_overlap, repeated_ngram_ratio, cross_source_overlap,
+    # (dup_cc_twostar, sample_hash_bernoulli, dedup_cross_source_cc,
+    #  contamination_overlap, repeated_ngram_ratio, cross_source_overlap,
     #  heaps_law_vocab_growth rolled to the r10 rotation — displaced by
-    #  the four end-of-r8 additions above, newest-evidence-first rule)
+    #  the seven end-of-r8 additions above, newest-evidence-first rule)
 )
 
 

@@ -1147,3 +1147,41 @@ def test_r8_final_batch_semantics(spark, sf_dir):
     assert ring["mod"].n_docs == ring["ring"].n_docs == len(
         [t for t in toks.values()]
     )
+
+
+def test_r8_trio_semantics(spark, sf_dir):
+    """End-of-r8 trio: invariants beyond the oracle hash — band-shape
+    candidate sets are NESTED by construction (a 2x8 band is the
+    concatenation of two 4x4 bands, so a 2x8 match implies both 4x4
+    matches), hence n_cand/n_hit/recall are monotone in band count;
+    containment >= jaccard on every emitted pair and every same-source
+    exact Jaccard-dup appears as a containment pair with proper_subset
+    False; the log2 histogram partitions the corpus and its cumulative
+    share ends at 1."""
+    sw = {r.shape: r for r in Q["minhash_band_shape_sweep"](spark, sf_dir).collect()}
+    assert set(sw) == {"2x8", "4x4", "8x2"}
+    assert sw["2x8"].n_cand <= sw["4x4"].n_cand <= sw["8x2"].n_cand
+    assert sw["2x8"].n_hit <= sw["4x4"].n_hit <= sw["8x2"].n_hit
+    assert len({r.n_true for r in sw.values()}) == 1
+
+    cont = Q["dedup_containment_superset"](spark, sf_dir).collect()
+    assert all(r.containment >= r.jaccard for r in cont)
+    assert all(r.n_a <= r.n_b and r.containment >= 0.8 for r in cont)
+    cont_pairs = {frozenset((r.a_id, r.b_id)): r for r in cont}
+    jd = Q["near_dup_jaccard"](spark, sf_dir).collect()
+    for r in jd:
+        c = cont_pairs.get(frozenset((r.a_id, r.b_id)))
+        assert c is not None, (r.a_id, r.b_id)
+        assert not c.proper_subset
+
+    h = sorted(Q["doc_length_log2_histogram"](spark, sf_dir).collect(),
+               key=lambda r: r.bin)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as SF
+    n_nonempty = docs.filter(
+        SF.size(SF.expr("filter(split(text, ' '), t -> t <> '')")) >= 1
+    ).count()
+    assert sum(r.n_docs for r in h) == n_nonempty
+    assert abs(h[-1].cum_pct_tokens - 1.0) < 1e-9
+    assert all(r.lo_toks == 2 ** r.bin and r.hi_toks == 2 ** (r.bin + 1) - 1
+               for r in h)

@@ -411,3 +411,23 @@ def test_partition_skew_single_scan(spark, sf_dir):
     p = _plan(Q["partition_skew_audit"](spark, sf_dir))
     assert p.count("Scan parquet") == 1, p
     assert p.count("Window") == 1, p
+
+
+def test_band_shape_sweep_one_signature_build(spark, sf_dir):
+    """r8 plan contract for minhash_band_shape_sweep: all three band
+    shapes ride ONE tagged band stream off one signature build — a
+    per-shape loop re-derived the whole lineage per union branch
+    (measured: 32 parquet scans); the single-stream plan reads the
+    corpus a handful of times (signature + truth lineages), not per
+    shape."""
+    p = _plan(Q["minhash_band_shape_sweep"](spark, sf_dir))
+    assert p.count("Scan parquet") <= 8, p.count("Scan parquet")
+
+
+def test_doc_length_histogram_tiny_windows(spark, sf_dir):
+    """r8 plan contract for doc_length_log2_histogram: token counts
+    row-local, ONE partial-aggregated groupBy to <=~20 bins, share
+    windows over that tiny frame — one scan of documents."""
+    p = _plan(Q["doc_length_log2_histogram"](spark, sf_dir))
+    assert p.count("Scan parquet") == 1, p
+    assert "Python" not in p and "pandas" not in p.lower(), p
