@@ -4877,3 +4877,204 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jaccard, 4).alias("jaccard"),
         ((containment >= 0.8) & (jaccard < 0.8)).alias("proper_subset"),
     )
+
+
+# ----------------------------------------------- IVF probe/recall sweep
+
+@register(
+    "ann_ivf_probe_sweep",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS c_id, se AS ce FROM scaled
+        WHERE vec_id >= 10 AND vec_id < 26
+    ),
+    assigned AS (
+        SELECT vec_id, c_id FROM (
+            SELECT s.vec_id, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY CAST(list_sum(list_transform(
+                           generate_series(1, 64),
+                           i -> s.se[i] * c.ce[i])) AS BIGINT) DESC,
+                           c.c_id ASC) AS rn
+            FROM scaled s CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, se AS qe FROM scaled WHERE vec_id < 10),
+    cranks AS (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> q.qe[i] * c.ce[i])) AS BIGINT) DESC,
+                       c.c_id ASC) AS rc
+        FROM qs q CROSS JOIN cents c
+    ),
+    truth AS (
+        SELECT q_id, n_id FROM (
+            SELECT q.q_id, s.vec_id AS n_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.q_id
+                       ORDER BY CAST(list_sum(list_transform(
+                           generate_series(1, 64),
+                           i -> q.qe[i] * s.se[i])) AS BIGINT) DESC,
+                           s.vec_id ASC) AS rnk
+            FROM qs q CROSS JOIN scaled s
+            WHERE s.vec_id <> q.q_id
+        ) WHERE rnk <= 5
+    ),
+    levels AS (SELECT unnest([1, 2, 4]) AS probes),
+    probeset AS (
+        SELECT l.probes, cr.q_id, cr.c_id
+        FROM cranks cr JOIN levels l ON cr.rc <= l.probes
+    ),
+    cand AS (
+        SELECT p.probes, p.q_id, a.vec_id AS n_id
+        FROM probeset p JOIN assigned a ON a.c_id = p.c_id
+        WHERE a.vec_id <> p.q_id
+    ),
+    scored AS (
+        SELECT c.probes, c.q_id, c.n_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.probes, c.q_id
+                   ORDER BY CAST(list_sum(list_transform(
+                       generate_series(1, 64),
+                       i -> q.qe[i] * s.se[i])) AS BIGINT) DESC,
+                       c.n_id ASC) AS rnk
+        FROM cand c
+        JOIN qs q ON q.q_id = c.q_id
+        JOIN scaled s ON s.vec_id = c.n_id
+    )
+    SELECT s.probes, s.q_id,
+           COUNT(*) AS n_cand,
+           CAST(COUNT(*) FILTER (s.rnk <= 5 AND t.n_id IS NOT NULL)
+                AS BIGINT) AS n_overlap,
+           ROUND(COUNT(*) FILTER (s.rnk <= 5 AND t.n_id IS NOT NULL)
+                 / 5.0, 4) AS recall_at_5
+    FROM scored s
+    LEFT JOIN truth t ON t.q_id = s.q_id AND t.n_id = s.n_id
+    GROUP BY s.probes, s.q_id
+    """,
+)
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF PROBE/RECALL SWEEP — the ANN-side mirror of
+    `minhash_band_shape_sweep`: recall@5 of an inverted-file index at
+    n_probe = 1, 2, 4 of 16 cells, per query, against exact brute-force
+    top-5 — the curve a pipeline owner reads to trade probe cost
+    against recall BEFORE sizing an index over 10^11 embeddings
+    (`ann_ivf_topk` ships one operating point and is rows-only; this
+    audit is fully value-hash-checked).
+
+    Determinism (the `ann_rp_lsh_topk_portable` recipe): vectors are
+    quantized to int64 micro-units and every similarity is an EXACT
+    integer dot with a (dot DESC, id ASC) total order, so assignment,
+    probe ranking, brute-force truth, and the retrieved top-5 are all
+    bit-identical across engines.  Centroids are the 16 seed vectors
+    vec_id 10..25 (a trained KMeans would move them — `ann_ivf_topk`
+    trains; this audit grades the probe/recall TRADEOFF, which exists
+    for any fixed centroid set).
+
+    Scale (100 TB): assignment is the real O(n*K) work IVF always pays,
+    expressed as a broadcast of K=16 centroid rows and collapsed by a
+    map-side max_by partial aggregate (one n-row shuffle, no K-row
+    expansion survives the map side); the query set is bounded (10
+    vectors — the `cosine_topk` contract), so probe ranking, truth,
+    and scoring are broadcast-sized joins; the three probe levels ride
+    ONE tagged probeset (the `minhash_band_shape_sweep` lesson), never
+    per-level lineage re-derivation."""
+    emb = load(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        ).alias("se"),
+    )
+    cents = scaled.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 26)
+    ).select(F.col("vec_id").alias("c_id"), F.col("se").alias("ce"))
+
+    def idot(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = (
+        scaled.crossJoin(F.broadcast(cents))
+        .select("vec_id", "c_id", idot("se", "ce").alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("dot"), (-F.col("c_id")).alias("nc"))
+            ).alias("c_id")
+        )
+    )
+    qs = scaled.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("se").alias("qe")
+    )
+    w_rc = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("c_id"))
+    cranks = (
+        qs.crossJoin(F.broadcast(cents))
+        .select("q_id", "c_id", idot("qe", "ce").alias("dot"))
+        .withColumn("rc", F.row_number().over(w_rc))
+    )
+    w_t = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("n_id"))
+    truth = (
+        scaled.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            idot("se", "qe").alias("dot"),
+        )
+        .withColumn("rnk", F.row_number().over(w_t))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "n_id")
+        .withColumn("is_true", F.lit(1))
+    )
+    probeset = cranks.select(
+        "q_id",
+        "c_id",
+        F.explode(
+            F.filter(
+                F.array(F.lit(1), F.lit(2), F.lit(4)),
+                lambda p: F.col("rc") <= p,
+            )
+        ).alias("probes"),
+    )
+    w_s = Window.partitionBy("probes", "q_id").orderBy(
+        F.desc("dot"), F.asc("n_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probeset), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("probes", "q_id", F.col("vec_id").alias("n_id"))
+        .join(F.broadcast(qs), "q_id")
+        .join(scaled.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .select("probes", "q_id", "n_id", idot("qe", "se").alias("dot"))
+        .withColumn("rnk", F.row_number().over(w_s))
+    )
+    hit = F.count_if(
+        (F.col("rnk") <= 5) & F.col("is_true").isNotNull()
+    )
+    return (
+        scored.join(F.broadcast(truth), ["q_id", "n_id"], "left")
+        .groupBy("probes", "q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            hit.alias("n_overlap"),
+            F.round(hit / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )

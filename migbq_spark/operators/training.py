@@ -2758,3 +2758,145 @@ def doc_length_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_pct_tokens"),
     )
+
+
+@register(
+    "mix_dedup_aware_weights",
+    oracle="""
+    WITH h AS (
+        SELECT source, md5(text) AS th FROM documents
+    ),
+    per AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT th) AS BIGINT) AS n_unique
+        FROM h GROUP BY source
+    )
+    SELECT source, n_docs, n_unique,
+           ROUND(1.0 - n_unique * 1.0 / n_docs, 4) AS dup_rate,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS naive_share,
+           ROUND(n_unique * 1.0 / SUM(n_unique) OVER (), 4)
+               AS dedup_aware_weight,
+           ROUND(n_unique * 1.0 / SUM(n_unique) OVER ()
+                 - n_docs * 1.0 / SUM(n_docs) OVER (), 4) AS weight_shift
+    FROM per
+    """,
+)
+def mix_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE SOURCE MIXING WEIGHTS: a source's sampling weight
+    computed from its UNIQUE document mass (distinct exact-hash texts)
+    instead of its raw row count — the correction `mix_weighted_sources`
+    needs when sources carry very different duplication rates (a
+    crawl-heavy source's raw size overstates its real contribution;
+    weighting by raw counts over-samples its duplicates).  Emits per
+    source the raw and unique counts, the dup rate, the naive share,
+    the dedup-aware weight, and the shift between them — the number a
+    data-mixture owner reviews before a training run.
+
+    Scale (100 TB): distinct-per-source reduces to a (source, md5)
+    partial-aggregated groupBy; the shares are windows over the ~|sources|
+    row frame.  One scan, one data-sized exchange."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.md5("text").alias("th"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("th").alias("n_unique"),
+        )
+    )
+    w = Window.partitionBy()
+    naive = F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w)
+    aware = F.col("n_unique") * F.lit(1.0) / F.sum("n_unique").over(w)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round(F.lit(1.0) - F.col("n_unique") * F.lit(1.0) / F.col("n_docs"), 4).alias("dup_rate"),
+        F.round(naive, 4).alias("naive_share"),
+        F.round(aware, 4).alias("dedup_aware_weight"),
+        F.round(aware - naive, 4).alias("weight_shift"),
+    )
+
+
+@register(
+    "tokenizer_unigram_seed_vocab",
+    oracle="""
+    WITH words AS (
+        SELECT t AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+        GROUP BY t
+    ),
+    starts AS (
+        SELECT word, freq, unnest(generate_series(1, length(word))) AS st
+        FROM words
+    ),
+    grams AS (
+        SELECT substr(word, st, l) AS gram, freq
+        FROM starts CROSS JOIN (SELECT unnest([2, 3, 4]) AS l)
+        WHERE st + l - 1 <= length(word)
+    )
+    SELECT gram,
+           CAST(length(gram) AS INT) AS gram_len,
+           CAST(SUM(freq) AS BIGINT) AS total_freq,
+           CAST(SUM(freq) * length(gram) AS BIGINT) AS score
+    FROM grams
+    GROUP BY gram
+    ORDER BY score DESC, gram ASC
+    LIMIT 64
+    """,
+)
+def tokenizer_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER SEED VOCABULARY (the SentencePiece
+    initialization): every character 2/3/4-gram occurrence inside every
+    word, weighted by corpus word frequency, scored freq x len (longer
+    substrings compress more per kept vocab slot), top-64 — the seed
+    set a unigram-LM trainer prunes by EM, and the substring-frequency
+    counterpart to the merge-based `tokenizer_bpe_train_merges` (BPE
+    grows pairs bottom-up; unigram starts from frequent substrings and
+    prunes).  (score DESC, gram ASC) is a total order, so the cut is
+    engine-independent.
+
+    Scale (100 TB): gram enumeration runs over the DISTINCT word
+    vocabulary with its corpus frequency attached (the Heaps-bounded
+    `_portable_minhash_df` move — never per occurrence); one
+    partial-aggregated groupBy on the gram and a
+    TakeOrderedAndProject(64) finish it."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(text, ' '), t -> t <> '')")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    grams = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), st -> "
+                " filter(transform(array(2, 3, 4), l -> "
+                "   case when st + l - 1 <= length(word)"
+                "        then substring(word, st, l) end),"
+                "   x -> x is not null)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.sum("freq").alias("total_freq"),
+            (F.sum("freq") * F.length(F.max("gram"))).alias("score"),
+        )
+        .select(
+            "gram",
+            F.length("gram").cast("int").alias("gram_len"),
+            "total_freq",
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("gram"))
+        .limit(64)
+    )

@@ -98,13 +98,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edit_distance_pairs",
 )
 
-#: Pre-staged round-9 window: FIRST the eighteen late-r8 additions
-#: (never driver-run — new evidence outranks refresh; the last seven —
-#: minhash_band_shape_sweep, dedup_containment_superset,
-#: doc_length_log2_histogram, paragraph_dedup_ccnet,
-#: boilerplate_top_blocks, decontaminate_bloom_portable,
-#: partition_skew_audit — landed at the very end of r8 and displaced
-#: seven r3/r4-graded refresh ids to r10: dup_cc_twostar,
+#: Pre-staged round-9 window: FIRST the twenty-one late-r8 additions
+#: (never driver-run — new evidence outranks refresh; the last ten —
+#: ann_ivf_probe_sweep, mix_dedup_aware_weights,
+#: tokenizer_unigram_seed_vocab, minhash_band_shape_sweep,
+#: dedup_containment_superset, doc_length_log2_histogram,
+#: paragraph_dedup_ccnet, boilerplate_top_blocks,
+#: decontaminate_bloom_portable, partition_skew_audit — landed at the
+#: very end of r8 and displaced ten r3/r4-graded refresh ids to r10:
+#: quality_score, token_count_bpe, doc_fingerprint, dup_cc_twostar,
 #: sample_hash_bernoulli, dedup_cross_source_cc, contamination_overlap,
 #: repeated_ngram_ratio, cross_source_overlap, heaps_law_vocab_growth),
 #: then the nine
@@ -120,6 +122,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: id is parity-guarded continuously since it was first graded.
 R9_WINDOW: tuple[str, ...] = (
     # late-r8 additions, hash-green in preflight/parity, never driver-run
+    "ann_ivf_probe_sweep",
+    "mix_dedup_aware_weights",
+    "tokenizer_unigram_seed_vocab",
     "minhash_band_shape_sweep",
     "dedup_containment_superset",
     "doc_length_log2_histogram",
@@ -171,13 +176,11 @@ R9_WINDOW: tuple[str, ...] = (
     "dedup_minhash_portable",
     "near_dup_embedding",
     "lang_id_ngram",
-    "quality_score",
-    "token_count_bpe",
-    "doc_fingerprint",
-    # (dup_cc_twostar, sample_hash_bernoulli, dedup_cross_source_cc,
-    #  contamination_overlap, repeated_ngram_ratio, cross_source_overlap,
-    #  heaps_law_vocab_growth rolled to the r10 rotation — displaced by
-    #  the seven end-of-r8 additions above, newest-evidence-first rule)
+    # (quality_score, token_count_bpe, doc_fingerprint, dup_cc_twostar,
+    #  sample_hash_bernoulli, dedup_cross_source_cc, contamination_overlap,
+    #  repeated_ngram_ratio, cross_source_overlap, heaps_law_vocab_growth
+    #  rolled to the r10 rotation — displaced by the ten end-of-r8
+    #  additions above, newest-evidence-first rule)
 )
 
 

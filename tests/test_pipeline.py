@@ -1185,3 +1185,36 @@ def test_r8_trio_semantics(spark, sf_dir):
     assert abs(h[-1].cum_pct_tokens - 1.0) < 1e-9
     assert all(r.lo_toks == 2 ** r.bin and r.hi_toks == 2 ** (r.bin + 1) - 1
                for r in h)
+
+
+def test_r8_last_trio_semantics(spark, sf_dir):
+    """Probe-sweep candidate sets are nested in n_probe, and every
+    truth member present in a candidate set necessarily surfaces in
+    the retrieved top-5 (truth = global top-5 under the same total
+    order), so n_cand and n_overlap are monotone in probes; mixing
+    weights are distributions and the shift column is exactly
+    aware - naive; the unigram seed is a valid top-64 by freq x len."""
+    sw = Q["ann_ivf_probe_sweep"](spark, sf_dir).collect()
+    by_q = {}
+    for r in sw:
+        by_q.setdefault(r.q_id, {})[r.probes] = r
+    assert len(by_q) == 10 and all(set(v) == {1, 2, 4} for v in by_q.values())
+    for v in by_q.values():
+        assert v[1].n_cand <= v[2].n_cand <= v[4].n_cand
+        assert v[1].n_overlap <= v[2].n_overlap <= v[4].n_overlap
+        assert all(0 <= r.n_overlap <= 5 for r in v.values())
+
+    mx = Q["mix_dedup_aware_weights"](spark, sf_dir).collect()
+    assert abs(sum(r.naive_share for r in mx) - 1.0) < 0.01
+    assert abs(sum(r.dedup_aware_weight for r in mx) - 1.0) < 0.01
+    for r in mx:
+        assert r.n_unique <= r.n_docs and r.dup_rate >= 0
+        assert abs(r.weight_shift - (r.dedup_aware_weight - r.naive_share)) < 2e-4
+
+    seed = Q["tokenizer_unigram_seed_vocab"](spark, sf_dir).collect()
+    assert len(seed) == 64
+    assert all(r.gram_len in (2, 3, 4) and len(r.gram) == r.gram_len
+               for r in seed)
+    assert all(r.score == r.total_freq * r.gram_len for r in seed)
+    scores = [r.score for r in seed]
+    assert scores == sorted(scores, reverse=True)

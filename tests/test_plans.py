@@ -431,3 +431,24 @@ def test_doc_length_histogram_tiny_windows(spark, sf_dir):
     p = _plan(Q["doc_length_log2_histogram"](spark, sf_dir))
     assert p.count("Scan parquet") == 1, p
     assert "Python" not in p and "pandas" not in p.lower(), p
+
+
+def test_ivf_probe_sweep_map_side_assignment(spark, sf_dir):
+    """r8 plan contract for ann_ivf_probe_sweep: centroid assignment is
+    a broadcast of the 16-row centroid table collapsed by a map-side
+    max_by partial aggregate (partial_max_by below the exchange), and
+    all three probe levels ride one tagged stream — no per-level
+    lineage re-derivation (bounded scan count)."""
+    p = _plan(Q["ann_ivf_probe_sweep"](spark, sf_dir))
+    assert "partial_max_by" in p, p
+    assert p.count("Scan parquet") <= 8, p.count("Scan parquet")
+
+
+def test_unigram_seed_hashes_vocab_not_occurrences(spark, sf_dir):
+    """r8 plan contract for tokenizer_unigram_seed_vocab: gram
+    enumeration runs over the DISTINCT word vocabulary (grouped with
+    its corpus frequency) and the top-64 cut is a bounded
+    TakeOrderedAndProject, never a global sort."""
+    p = _plan(Q["tokenizer_unigram_seed_vocab"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0], p
