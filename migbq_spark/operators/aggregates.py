@@ -806,3 +806,137 @@ def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         "n_events",
     )
+
+
+_KS_W = 1 << 20  # ECDF bucket width in value micro-units
+
+
+@register(
+    "ks_test_two_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq,
+               event_type = 'click' AS is_a
+        FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS n_b
+        FROM s
+    ),
+    pts AS (
+        SELECT vq,
+               COUNT(*) FILTER (is_a) AS ca,
+               COUNT(*) FILTER (NOT is_a) AS cb
+        FROM s GROUP BY vq
+    ),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY vq) AS cca,
+               SUM(cb) OVER (ORDER BY vq) AS ccb
+        FROM pts
+    ),
+    d AS (
+        SELECT MAX(abs(cca * (SELECT n_b FROM n)
+                       - ccb * (SELECT n_a FROM n))) AS dnum
+        FROM cum
+    )
+    SELECT n.n_a, n.n_b,
+           ROUND(d.dnum * 1.0 / (n.n_a * n.n_b), 4) AS d_stat,
+           d.dnum * 1.0 / (n.n_a * n.n_b)
+               > 1.358 * sqrt((n.n_a + n.n_b) * 1.0 / (n.n_a * n.n_b))
+               AS reject_05
+    FROM d CROSS JOIN n
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST: the maximum ECDF gap between
+    the `click` and `view` event-value distributions, with the
+    alpha=0.05 large-sample rejection decision — the DISTRIBUTION-shape
+    drift test that complements `ab_test_welch` (means only) and
+    `distribution_drift`/`kl_divergence_drift` (binned divergences):
+    KS is binning-free and its statistic is exactly rational here, so
+    the decision cannot float-diverge.
+
+    Exactness: values quantize to int64 micro-units; the ECDF gap
+    compares c_a·n_b vs c_b·n_a as INTEGERS (cross-multiplied — no
+    per-point division), and only the final reported statistic divides.
+
+    Scale (100 TB): the textbook formulation sorts all n values — a
+    single global window, the single-partition trap SCALE.md §2 warns
+    about.  Here the exact cumulative counts come from BUCKET-PREFIX
+    DECOMPOSITION: (1) one partial-aggregated groupBy to distinct
+    value points, (2) per-bucket totals (vq div 2^20 — a few hundred
+    rows) whose exclusive prefix sums AND grand totals are windows
+    over that tiny frame, broadcast back, (3) a window PARTITIONED by
+    bucket adds within-bucket cumsums to the offsets — the widest sort
+    is within one bucket, never global.  Catalyst derives the point
+    aggregate twice (the offsets branch re-plans it; no cross-branch
+    subtree sharing) — both derivations scan only (event_type, value)
+    post-pruning, and a production run persists the point frame to
+    make it one pass.  Production also picks the bucket width from an
+    approx min/max pre-pass; the fixed 2^20 micro-unit width here
+    keeps the oracle byte-identical."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vq"),
+        (F.col("event_type") == "click").alias("is_a"),
+    )
+    pts = (
+        s.groupBy("vq")
+        .agg(
+            F.count_if("is_a").alias("ca"),
+            F.count_if(~F.col("is_a")).alias("cb"),
+        )
+        .withColumn("rb", F.expr(f"vq div {_KS_W}"))
+    )
+    # per-bucket totals -> exclusive prefix offsets AND grand totals,
+    # both windows over the same tiny frame (a separate count branch
+    # would re-scan events)
+    w_rb = Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("rb").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = (
+        pts.groupBy("rb")
+        .agg(F.sum("ca").alias("ba"), F.sum("cb").alias("bb"))
+        .select(
+            "rb",
+            F.coalesce(F.sum("ba").over(w_rb), F.lit(0)).alias("off_a"),
+            F.coalesce(F.sum("bb").over(w_rb), F.lit(0)).alias("off_b"),
+            F.sum("ba").over(w_all).alias("n_a"),
+            F.sum("bb").over(w_all).alias("n_b"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("rb")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pts.join(F.broadcast(offs), "rb").select(
+        (F.sum("ca").over(w_in) + F.col("off_a")).alias("cca"),
+        (F.sum("cb").over(w_in) + F.col("off_b")).alias("ccb"),
+        "n_a",
+        "n_b",
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(F.col("cca") * F.col("n_b") - F.col("ccb") * F.col("n_a"))
+        ).alias("dnum"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    d_stat = F.col("dnum") * F.lit(1.0) / (F.col("n_a") * F.col("n_b"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_a") + F.col("n_b"))
+        * F.lit(1.0)
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round(d_stat, 4).alias("d_stat"),
+        (d_stat > crit).alias("reject_05"),
+    )

@@ -2900,3 +2900,112 @@ def tokenizer_unigram_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("gram"))
         .limit(64)
     )
+
+
+@register(
+    "sample_allocation_neyman",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq
+        FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(CAST(vq AS HUGEINT)) AS s1,
+               SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS s2
+        FROM q GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n_rows,
+               CAST(s1 AS DOUBLE) / n_rows / 1000000.0 AS mean,
+               sqrt(greatest(CAST(s2 AS DOUBLE) / n_rows
+                             - (CAST(s1 AS DOUBLE) / n_rows)
+                               * (CAST(s1 AS DOUBLE) / n_rows), 0.0))
+                   / 1000000.0 AS sd
+        FROM per
+    ),
+    w AS (
+        SELECT *, n_rows * CAST(FLOOR(sd * 1000000.0) AS BIGINT) AS wh
+        FROM m
+    )
+    SELECT event_type, n_rows,
+           ROUND(mean, 4) AS mean,
+           ROUND(sd, 4) AS sd,
+           ROUND(wh * 1.0 / SUM(wh) OVER (), 4) AS neyman_share,
+           CAST(FLOOR(1000.0 * wh / SUM(wh) OVER ()) AS BIGINT) AS k_neyman,
+           CAST(FLOOR(1000.0 * n_rows / SUM(n_rows) OVER ()) AS BIGINT)
+               AS k_proportional
+    FROM w
+    """,
+)
+def sample_allocation_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN-OPTIMAL STRATIFIED SAMPLE ALLOCATION: for a budget of
+    K=1000 sampled events stratified by event_type, the per-stratum
+    allocation proportional to n_h·σ_h (minimum-variance allocation
+    for estimating the overall mean) next to the naive proportional
+    allocation — the planning query behind `stratified_sample_exact`:
+    high-variance strata earn MORE than their row share, near-constant
+    strata less, and the delta is exactly the sampling budget a
+    variance-aware pipeline saves.
+
+    Determinism: values quantize to int64 micro-units and the stratum
+    moments are EXACT integer sums (decimal(38,0) — Σvq² overflows
+    int64 at fixture scale already), so mean/σ are fixed-order double
+    expressions; the allocation weights re-quantize σ to integer
+    micro-units so the share denominator is an INTEGER sum — no
+    partition-order float accumulation anywhere, and `floor` (not
+    round-half) cuts the budget so no half-even/half-up divergence.
+
+    Scale (100 TB): one partial-aggregated groupBy to |strata| rows;
+    shares are windows over that tiny frame.  One scan."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("vq"),
+    )
+    per = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("vq").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("vq").cast("decimal(38,0)") * F.col("vq")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_rows") / F.lit(1000000.0)
+    mu_q = F.col("s1").cast("double") / F.col("n_rows")
+    sd = (
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("n_rows") - mu_q * mu_q,
+                F.lit(0.0),
+            )
+        )
+        / F.lit(1000000.0)
+    )
+    w = per.select(
+        "event_type",
+        "n_rows",
+        mean.alias("mean"),
+        sd.alias("sd"),
+        (
+            F.col("n_rows")
+            * F.floor(sd * F.lit(1000000.0)).cast("bigint")
+        ).alias("wh"),
+    )
+    win = Window.partitionBy()
+    share = F.col("wh") * F.lit(1.0) / F.sum("wh").over(win)
+    prop = F.col("n_rows") * F.lit(1.0) / F.sum("n_rows").over(win)
+    return w.select(
+        "event_type",
+        "n_rows",
+        F.round("mean", 4).alias("mean"),
+        F.round("sd", 4).alias("sd"),
+        F.round(share, 4).alias("neyman_share"),
+        F.floor(F.lit(1000.0) * share).cast("bigint").alias("k_neyman"),
+        F.floor(F.lit(1000.0) * prop).cast("bigint").alias(
+            "k_proportional"
+        ),
+    )

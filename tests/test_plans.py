@@ -452,3 +452,14 @@ def test_unigram_seed_hashes_vocab_not_occurrences(spark, sf_dir):
     p = _plan(Q["tokenizer_unigram_seed_vocab"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "Sort " not in p.split("TakeOrderedAndProject")[0], p
+
+
+def test_ks_no_global_window_over_data(spark, sf_dir):
+    """r8 plan contract for ks_test_two_sample: the data-sized
+    cumulative pass is a window PARTITIONED by the coarse bucket —
+    the only unpartitioned windows run over the <=few-hundred-row
+    bucket-totals frame (bucket-prefix decomposition, never a global
+    sort of all value points)."""
+    p = _plan(Q["ks_test_two_sample"](spark, sf_dir))
+    assert "Window" in p, p
+    assert "hashpartitioning(rb" in p, p
