@@ -940,3 +940,120 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_stat, 4).alias("d_stat"),
         (d_stat > crit).alias("reject_05"),
     )
+
+
+@register(
+    "mannwhitney_u_test",
+    oracle=f"""
+    WITH s AS (
+        SELECT CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vq,
+               event_type = 'click' AS is_a
+        FROM events
+        WHERE event_type IN ('click', 'view')
+    ),
+    pts AS (
+        SELECT vq,
+               CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS ca,
+               CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS cb
+        FROM s GROUP BY vq
+    ),
+    cum AS (
+        SELECT ca, cb,
+               COALESCE(SUM(ca + cb) OVER (ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cbefore
+        FROM pts
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b,
+               CAST(SUM(ca * (2 * cbefore + ca + cb + 1)) AS BIGINT)
+                   AS ra2,
+               CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                    AS BIGINT) AS tie3
+        FROM cum
+    )
+    SELECT n_a, n_b,
+           ROUND((ra2 - n_a * (n_a + 1)) / 2.0, 4) AS u_stat,
+           ROUND(((ra2 - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * 1.0 * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie3 * 1.0 / ((n_a + n_b)
+                                           * (n_a + n_b - 1)))), 4) AS z,
+           abs(((ra2 - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+               / sqrt(n_a * 1.0 * n_b / 12.0
+                      * ((n_a + n_b + 1)
+                         - tie3 * 1.0 / ((n_a + n_b)
+                                         * (n_a + n_b - 1))))) > 1.96
+               AS reject_05
+    FROM agg
+    """,
+)
+def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) between the click and view
+    value distributions, with the tie-corrected normal approximation
+    and alpha=0.05 decision — the nonparametric LOCATION test between
+    `ab_test_welch` (parametric means) and `ks_test_two_sample` (full
+    shape): robust to outliers and distribution-free.
+
+    Exactness: ranks never materialize per row — a tied group of size
+    t with c predecessors contributes midrank c + (t+1)/2, so the rank
+    sum is Σ ca·(2c + ca + cb + 1) / 2, an INTEGER computation carried
+    doubled (ra2) until the final division; the tie correction Σ(t³−t)
+    is integer too, so U, z, and the decision are fixed-order double
+    expressions over exact integers — no float accumulation anywhere.
+
+    Scale (100 TB): one partial-aggregated groupBy to distinct value
+    points, then the exclusive cumulative count — at scale via the
+    SAME bucket-prefix decomposition `ks_test_two_sample` pins (the
+    tiny-frame window here keeps this op readable; the distinct-point
+    frame saturates at the quantization resolution, measured sub-linear
+    in SCALING_r08_addendum.md for the KS twin)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    pts = (
+        ev.select(
+            F.floor(F.col("value") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("vq"),
+            (F.col("event_type") == "click").alias("is_a"),
+        )
+        .groupBy("vq")
+        .agg(
+            F.count_if("is_a").alias("ca"),
+            F.count_if(~F.col("is_a")).alias("cb"),
+        )
+    )
+    w_ex = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w_ex), F.lit(0)).alias(
+            "cbefore"
+        ),
+    )
+    t = F.col("ca") + F.col("cb")
+    agg = cum.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (F.lit(2) * F.col("cbefore") + t + F.lit(1))
+        ).alias("ra2"),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    u = (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)) / F.lit(2.0)
+    mu = F.col("n_a") * F.col("n_b") / F.lit(2.0)
+    nn = F.col("n_a") + F.col("n_b")
+    var = (
+        F.col("n_a") * F.lit(1.0) * F.col("n_b") / F.lit(12.0)
+        * ((nn + F.lit(1)) - F.col("tie3") * F.lit(1.0) / (nn * (nn - 1)))
+    )
+    z = (u - mu) / F.sqrt(var)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u, 4).alias("u_stat"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_05"),
+    )

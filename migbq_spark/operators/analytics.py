@@ -1363,3 +1363,103 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("revenue").over(w).cast("decimal(38,2)").cast("double")
         .alias("cum_revenue"),
     )
+
+
+@register(
+    "chi2_independence_dow",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, isodow(ts) - 1 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM events GROUP BY event_type, isodow(ts) - 1
+    ),
+    tot AS (
+        SELECT event_type, dow, obs,
+               SUM(obs) OVER (PARTITION BY event_type) AS rt,
+               SUM(obs) OVER (PARTITION BY dow) AS ct,
+               SUM(obs) OVER () AS n,
+               COUNT(DISTINCT event_type) OVER () AS nr,
+               COUNT(DISTINCT dow) OVER () AS nc
+        FROM o
+    ),
+    terms AS (
+        SELECT nr, nc, n,
+               CAST(FLOOR(CAST(obs * n - rt * ct AS DOUBLE)
+                          * CAST(obs * n - rt * ct AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                             * CAST(ct AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS tq
+        FROM tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(tq) / 1000000.0, 4) AS chi2,
+           ROUND(sqrt(SUM(tq) / 1000000.0
+                      / (MAX(n) * least(MAX(nr) - 1, MAX(nc) - 1))), 4)
+               AS cramers_v
+    FROM terms
+    """,
+)
+def chi2_independence_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST on the (event_type x weekday)
+    contingency grid, with Cramer's V effect size — "does traffic
+    composition depend on the day of week?", the categorical
+    independence screen next to `seasonality_dow_hour` (which shows
+    the grid) and the two-sample value tests (`ab_test_welch`,
+    `mannwhitney_u_test`, `ks_test_two_sample`).  Weekday numbering is
+    the repo-pinned cross-engine convention: Spark `weekday()` ≡
+    DuckDB `isodow − 1` (0 = Monday).
+
+    Determinism: observed/row/column/grand totals are exact integers;
+    each cell's (O·N − R·C)²/(N·R·C) term is a fixed-order double
+    expression over exactly-representable integers (|O·N − R·C| stays
+    far below 2^53), quantized to integer micro-units per CELL so the
+    cross-cell SUM is an integer — no float accumulation order can
+    diverge between engines.
+
+    Scale (100 TB): one partial-aggregated groupBy to the
+    |types|x|weekdays| grid (35 rows); every total and the final sum
+    are windows/aggregates over that tiny frame.  One scan."""
+    ev = load(spark, sf_dir, "events")
+    o = (
+        ev.select("event_type", F.weekday("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    tot = o.select(
+        "obs",
+        F.sum("obs").over(w_r).alias("rt"),
+        F.sum("obs").over(w_c).alias("ct"),
+        F.sum("obs").over(w_all).alias("n"),
+        F.size(F.collect_set("event_type").over(w_all)).alias("nr"),
+        F.size(F.collect_set("dow").over(w_all)).alias("nc"),
+    )
+    diff = (F.col("obs") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+        "double"
+    )
+    den = (
+        F.col("n").cast("double")
+        * F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+    )
+    tq = F.floor(diff * diff / den * F.lit(1000000.0)).cast("bigint")
+    terms = tot.select("nr", "nc", "n", tq.alias("tq"))
+    chi2 = F.sum("tq") / F.lit(1000000.0)
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("bigint").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.max("n")
+                    * F.least(F.max("nr") - 1, F.max("nc") - 1)
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

@@ -98,16 +98,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edit_distance_pairs",
 )
 
-#: Pre-staged round-9 window: FIRST the twenty-three late-r8 additions
-#: (never driver-run — new evidence outranks refresh; the last twelve —
+#: Pre-staged round-9 window: FIRST the twenty-five late-r8 additions
+#: (never driver-run — new evidence outranks refresh; the last fourteen —
+#: mannwhitney_u_test, chi2_independence_dow,
 #: ks_test_two_sample, sample_allocation_neyman,
 #: ann_ivf_probe_sweep, mix_dedup_aware_weights,
 #: tokenizer_unigram_seed_vocab, minhash_band_shape_sweep,
 #: dedup_containment_superset, doc_length_log2_histogram,
 #: paragraph_dedup_ccnet, boilerplate_top_blocks,
 #: decontaminate_bloom_portable, partition_skew_audit — landed at the
-#: very end of r8 and displaced twelve r3/r4-graded refresh ids to r10:
-#: near_dup_embedding, lang_id_ngram,
+#: very end of r8 and displaced fourteen r3/r4-graded refresh ids to
+#: r10: mm_meta_audit, dedup_minhash_portable, near_dup_embedding,
+#: lang_id_ngram,
 #: quality_score, token_count_bpe, doc_fingerprint, dup_cc_twostar,
 #: sample_hash_bernoulli, dedup_cross_source_cc, contamination_overlap,
 #: repeated_ngram_ratio, cross_source_overlap, heaps_law_vocab_growth),
@@ -124,6 +126,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: id is parity-guarded continuously since it was first graded.
 R9_WINDOW: tuple[str, ...] = (
     # late-r8 additions, hash-green in preflight/parity, never driver-run
+    "mannwhitney_u_test",
+    "chi2_independence_dow",
     "ks_test_two_sample",
     "sample_allocation_neyman",
     "ann_ivf_probe_sweep",
@@ -176,13 +180,11 @@ R9_WINDOW: tuple[str, ...] = (
     "vec_hof_norm",
     "tpch_q18_large_volume",
     "tpch_q12_priority_split",
-    "mm_meta_audit",
-    "dedup_minhash_portable",
-    # (near_dup_embedding, lang_id_ngram,
+    # (mm_meta_audit, dedup_minhash_portable, near_dup_embedding, lang_id_ngram,
     #  quality_score, token_count_bpe, doc_fingerprint, dup_cc_twostar,
     #  sample_hash_bernoulli, dedup_cross_source_cc, contamination_overlap,
     #  repeated_ngram_ratio, cross_source_overlap, heaps_law_vocab_growth
-    #  rolled to the r10 rotation — displaced by the twelve end-of-r8
+    #  rolled to the r10 rotation — displaced by the fourteen end-of-r8
     #  additions above, newest-evidence-first rule)
 )
 

@@ -1254,3 +1254,54 @@ def test_r8_stats_pair_semantics(spark, sf_dir):
     assert sum(x.k_neyman for x in ney) <= 1000
     assert sum(x.k_proportional for x in ney) <= 1000
     assert all(x.sd >= 0 and x.n_rows > 0 for x in ney)
+
+
+def test_r8_rank_tests_semantics(spark, sf_dir):
+    """Mann-Whitney U and chi-square recomputed independently in pure
+    Python from the raw events (midrank algebra vs a literal
+    rank-then-sum; chi2 vs a literal contingency recompute) — the same
+    guard style as the KS numpy pin."""
+    import math
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value", "ts")
+        .collect()
+    )
+    a = sorted(math.floor(r.value * 1000000.0) for r in rows
+               if r.event_type == "click")
+    b = sorted(math.floor(r.value * 1000000.0) for r in rows
+               if r.event_type == "view")
+    allv = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    # literal midranks
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j][0] == allv[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2.0
+        ranks.setdefault(allv[i][0], mid)
+        i = j
+    ra = sum(ranks[v] for v in a)
+    u_ref = ra - len(a) * (len(a) + 1) / 2.0
+    r_u = Q["mannwhitney_u_test"](spark, sf_dir).collect()[0]
+    assert (r_u.n_a, r_u.n_b) == (len(a), len(b))
+    assert r_u.u_stat == round(u_ref, 4)
+
+    from collections import Counter
+    obs = Counter(
+        (r.event_type, (r.ts.weekday())) for r in rows
+    )
+    n = sum(obs.values())
+    rt = Counter(); ct = Counter()
+    for (t, d), o in obs.items():
+        rt[t] += o; ct[d] += o
+    chi2_ref = sum(
+        math.floor((o * n - rt[t] * ct[d]) ** 2
+                   / (float(n) * rt[t] * ct[d]) * 1000000.0)
+        for (t, d), o in obs.items()
+    ) / 1000000.0
+    r_c = Q["chi2_independence_dow"](spark, sf_dir).collect()[0]
+    assert r_c.n_cells == len(obs)
+    assert r_c.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert r_c.chi2 == round(chi2_ref, 4)
