@@ -824,3 +824,103 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_rows") / mean_rows, 4).alias("skew_factor"),
         (F.col("n_rows") > F.lit(2) * mean_rows).alias("is_hot"),
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS exact_pairs
+        FROM c
+    ),
+    top AS (
+        SELECT cnt FROM c ORDER BY cnt DESC, user_id ASC LIMIT 20
+    ),
+    hh AS (
+        SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS top_sq,
+               CAST(SUM(cnt) AS BIGINT) AS top_rows,
+               CAST(COUNT(*) AS BIGINT) AS top_k
+        FROM top
+    )
+    SELECT t.n_rows, t.n_keys, t.exact_pairs,
+           hh.top_sq + CASE WHEN t.n_keys > hh.top_k
+                THEN CAST(FLOOR(
+                     CAST(t.n_rows - hh.top_rows AS DOUBLE)
+                     * (t.n_rows - hh.top_rows)
+                     / (t.n_keys - hh.top_k)) AS BIGINT)
+                ELSE 0 END AS est_pairs,
+           ROUND(abs(hh.top_sq + CASE WHEN t.n_keys > hh.top_k
+                     THEN CAST(FLOOR(
+                          CAST(t.n_rows - hh.top_rows AS DOUBLE)
+                          * (t.n_rows - hh.top_rows)
+                          / (t.n_keys - hh.top_k)) AS BIGINT)
+                     ELSE 0 END - t.exact_pairs)
+                 * 1.0 / t.exact_pairs, 4) AS rel_err,
+           t.exact_pairs > 50 * t.n_rows AS would_explode
+    FROM tot t CROSS JOIN hh
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-JOIN SIZE PLANNING AUDIT: the exact output cardinality of a
+    user_id self-join on events (Σ cnt(k)² — what sessionization-style
+    pair queries pay) next to the estimate a planner would make from
+    the 20 heaviest keys kept EXACTLY plus a uniformity assumption for
+    the tail — the pre-shuffle "will this join explode" check that
+    complements `partition_skew_audit` (per-bucket load) and
+    `lsh_bucket_skew_audit` (candidate-pair pricing): heavy-hitter
+    exactness is what makes join-size estimates survive skew, and
+    `rel_err` MEASURES how much the tail-uniformity assumption costs
+    on this key.
+
+    Determinism: counts and both Σcnt² terms are exact integers; the
+    tail estimate is one fixed-order double expression floored to
+    int64; the top-20 cut is total-ordered (cnt DESC, user_id ASC).
+
+    Scale (100 TB): one partial-aggregated groupBy per key, scalar
+    combinable totals, and a TakeOrdered(20) — the audit costs one
+    scan + one tiny shuffle regardless of key cardinality."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("exact_pairs"),
+    )
+    hh = (
+        c.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(20)
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("top_sq"),
+            F.sum("cnt").alias("top_rows"),
+            F.count(F.lit(1)).alias("top_k"),
+        )
+    )
+    tail_rows = F.col("n_rows") - F.col("top_rows")
+    tail_keys = F.col("n_keys") - F.col("top_k")
+    est = F.col("top_sq") + F.when(
+        tail_keys > 0,
+        F.floor(
+            tail_rows.cast("double") * tail_rows / tail_keys
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    return tot.crossJoin(F.broadcast(hh)).select(
+        "n_rows",
+        "n_keys",
+        "exact_pairs",
+        est.alias("est_pairs"),
+        F.round(
+            F.abs(est - F.col("exact_pairs"))
+            * F.lit(1.0)
+            / F.col("exact_pairs"),
+            4,
+        ).alias("rel_err"),
+        (F.col("exact_pairs") > F.lit(50) * F.col("n_rows")).alias(
+            "would_explode"
+        ),
+    )

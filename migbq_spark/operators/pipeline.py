@@ -4881,6 +4881,48 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------- IVF probe/recall sweep
 
+def _scaled_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, se: array<bigint>) — embeddings quantized to int64
+    micro-units (floor(x·10⁶), the `ann_rp_lsh_topk_portable` recipe)
+    so every downstream similarity is an exact integer dot product."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
+                "bigint"
+            ),
+        ).alias("se"),
+    )
+
+
+def _ivf_idot(a: str, b: str) -> F.Column:
+    """Exact int64 dot of two micro-unit vectors (in-order fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_assign(scaled: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, c_id) — every vector assigned to its max-int-dot
+    centroid (tiebreak: smallest c_id).  The K-row centroid table
+    broadcasts and the K-way expansion collapses in a MAP-SIDE max_by
+    partial aggregate — the one n-row shuffle IVF assignment costs.
+    Shared by `ann_ivf_probe_sweep` and `semdedup_centroid_prune`."""
+    return (
+        scaled.crossJoin(F.broadcast(cents))
+        .select("vec_id", "c_id", _ivf_idot("se", "ce").alias("dot"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "c_id", F.struct(F.col("dot"), (-F.col("c_id")).alias("nc"))
+            ).alias("c_id")
+        )
+    )
+
+
 @register(
     "ann_ivf_probe_sweep",
     oracle="""
@@ -4990,37 +5032,12 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring are broadcast-sized joins; the three probe levels ride
     ONE tagged probeset (the `minhash_band_shape_sweep` lesson), never
     per-level lineage re-derivation."""
-    emb = load(spark, sf_dir, "embeddings")
-    scaled = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast(
-                "bigint"
-            ),
-        ).alias("se"),
-    )
+    scaled = _scaled_emb(spark, sf_dir)
     cents = scaled.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 26)
     ).select(F.col("vec_id").alias("c_id"), F.col("se").alias("ce"))
-
-    def idot(a: str, b: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    assigned = (
-        scaled.crossJoin(F.broadcast(cents))
-        .select("vec_id", "c_id", idot("se", "ce").alias("dot"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "c_id", F.struct(F.col("dot"), (-F.col("c_id")).alias("nc"))
-            ).alias("c_id")
-        )
-    )
+    idot = _ivf_idot
+    assigned = _ivf_assign(scaled, cents)
     qs = scaled.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("se").alias("qe")
     )
@@ -5077,4 +5094,107 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit.alias("n_overlap"),
             F.round(hit / F.lit(5.0), 4).alias("recall_at_5"),
         )
+    )
+
+
+_SEMDEDUP_TAU = 300000000000  # 0.3 in micro-unit^2 dot scale (2.4σ @ 64-d)
+
+
+@register(
+    "semdedup_centroid_prune",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS c_id, se AS ce FROM scaled
+        WHERE vec_id >= 10 AND vec_id < 26
+    ),
+    assigned AS (
+        SELECT vec_id, c_id, se FROM (
+            SELECT s.vec_id, c.c_id, s.se,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY CAST(list_sum(list_transform(
+                           generate_series(1, 64),
+                           i -> s.se[i] * c.ce[i])) AS BIGINT) DESC,
+                           c.c_id ASC) AS rn
+            FROM scaled s CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS v, a.c_id, b.vec_id AS k,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> a.se[i] * b.se[i])) AS BIGINT) AS d
+        FROM assigned a JOIN assigned b
+          ON a.c_id = b.c_id AND b.vec_id < a.vec_id
+    ),
+    hits AS (SELECT * FROM pairs WHERE d >= {_SEMDEDUP_TAU})
+    SELECT v AS vec_id,
+           MIN(c_id) AS c_id,
+           CAST(MIN(k) AS BIGINT) AS kept_id,
+           ROUND(arg_min(d, k) / 1000000000000.0, 4) AS sim,
+           CAST(COUNT(*) AS BIGINT) AS n_similar
+    FROM hits
+    GROUP BY v
+    """,
+)
+def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP (Abbas et al. 2023): semantic deduplication by
+    centroid-cluster blocking — assign every embedding to its nearest
+    of 16 centroids, compare pairs ONLY within a cluster, and DROP any
+    vector that has a lower-id neighbor above the similarity threshold
+    (keep-first, the `paragraph_dedup_ccnet` rule; the paper keeps the
+    centroid-farthest member — any deterministic rule works, this one
+    is total-ordered).  Emits each dropped vector with its kept
+    canonical (the lowest qualifying id), the similarity to it, and
+    how many near-dups it had.  Complements
+    `dedup_semantic_lsh_portable`: LSH banding generates candidates
+    for precise near-dup thresholds; SemDeDup's cluster blocking
+    trades recall at the cluster boundary for ZERO hash tuning, which
+    is why both ship.
+
+    Threshold 0.3 ≈ 2.4σ for 64-d random unit vectors (the
+    `near_dup_embedding` convention — the fixture has no planted
+    clusters, so survivors are statistical outlier pairs).
+
+    Determinism: assignment, pair similarity, and the keep decision
+    are exact int64 dots with total-order tiebreaks (the
+    `ann_ivf_probe_sweep` recipe), so the entire prune is
+    value-hash-checked.
+
+    Scale (100 TB): assignment is the shared `_ivf_assign` (broadcast
+    K + map-side max_by); the pair scan is cluster-blocked — n²/K dot
+    products, the quadratic-blocked class `near_dup_embedding`
+    measures — and at extreme scale K grows with n (K ≈ √n keeps
+    per-cluster work flat), which changes no plan shape here."""
+    scaled = _scaled_emb(spark, sf_dir)
+    cents = scaled.filter(
+        (F.col("vec_id") >= 10) & (F.col("vec_id") < 26)
+    ).select(F.col("vec_id").alias("c_id"), F.col("se").alias("ce"))
+    assigned = _ivf_assign(scaled, cents).join(scaled, "vec_id")
+    a = assigned.select(
+        F.col("vec_id").alias("v"), "c_id", F.col("se").alias("a_se")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("k"),
+        F.col("c_id").alias("b_cid"),
+        F.col("se").alias("b_se"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("c_id") == F.col("b_cid")) & (F.col("k") < F.col("v")),
+    ).select("v", "c_id", "k", _ivf_idot("a_se", "b_se").alias("d"))
+    hits = pairs.filter(F.col("d") >= _SEMDEDUP_TAU)
+    return hits.groupBy(F.col("v").alias("vec_id")).agg(
+        F.min("c_id").alias("c_id"),
+        F.min("k").alias("kept_id"),
+        F.round(
+            F.min_by("d", "k") / F.lit(1000000000000.0), 4
+        ).alias("sim"),
+        F.count(F.lit(1)).alias("n_similar"),
     )

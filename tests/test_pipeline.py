@@ -1305,3 +1305,42 @@ def test_r8_rank_tests_semantics(spark, sf_dir):
     assert r_c.n_cells == len(obs)
     assert r_c.dof == (len(rt) - 1) * (len(ct) - 1)
     assert r_c.chi2 == round(chi2_ref, 4)
+
+
+def test_r8_planning_trio_semantics(spark, sf_dir):
+    """Join-cardinality: exact pair count recomputed from a literal
+    Counter; the estimate's heavy-hitter part makes it exact when
+    n_keys <= 20.  SemDeDup: every dropped vector's kept canonical has
+    a smaller id, sim >= 0.3, and dropped/kept sets are disjoint.
+    Theil-Sen: slope recomputed from a literal pairwise median."""
+    from collections import Counter
+    import math
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    jc = Q["join_cardinality_estimate"](spark, sf_dir).collect()[0]
+    cnts = Counter(r.user_id for r in ev.select("user_id").collect())
+    assert jc.n_rows == sum(cnts.values()) and jc.n_keys == len(cnts)
+    assert jc.exact_pairs == sum(c * c for c in cnts.values())
+    assert jc.rel_err >= 0
+
+    sd = Q["semdedup_centroid_prune"](spark, sf_dir).collect()
+    dropped = {r.vec_id for r in sd}
+    for r in sd:
+        assert r.kept_id < r.vec_id and r.sim >= 0.3 and r.n_similar >= 1
+    # if the smallest kept_id were itself dropped, ITS kept_id would be
+    # an even smaller kept_id — so the global minimum canonical survives
+    assert sd and min(r.kept_id for r in sd) not in dropped
+
+    ts = Q["theil_sen_daily_trend"](spark, sf_dir).collect()[0]
+    daily = Counter(r.ts.date() for r in ev.select("ts").collect())
+    days = sorted(daily)
+    slopes = sorted(
+        math.floor((daily[d2] - daily[d1]) * 1000000.0 / (d2 - d1).days)
+        for i, d1 in enumerate(days) for d2 in days[i + 1:]
+    )
+    m = len(slopes)
+    mid = {slopes[(m + 1) // 2 - 1], slopes[m // 2]}
+    mids = [slopes[(m + 1) // 2 - 1], slopes[m // 2]]
+    ref = (sum(set(mids)) / len(set(mids)) if mids[0] == mids[1]
+           else sum(mids) / 2.0) / 1000000.0
+    assert ts.n_days == len(days) and ts.n_pairs == m
+    assert ts.slope_per_day == round(ref, 4)
