@@ -463,3 +463,21 @@ def test_ks_no_global_window_over_data(spark, sf_dir):
     p = _plan(Q["ks_test_two_sample"](spark, sf_dir))
     assert "Window" in p, p
     assert "hashpartitioning(rb" in p, p
+
+
+def test_join_cardinality_takeordered_heavy_hitters(spark, sf_dir):
+    """r8 plan contract for join_cardinality_estimate: the heavy-hitter
+    cut is a bounded TakeOrderedAndProject(20), never a global sort of
+    the key-count frame."""
+    p = _plan(Q["join_cardinality_estimate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_semdedup_broadcasts_centroids(spark, sf_dir):
+    """r8 plan contract for semdedup_centroid_prune: the 16-row
+    centroid table broadcasts into the assignment (no shuffle of the
+    embedding stream against centroids) and the assignment collapses
+    map-side (partial_max_by below the exchange)."""
+    p = _plan(Q["semdedup_centroid_prune"](spark, sf_dir))
+    assert "partial_max_by" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
