@@ -4769,6 +4769,46 @@ def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, n_a, n_b, shared) — every same-source doc pair
+    size-oriented (a = smaller token set, tie by doc_id) with its exact
+    intersection size.  Bounded-sample by contract at 100 TB (see
+    `dedup_containment_superset`); shared with
+    `minhash_containment_estimate`, which audits the sketch estimator
+    on exactly these pairs."""
+    toksets = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("toks"),
+    )
+    a = toksets.select(
+        F.col("doc_id").alias("x"), "source", F.col("toks").alias("x_toks")
+    )
+    b = toksets.select(
+        F.col("doc_id").alias("y"),
+        F.col("source").alias("y_source"),
+        F.col("toks").alias("y_toks"),
+    )
+    nx, ny = F.size("x_toks"), F.size("y_toks")
+    shared = F.size(F.array_intersect("x_toks", "y_toks"))
+    x_is_a = (nx < ny) | ((nx == ny) & (F.col("x") < F.col("y")))
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("y_source")) & (F.col("x") < F.col("y")),
+        )
+        .select(
+            F.when(x_is_a, F.col("x")).otherwise(F.col("y")).alias("a_id"),
+            F.when(x_is_a, F.col("y")).otherwise(F.col("x")).alias("b_id"),
+            F.least(nx, ny).alias("n_a"),
+            F.greatest(nx, ny).alias("n_b"),
+            shared.alias("shared"),
+        )
+    )
+
+
 @register(
     "dedup_containment_superset",
     oracle="""
@@ -4831,37 +4871,7 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_exact_jaccard_pairs_df`'s shape; no size prefilter applies
     because a small doc can be contained in a container of ANY size —
     the asymmetry is the point."""
-    toksets = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.filter(F.split("text", " "), lambda t: t != "")
-        ).alias("toks"),
-    )
-    a = toksets.select(
-        F.col("doc_id").alias("x"), "source", F.col("toks").alias("x_toks")
-    )
-    b = toksets.select(
-        F.col("doc_id").alias("y"),
-        F.col("source").alias("y_source"),
-        F.col("toks").alias("y_toks"),
-    )
-    nx, ny = F.size("x_toks"), F.size("y_toks")
-    shared = F.size(F.array_intersect("x_toks", "y_toks"))
-    x_is_a = (nx < ny) | ((nx == ny) & (F.col("x") < F.col("y")))
-    o = (
-        a.join(
-            b,
-            (F.col("source") == F.col("y_source")) & (F.col("x") < F.col("y")),
-        )
-        .select(
-            F.when(x_is_a, F.col("x")).otherwise(F.col("y")).alias("a_id"),
-            F.when(x_is_a, F.col("y")).otherwise(F.col("x")).alias("b_id"),
-            F.least(nx, ny).alias("n_a"),
-            F.greatest(nx, ny).alias("n_b"),
-            shared.alias("shared"),
-        )
-    )
+    o = _containment_pairs_df(spark, sf_dir)
     containment = F.col("shared") * F.lit(1.0) / F.col("n_a")
     jaccard = (
         F.col("shared")
@@ -5197,4 +5207,122 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("d", "k") / F.lit(1000000000000.0), 4
         ).alias("sim"),
         F.count(F.lit(1)).alias("n_similar"),
+    )
+
+
+@register(
+    "minhash_containment_estimate",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    cnt AS (SELECT doc_id, source, COUNT(*) AS n FROM tok
+            GROUP BY doc_id, source),
+    pairs AS (
+        SELECT ta.doc_id AS x, tb.doc_id AS y, COUNT(*) AS shared
+        FROM tok ta JOIN tok tb
+          ON ta.source = tb.source AND ta.t = tb.t
+         AND ta.doc_id < tb.doc_id
+        GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT CASE WHEN cx.n < cy.n OR (cx.n = cy.n AND p.x < p.y)
+                    THEN p.x ELSE p.y END AS a_id,
+               CASE WHEN cx.n < cy.n OR (cx.n = cy.n AND p.x < p.y)
+                    THEN p.y ELSE p.x END AS b_id,
+               LEAST(cx.n, cy.n) AS n_a,
+               GREATEST(cx.n, cy.n) AS n_b,
+               p.shared
+        FROM pairs p
+        JOIN cnt cx ON cx.doc_id = p.x
+        JOIN cnt cy ON cy.doc_id = p.y
+        WHERE p.shared * 1.0 / LEAST(cx.n, cy.n) >= 0.8
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, s
+    ),
+    matches AS (
+        SELECT o.a_id, o.b_id,
+               CAST(COUNT(*) FILTER (ma.v = mb.v) AS BIGINT) AS n_match
+        FROM o
+        JOIN mh ma ON ma.doc_id = o.a_id
+        JOIN mh mb ON mb.doc_id = o.b_id AND mb.s = ma.s
+        GROUP BY o.a_id, o.b_id
+    )
+    SELECT o.a_id, o.b_id, o.n_a, o.n_b, m.n_match,
+           ROUND(o.shared * 1.0 / o.n_a, 4) AS exact_containment,
+           ROUND(m.n_match * 1.0 * (o.n_a + o.n_b)
+                 / ((16 + m.n_match) * o.n_a), 4) AS est_containment,
+           ROUND(abs(m.n_match * 1.0 * (o.n_a + o.n_b)
+                     / ((16 + m.n_match) * o.n_a)
+                     - o.shared * 1.0 / o.n_a), 4) AS abs_err
+    FROM o JOIN matches m ON m.a_id = o.a_id AND m.b_id = o.b_id
+    """,
+)
+def minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ESTIMATED CONTAINMENT accuracy audit — the asymmetric
+    counterpart to `minhash_jaccard_estimate`: MinHash sketches
+    estimate Jaccard directly, and containment follows from sizes via
+    C = J·(|A|+|B|) / ((1+J)·|A|) (both are functions of |A∩B|); with
+    Ĵ = m/16 from component matches the estimator reduces to the exact
+    rational m·(|A|+|B|) / ((16+m)·|A|).  Audited on EXACTLY the pairs
+    `dedup_containment_superset` emits (shared `_containment_pairs_df`),
+    so the table answers the production question: if near-superset
+    detection ran from the ALREADY-BUILT minhash signatures + stored
+    set sizes instead of re-reading token sets, how far off would each
+    decision be (`abs_err`)?  Sizes are exact per-doc scalars a real
+    pipeline stores with the signature — only |A∩B| is sketched.
+
+    Determinism: component matches are integer equality counts on the
+    portable md5-family signatures; the estimator and the exact value
+    are fixed-order double expressions over exact integers.
+
+    Scale (100 TB): signatures come from the Heaps-bounded vocab build
+    (`_portable_minhash_df`); the audit joins 16 components per pair —
+    linear in the (bounded-sample) pair set."""
+    o = _containment_pairs_df(spark, sf_dir).filter(
+        F.col("shared") * F.lit(1.0) / F.col("n_a") >= 0.8
+    )
+    mins = _portable_minhash_df(spark, sf_dir)
+    ma = mins.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    ).cast("bigint")
+    exact_c = F.col("shared") * F.lit(1.0) / F.col("n_a")
+    est_c = (
+        F.col("n_match")
+        * F.lit(1.0)
+        * (F.col("n_a") + F.col("n_b"))
+        / ((F.lit(16) + F.col("n_match")) * F.col("n_a"))
+    )
+    return (
+        o.join(ma, "a_id")
+        .join(mb, "b_id")
+        .withColumn("n_match", n_match)
+        .select(
+            "a_id",
+            "b_id",
+            "n_a",
+            "n_b",
+            "n_match",
+            F.round(exact_c, 4).alias("exact_containment"),
+            F.round(est_c, 4).alias("est_containment"),
+            F.round(F.abs(est_c - exact_c), 4).alias("abs_err"),
+        )
     )

@@ -98,8 +98,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "edit_distance_pairs",
 )
 
-#: Pre-staged round-9 window: FIRST the twenty-eight late-r8 additions
-#: (never driver-run — new evidence outranks refresh; the last seventeen —
+#: Pre-staged round-9 window: FIRST the twenty-nine late-r8 additions
+#: (never driver-run — new evidence outranks refresh; the last eighteen —
+#: minhash_containment_estimate,
 #: join_cardinality_estimate, semdedup_centroid_prune,
 #: theil_sen_daily_trend, mannwhitney_u_test, chi2_independence_dow,
 #: ks_test_two_sample, sample_allocation_neyman,
@@ -108,8 +109,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: dedup_containment_superset, doc_length_log2_histogram,
 #: paragraph_dedup_ccnet, boilerplate_top_blocks,
 #: decontaminate_bloom_portable, partition_skew_audit — landed at the
-#: very end of r8 and displaced seventeen r3/r4-graded refresh ids to
-#: r10: vec_hof_norm, tpch_q18_large_volume, tpch_q12_priority_split,
+#: very end of r8 and displaced eighteen r3/r4-graded refresh ids to
+#: r10: tpch_q5_local_supplier, vec_hof_norm, tpch_q18_large_volume,
+#: tpch_q12_priority_split,
 #: mm_meta_audit, dedup_minhash_portable, near_dup_embedding,
 #: lang_id_ngram,
 #: quality_score, token_count_bpe, doc_fingerprint, dup_cc_twostar,
@@ -128,6 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: id is parity-guarded continuously since it was first graded.
 R9_WINDOW: tuple[str, ...] = (
     # late-r8 additions, hash-green in preflight/parity, never driver-run
+    "minhash_containment_estimate",
     "join_cardinality_estimate",
     "semdedup_centroid_prune",
     "theil_sen_daily_trend",
@@ -181,13 +184,13 @@ R9_WINDOW: tuple[str, ...] = (
     "join_asof_forward",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
-    "tpch_q5_local_supplier",
-    # (vec_hof_norm, tpch_q18_large_volume, tpch_q12_priority_split,
+    # (tpch_q5_local_supplier, vec_hof_norm, tpch_q18_large_volume,
+    #  tpch_q12_priority_split,
     #  mm_meta_audit, dedup_minhash_portable, near_dup_embedding, lang_id_ngram,
     #  quality_score, token_count_bpe, doc_fingerprint, dup_cc_twostar,
     #  sample_hash_bernoulli, dedup_cross_source_cc, contamination_overlap,
     #  repeated_ngram_ratio, cross_source_overlap, heaps_law_vocab_growth
-    #  rolled to the r10 rotation — displaced by the seventeen end-of-r8
+    #  rolled to the r10 rotation — displaced by the eighteen end-of-r8
     #  additions above, newest-evidence-first rule)
 )
 

@@ -1344,3 +1344,22 @@ def test_r8_planning_trio_semantics(spark, sf_dir):
            else sum(mids) / 2.0) / 1000000.0
     assert ts.n_days == len(days) and ts.n_pairs == m
     assert ts.slope_per_day == round(ref, 4)
+
+
+def test_containment_estimator_semantics(spark, sf_dir):
+    """Estimator audit rows align 1:1 with the exact containment op's
+    pairs; the estimate is the exact rational m(na+nb)/((16+m)na); and
+    on these >=0.8-containment pairs the sketch is informative (mean
+    abs_err well under the trivial 0.5-everywhere error)."""
+    est = Q["minhash_containment_estimate"](spark, sf_dir).collect()
+    exact = Q["dedup_containment_superset"](spark, sf_dir).collect()
+    assert {(r.a_id, r.b_id) for r in est} == {
+        (r.a_id, r.b_id) for r in exact
+    }
+    for r in est:
+        ref = r.n_match * (r.n_a + r.n_b) / ((16 + r.n_match) * r.n_a)
+        assert r.est_containment == round(ref, 4)
+        assert r.abs_err == round(abs(ref - r.exact_containment), 4) or \
+            abs(r.abs_err - abs(r.est_containment - r.exact_containment)) <= 2e-4
+    mae = sum(r.abs_err for r in est) / len(est)
+    assert mae < 0.25, mae
