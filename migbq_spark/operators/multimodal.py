@@ -301,13 +301,30 @@ def mm_pack_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_stub")  # rows-only: decode is a stubbed modality step
+@register(
+    "mm_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 640 + 1 AS width,
+           n_chars % 480 + 1 AS height,
+           CAST(length('IMG|' || CAST(doc_id AS VARCHAR) || '|'
+                       || CAST(n_chars AS VARCHAR)) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS DOUBLE) / (n_chars % 480 + 1) AS aspect
+    FROM documents
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over Arrow batches via mapInPandas.
 
     The iterator-of-batches contract, output schema, and per-partition
     execution are the real production shape; only `_decode_payload`'s
-    body is fake (see its docstring)."""
+    body is fake (see its docstring) — but fake DETERMINISTICALLY
+    (width/height are fixed functions of the source row and aspect is
+    one IEEE double division), so since r9 the op carries a full hash
+    oracle: the DuckDB side recomputes the planted dimensions from the
+    source row, pinning the whole pack → mapInPandas → Arrow-batch
+    roundtrip (schema, batching, null-free lanes) by value, not just
+    by row count (r8 VERDICT rows-only-residue item)."""
     packed = _pack_binary(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -498,13 +515,32 @@ def mm_video_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample")  # rows-only: frame sampling over stub decode
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               LEAST(length('IMG|' || CAST(doc_id AS VARCHAR) || '|'
+                            || CAST(n_chars AS VARCHAR)), 30) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(f // 10 AS INT) AS frame_no,
+           CAST(f AS INT) AS frame_idx
+    FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1, 10)) AS f
+          FROM p)
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic frame sampling: treat each payload as a pseudo-video
-    with n_chars "frames" and emit every k-th frame index (posexplode of
-    a generated sequence).  Real video decode plugs into the same shape:
-    one input row → few sampled-frame rows, all JVM-side except the
-    decode itself."""
+    with min(n_bytes, 30) "frames" and emit every 10th frame index
+    (posexplode of a generated sequence).  Real video decode plugs into
+    the same shape: one input row → few sampled-frame rows, all
+    JVM-side except the decode itself.  The payload byte length is a
+    fixed function of the source row, so since r9 the sampled frame
+    grid carries a full hash oracle (frame_no = position, frame_idx =
+    value — DuckDB regenerates both from the same arithmetic; r8
+    VERDICT rows-only-residue item)."""
     packed = _pack_binary(spark, sf_dir)
     n_frames = F.least(F.col("meta.n_bytes"), F.lit(30)).cast("int")
     return packed.select(

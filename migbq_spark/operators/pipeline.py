@@ -1262,31 +1262,132 @@ def active_users_7d_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sliding_distinct_hll")  # rows-only: HLL estimates are engine-specific
+def _phll_rows(df: DataFrame, tcol: str) -> DataFrame:
+    """(tcol, bucket, rho) — row-local portable-HLL coupon per event,
+    m=4096 from the md5 family: bucket = first 3 hex chars, rho = 49 −
+    bitlength of the next 48 bits (the `hll_portable_merge` recipe at
+    lgK=12, the default sketch size Spark's own datasketches HLL uses).
+    Shared by the batch `sliding_distinct_hll` and its streaming twin
+    (`streaming.structured.run_streaming_sliding_hll`), so both build
+    bit-identical registers."""
+    u = F.md5(F.col("user_id").cast("string"))
+    v = F.conv(F.substring(u, 4, 12), 16, 10).cast("bigint")
+    return df.select(
+        tcol,
+        F.conv(F.substring(u, 1, 3), 16, 10).cast("bigint").alias("bucket"),
+        F.when(v == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.conv(v, 10, 2)))
+        .alias("rho"),
+    )
+
+
+def _phll_window_estimate(regs: DataFrame) -> DataFrame:
+    """(window_start, au_est) from per-window registers (window_start,
+    bucket, r): the fixed-order m=4096 HLL estimator with the standard
+    small-range linear-counting correction (est ≤ 2.5 m with empty
+    buckets → m·ln(m/V)).  Register sums use INTEGER terms 2^(49−rho)
+    (exact, partition-order-independent); the estimator is a single
+    fixed-order double expression DuckDB reproduces bit-for-bit."""
+    term = F.expr("shiftleft(cast(1 as bigint), 49 - r)")
+    two49 = F.lit(562949953421312).cast("bigint")
+    est = regs.groupBy("window_start").agg(
+        (F.sum(term) + (F.lit(4096) - F.count(F.lit(1))) * two49).alias("s"),
+        (F.lit(4096) - F.count(F.lit(1))).alias("nempty"),
+    )
+    est_raw = (
+        F.lit(0.7213)
+        / (F.lit(1) + F.lit(1.079) / F.lit(4096))
+        * F.lit(16777216)
+        * F.lit(562949953421312.0)
+        / F.col("s")
+    )
+    est_final = F.when(
+        (est_raw <= F.lit(10240.0)) & (F.col("nempty") > 0),
+        F.lit(4096.0) * F.log(F.lit(4096.0) / F.col("nempty")),
+    ).otherwise(est_raw)
+    return est.select("window_start", F.round(est_final, 4).alias("au_est"))
+
+
+@register(
+    "sliding_distinct_hll",
+    oracle="""
+    WITH hr AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3)
+                    AS BIGINT) AS bucket,
+               MAX(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                                 4, 12) AS BIGINT) = 0
+                        THEN 49
+                        ELSE 49 - length(bin(CAST('0x'
+                             || substr(md5(CAST(user_id AS VARCHAR)), 4, 12)
+                             AS BIGINT)))
+                   END) AS r
+        FROM events
+        GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + ((CAST(epoch(h) AS BIGINT) // 21600) * 21600 - k * 21600)
+                   * INTERVAL '1 second' AS window_start,
+               bucket, MAX(r) AS r
+        FROM hr, (SELECT unnest(generate_series(0, 3)) AS k) ks
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT window_start,
+               SUM(1::BIGINT << (49 - r))
+                 + (4096 - COUNT(*)) * (1::BIGINT << 49) AS s,
+               4096 - COUNT(*) AS nempty
+        FROM win GROUP BY window_start
+    )
+    SELECT window_start,
+           ROUND(CASE WHEN 0.7213 / (1 + 1.079 / 4096) * 16777216
+                           * 562949953421312.0 / s <= 10240.0
+                           AND nempty > 0
+                      THEN 4096.0 * ln(4096.0 / nempty)
+                      ELSE 0.7213 / (1 + 1.079 / 4096) * 16777216
+                           * 562949953421312.0 / s
+                 END, 4) AS au_est
+    FROM est
+    """,
+)
 def sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-distinct users over SLIDING event-time windows (24 h window,
-    6 h slide) via partial-HLL merge — the sliding-frame twin of
-    `active_users_7d_hll` (r2 VERDICT item 5, builder's r3 note).
+    6 h slide) via partial-HLL register merge — the sliding-frame twin of
+    `active_users_7d_hll` (r2 VERDICT item 5, builder's r3 note),
+    upgraded in r9 from Spark's engine-specific datasketches HLL to the
+    PORTABLE md5-register family so the whole pipeline — hourly partial
+    registers, window replication, register-wise-max merge, estimator —
+    is hash-verified against DuckDB bit-for-bit (the r8 VERDICT's
+    rows-only-residue item; `active_users_7d_hll` keeps the native
+    datasketches demo).
 
-    Shape: raw events collapse once into hourly HLL partials
-    (map-side-combinable, fixed bytes/hour); `F.window` on the PARTIAL
-    frame then replicates each hourly sketch into its 4 covering sliding
-    windows and `hll_union_agg` merges per window.  Raw data is read
-    exactly once; the shuffle moves |hours|×4 fixed-size sketches, never
-    (window, user) pairs — at 100 TB/day the sliding distinct costs the
-    same as the daily one.  The identical groupBy runs on a watermarked
-    stream (sketches are commutative monoid state).  Estimates are
-    engine-specific (rows-only); tests/test_pipeline.py pins them to
-    within a few % of the exact sliding count-distinct."""
+    Shape: raw events collapse once into hourly register partials
+    (map-side-combinable ≤ m=4096 small ints/hour — the same 4 KB-class
+    footprint as a native lgK=12 sketch); `F.window` on the PARTIAL
+    frame replicates each hourly register set into its 4 covering
+    sliding windows and a register-wise MAX merges per window.  Raw
+    data is read exactly once; the shuffle moves |hours|×4 fixed-size
+    register sets, never (window, user) pairs — at 100 TB/day the
+    sliding distinct costs the same as the daily one.  The identical
+    groupBy runs on a watermarked stream (register max is commutative
+    monoid state — tests/test_streaming.py asserts the streaming twin
+    is value-identical); tests/test_pipeline.py additionally pins the
+    estimates to within a few % of the exact sliding count-distinct."""
     ev = load(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    hourly = (
+        _phll_rows(
+            ev.select(F.date_trunc("hour", "ts").alias("h"), "user_id"), "h"
+        )
+        .groupBy("h", "bucket")
+        .agg(F.max("rho").alias("r"))
     )
-    return (
-        hourly.groupBy(F.window("h", "24 hours", "6 hours").alias("win"))
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("au_est"))
-        .select(F.col("win.start").alias("window_start"), "au_est")
+    win = (
+        hourly.groupBy(F.window("h", "24 hours", "6 hours").alias("win"), "bucket")
+        .agg(F.max("r").alias("r"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "r")
     )
+    return _phll_window_estimate(win)
 
 
 # ---------------------------------------------------- dup_cc_twostar

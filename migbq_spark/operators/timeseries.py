@@ -831,7 +831,89 @@ def _quantile(vals, weights, q):
     return float(np.interp(target, cum, vals))
 
 
-@register("rolling_quantile_tdigest")  # rows-only: sketch is approximate
+@register(
+    "rolling_quantile_tdigest",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT) AS vm
+        FROM events
+    ),
+    p1 AS (
+        SELECT d, vm,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY vm) AS p,
+               COUNT(*) OVER (PARTITION BY d) AS n
+        FROM v
+    ),
+    c1 AS (
+        SELECT d, ({_TDIGEST_K} * (p - 1)) // n + 1 AS b,
+               SUM(vm) AS csum, COUNT(*) AS cw
+        FROM p1 GROUP BY d, b
+    ),
+    member AS (
+        SELECT d + CAST(k AS INTEGER) AS win_d, csum, cw
+        FROM c1, (SELECT unnest(generate_series(0, 6)) AS k) ks
+    ),
+    m1 AS (
+        SELECT win_d, csum, cw,
+               SUM(cw) OVER w - cw AS prev,
+               SUM(cw) OVER (PARTITION BY win_d) AS tw
+        FROM member
+        WINDOW w AS (PARTITION BY win_d
+                     ORDER BY CAST(csum AS DOUBLE) / cw, csum, cw
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    c2 AS (
+        SELECT win_d, ({_TDIGEST_K} * prev) // tw + 1 AS b,
+               SUM(csum) AS bsum, SUM(cw) AS bw, MAX(tw) AS tw
+        FROM m1 GROUP BY win_d, b
+    ),
+    qrows AS (
+        SELECT win_d, b, tw,
+               CAST(bsum AS DOUBLE) / bw AS cv,
+               SUM(bw) OVER (PARTITION BY win_d ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) - bw / 2.0 AS mid
+        FROM c2
+    ),
+    r AS (
+        SELECT win_d, b, tw, cv, mid,
+               LEAD(cv) OVER (PARTITION BY win_d ORDER BY b) AS cv2,
+               LEAD(mid) OVER (PARTITION BY win_d ORDER BY b) AS mid2,
+               FIRST_VALUE(cv) OVER (PARTITION BY win_d ORDER BY b) AS cv_lo,
+               FIRST_VALUE(mid) OVER (PARTITION BY win_d ORDER BY b) AS mid_lo,
+               LAST_VALUE(cv) OVER (PARTITION BY win_d ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS cv_hi,
+               LAST_VALUE(mid) OVER (PARTITION BY win_d ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS mid_hi
+        FROM qrows
+    ),
+    interp AS (
+        SELECT win_d, tw, qq,
+               CASE WHEN qq * tw <= MIN(mid_lo) THEN MIN(cv_lo)
+                    WHEN qq * tw >= MIN(mid_hi) THEN MIN(cv_hi)
+                    ELSE MIN(CASE WHEN mid <= qq * tw AND mid2 > qq * tw
+                                  THEN (cv2 - cv) / (mid2 - mid)
+                                       * (qq * tw - mid) + cv
+                             END)
+               END AS est
+        FROM r, (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                CAST(0.95 AS DOUBLE)]) AS qq) qs
+        GROUP BY win_d, tw, qq
+    ),
+    piv AS (
+        SELECT win_d, CAST(tw AS DOUBLE) AS n_est,
+               MIN(CASE WHEN qq = 0.5 THEN est END) / 1000000.0 AS p50,
+               MIN(CASE WHEN qq = 0.95 THEN est END) / 1000000.0 AS p95
+        FROM interp GROUP BY win_d, tw
+    )
+    SELECT win_d, n_est, p50, p95
+    FROM piv
+    WHERE win_d >= (SELECT MIN(d) FROM v) + 6
+      AND win_d <= (SELECT MAX(d) FROM v)
+    """,
+)
 def rolling_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day p50/p95 of event value per day, from MERGED daily
     quantile sketches (SURVEY §7.2 r2 candidate: t-digest-style mergeable
@@ -850,48 +932,82 @@ def rolling_quantile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw values are read ONCE; the shuffled payload is K centroids per
     day — at 100 TB the rolling stage moves kilobytes per day instead of
     re-scanning a week of raw data per window (what a naive
-    `percentile() OVER (RANGE 7 days)` re-aggregation does).  Approximate
-    by construction → rows-only; accuracy pinned vs the exact rolling
-    percentile in tests/test_pipeline.py."""
+    `percentile() OVER (RANGE 7 days)` re-aggregation does).
+
+    PORTABLE since r9 (r8 VERDICT rows-only-residue item): centroids
+    are carried as INTEGER (Σ value-micro-units, weight) pairs, so both
+    compression levels are exact integer arithmetic — bin(p) =
+    floor(K·prevcum/W)+1 is the closed form of the equal-weight
+    searchsorted binning, order-independent because the centroid sort
+    key (mean, sum, weight) is a total order — and the only floats are
+    the final fixed-order interpolation (np.interp's exact formula,
+    mirrored in the oracle) over exact-int-derived doubles.  The DuckDB
+    oracle replays both levels with window functions, making this a
+    hash-checked MERGEABLE quantile sketch; rank-error accuracy is
+    additionally pinned vs the exact rolling percentile in
+    tests/test_pipeline.py, and the generic float kernel keeps its
+    hypothesis suite (tests/test_tdigest.py)."""
     import pandas as pd
     import numpy as np
 
+    K = _TDIGEST_K
     ev = load(spark, sf_dir, "events")
-    days = ev.select(F.to_date("ts").alias("d"), "value")
+    days = ev.select(
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value").cast("double") * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("vm"),
+    )
 
     def day_sketch(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        cv, cw = _compress(v, np.ones_like(v))
+        vm = np.sort(pdf["vm"].to_numpy(np.int64))
+        n = len(vm)
+        b = (K * np.arange(n, dtype=np.int64)) // n
+        g = pd.DataFrame({"b": b, "vm": vm}).groupby("b", sort=True)
         return pd.DataFrame(
             {
-                "d": [pdf["d"].iloc[0]] * len(cv),
-                "centroid": cv,
-                "weight": cw,
+                "d": [pdf["d"].iloc[0]] * g.ngroups,
+                "csum": g["vm"].sum().to_numpy(np.int64),
+                "cw": g.size().to_numpy(np.int64),
             }
         )
 
     sketches = days.groupBy("d").applyInPandas(
-        day_sketch, "d date, centroid double, weight double"
+        day_sketch, "d date, csum long, cw long"
     )
 
     # fan each day's sketch out to the window-end days it belongs to
     member = sketches.select(
         F.explode(F.expr("sequence(0, 6)")).alias("off"),
         F.date_add(F.col("d"), F.col("off")).alias("win_d"),
-        "centroid",
-        "weight",
+        "csum",
+        "cw",
     ).drop("off")
 
     def merge_query(pdf: pd.DataFrame) -> pd.DataFrame:
-        cv, cw = _compress(
-            pdf["centroid"].to_numpy(np.float64), pdf["weight"].to_numpy(np.float64)
-        )
+        s = pdf["csum"].to_numpy(np.int64)
+        w = pdf["cw"].to_numpy(np.int64)
+        mean = s / w
+        order = np.lexsort((w, s, mean))
+        s, w = s[order], w[order]
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        b = (K * (cum - w)) // total
+        g = pd.DataFrame({"b": b, "s": s, "w": w}).groupby("b", sort=True)
+        bs = g["s"].sum().to_numpy(np.int64)
+        bw = g["w"].sum().to_numpy(np.int64)
+        cv = bs / bw
+        mid = np.cumsum(bw) - bw / 2.0
+
+        def q(qq: float) -> float:
+            return float(np.interp(qq * total, mid, cv)) / 1000000.0
+
         return pd.DataFrame(
             {
                 "win_d": [pdf["win_d"].iloc[0]],
-                "n_est": [float(pdf["weight"].sum())],
-                "p50": [_quantile(cv, cw, 0.5)],
-                "p95": [_quantile(cv, cw, 0.95)],
+                "n_est": [float(total)],
+                "p50": [q(0.5)],
+                "p95": [q(0.95)],
             }
         )
 

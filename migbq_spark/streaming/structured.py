@@ -148,22 +148,31 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_streaming_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `sliding_distinct_hll`: approx-distinct users per
-    24 h/6 h sliding window as ONE streaming HLL aggregation.  HLL
-    sketches are commutative-monoid state, so the micro-batch partials
-    Spark maintains per window are exactly the batch form's hourly
-    partial sketches — register-identical, hence estimate-identical
-    (asserted in tests/test_streaming.py).  At 100 TB/day the state per
-    open window is one fixed-size sketch, bounded by the watermark."""
+    24 h/6 h sliding window as ONE streaming register aggregation over
+    the PORTABLE md5-HLL family (r9 — shares `_phll_rows` /
+    `_phll_window_estimate` with the batch op, so both build
+    bit-identical registers).  Register-wise MAX is commutative-monoid
+    state, so the micro-batch partials Spark maintains per (window,
+    bucket) are exactly the batch form's hourly partials merged —
+    register-identical, hence estimate-identical (asserted in
+    tests/test_streaming.py).  At 100 TB/day the state per open window
+    is ≤ m=4096 small ints (a fixed-size sketch), bounded by the
+    watermark; the estimator runs post-drain on the ≤ |windows|·m
+    register table."""
+    from migbq_spark.operators.pipeline import (
+        _phll_rows,
+        _phll_window_estimate,
+    )
+
     sdf = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    rows = _phll_rows(sdf, "ts")
     agg = (
-        sdf.groupBy(F.window("ts", "24 hours", "6 hours").alias("win"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("au_est")
-        )
-        .select(F.col("win.start").alias("window_start"), "au_est")
+        rows.groupBy(F.window("ts", "24 hours", "6 hours").alias("win"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "r")
     )
     name = _drain(agg, f"sliding_hll_{sf_dir}", mode="complete")
-    return spark.table(name)
+    return _phll_window_estimate(spark.table(name))
 
 
 def _progress_update(key, pdf_iter, state: GroupState):
