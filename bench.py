@@ -75,6 +75,26 @@ R6_FAMILY = [
     "dup_span_ratio_hashed",
 ]
 
+#: r8-family suite (r8 VERDICT #6): the heaviest post-r6 ops — the BPE
+#: tokenizer quartet, the containment/band-audit family (pair-budgeted
+#: in r9), the pair-listing minhash duo, and CCNet paragraph dedup —
+#: were tracked only by the single-run perf sweep, where cross-round
+#: deltas drown in the 60-385% box spread.  Same min-of-3 + spread_pct
+#: treatment as the other suites so regressions there are signal.
+R8_FAMILY = [
+    "tokenizer_bpe_train_merges",
+    "tokenizer_bpe_train_batched",
+    "tokenizer_bpe_apply",
+    "tokenizer_bpe_apply_trie",
+    "minhash_containment_estimate",
+    "minhash_band_fp_audit",
+    "minhash_band_shape_sweep",
+    "dedup_containment_superset",
+    "dedup_minhash_portable",
+    "minhash_jaccard_estimate",
+    "paragraph_dedup_ccnet",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,7 +114,7 @@ def main() -> None:
     # scale; the warm runs measure actual execution throughput.
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for qid in HEADLINE + R6_FAMILY:
+    for qid in HEADLINE + R6_FAMILY + R8_FAMILY:
         runs = []
         for _ in range(3):
             df = queries[qid](spark, sf_dir)
@@ -122,6 +142,9 @@ def main() -> None:
                 "unit": "sec",
                 "r6_family_sec": round(
                     sum(timings[q] for q in R6_FAMILY), 4
+                ),
+                "r8_family_sec": round(
+                    sum(timings[q] for q in R8_FAMILY), 4
                 ),
                 "queries": timings,
                 "spread_pct": spread,

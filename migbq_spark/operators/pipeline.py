@@ -161,15 +161,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-def _portable_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _portable_minhash_df(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, mh0..mh15) — the 16 PORTABLE md5-derived 60-bit
     MinHash components per document (each hash = top 60 bits of
     md5(seed ':' token), bit-identical between Spark's
     ``conv(substr(md5(..),1,15),16,10)`` and DuckDB's
     ``CAST('0x'||substr(md5(..),1,15) AS BIGINT)``).  Shared by
     `_portable_band_df` (banding) and `minhash_jaccard_estimate`
-    (component-match accuracy audit)."""
+    (component-match accuracy audit).
+
+    ``docs`` (optional, a broadcastable (doc_id) frame) restricts the
+    build to those documents BEFORE any hashing — signatures are
+    per-doc-local (min over the doc's own token hashes), so the
+    restriction is value-identical to filtering afterwards but turns
+    the audit ops' signature cost from corpus-bounded into
+    sample-bounded (r9: `minhash_containment_estimate` at sf1 spent
+    ~30 s rebuilding two corpus-wide signature lineages for a ≤1280-doc
+    audit sample)."""
     toks = _tok_df(spark, sf_dir)
+    if docs is not None:
+        toks = toks.join(F.broadcast(docs), "doc_id")
 
     def h(i: int) -> F.Column:
         return F.conv(
@@ -212,13 +225,18 @@ def _portable_minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _portable_band_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _portable_band_df(
+    spark: SparkSession, sf_dir: str, mins: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, source, band, bkey) — `_portable_minhash_df` signatures
     banded 4×4 (bkey = the comma-joined 4-tuple, no second hash —
     portable).  Shared by `dedup_minhash_portable` (source-blocked pair
     listing) and `dedup_cross_source_cc` (unblocked cluster
-    discovery)."""
-    mins = _portable_minhash_df(spark, sf_dir)
+    discovery).  Pass ``mins`` to band an already-built (or
+    checkpointed/sample-restricted) signature table instead of
+    re-deriving the whole lineage."""
+    if mins is None:
+        mins = _portable_minhash_df(spark, sf_dir)
     rows_per_band = _MINHASH_K // _LSH_BANDS
     return mins.select(
         "doc_id",
@@ -2692,8 +2710,16 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature, NOT the token set), and the exact side reuses the
     verify-join shape that is already the dedup path's cost — the
     audit is therefore at most 2× the dedup run it qualifies, and in
-    production you run it on a SAMPLE of candidates."""
-    bands = _portable_band_df(spark, sf_dir)
+    production you run it on a SAMPLE of candidates.
+
+    The signature table is localCheckpoint'ed ONCE and reused by the
+    banding AND both per-side signature joins (r9): without the cut,
+    Catalyst re-derives the full corpus-wide signature lineage in each
+    of the three branches (measured 31.7 s at sf1 for three rebuilds;
+    one materialized build + reuse is the way a real pipeline stores
+    signatures anyway — |docs| × 16 int64, ~70 MB at sf10)."""
+    mins_ck = _portable_minhash_df(spark, sf_dir).localCheckpoint()
+    bands = _portable_band_df(spark, sf_dir, mins=mins_ck)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -2707,7 +2733,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "a_id", "b_id")
         .dropDuplicates()
     )
-    mins = _portable_minhash_df(spark, sf_dir)
+    mins = mins_ck
     siga = mins.select(
         F.col("doc_id").alias("a_id"),
         F.array(*[f"mh{i}" for i in range(_MINHASH_K)]).alias("a_sig"),
@@ -4223,21 +4249,27 @@ def _audit_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_jaccard_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _exact_jaccard_pairs_df(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(a_id, b_id) — EXACT ground truth: same-source doc pairs with
     token-set Jaccard >= 0.8, over the `_audit_docs_df` sample (the
     pair budget is CODE-ENFORCED since r9: ≤ |sources| · cap² pairs at
     any corpus size; byte-identical to the uncapped form at the ≤ cap
-    docs/source fixture SFs).  Jaccard >= 0.8 forces
+    docs/source fixture SFs; pass an already-checkpointed ``docs``
+    sample so the rank window isn't re-derived per plan branch).
+    Jaccard >= 0.8 forces
     0.8·|B| <= |A| <= |B|/0.8, so two integer size compares skip the
     array_intersect for pairs that can never reach the threshold —
     result-identical, oracles unchanged.  On THIS fixture the band
     keeps 52% of pairs and the wall time is a wash; on a size-diverse
     real corpus it prunes the bulk of the blocked cross product, which
     is why the guard ships."""
+    if docs is None:
+        docs = _audit_docs_df(spark, sf_dir)
     toksets = (
         load(spark, sf_dir, "documents")
-        .join(F.broadcast(_audit_docs_df(spark, sf_dir)), "doc_id")
+        .join(F.broadcast(docs), "doc_id")
         .select(
             "doc_id",
             "source",
@@ -4361,9 +4393,13 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min over the doc's own token hashes), so the post-hoc doc filter
     is value-identical and the broadcast semi-restriction costs one
     ≤ |sources|·cap row broadcast."""
-    sample = _audit_docs_df(spark, sf_dir)
-    bands = _portable_band_df(spark, sf_dir).join(
-        F.broadcast(sample), "doc_id"
+    sample = _audit_docs_df(spark, sf_dir).localCheckpoint()
+    bands = _portable_band_df(
+        spark,
+        sf_dir,
+        mins=_portable_minhash_df(
+            spark, sf_dir, docs=sample
+        ).localCheckpoint(),
     )
     cand = (
         bands.alias("a")
@@ -4379,7 +4415,7 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    truth = _exact_jaccard_pairs_df(spark, sf_dir)
+    truth = _exact_jaccard_pairs_df(spark, sf_dir, docs=sample)
     hits = cand.join(truth, ["a_id", "b_id"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -4869,9 +4905,8 @@ def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse one signature build (Heaps-bounded vocab hashing); each
     bucket self-join is blocked on (source, band, bkey) exactly as
     production candidate generation is."""
-    mins = _portable_minhash_df(spark, sf_dir).join(
-        F.broadcast(_audit_docs_df(spark, sf_dir)), "doc_id"
-    )
+    sample = _audit_docs_df(spark, sf_dir).localCheckpoint()
+    mins = _portable_minhash_df(spark, sf_dir, docs=sample).localCheckpoint()
     # ONE exploded band stream tags every (shape, band, bkey) — a
     # per-shape loop would re-derive the whole signature lineage per
     # union branch (measured: 32 parquet scans in the executed plan);
@@ -4913,7 +4948,7 @@ def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    truth = _exact_jaccard_pairs_df(spark, sf_dir)
+    truth = _exact_jaccard_pairs_df(spark, sf_dir, docs=sample)
     per_shape = (
         cand.join(
             truth.withColumn("is_true", F.lit(1)), ["a_id", "b_id"], "left"
@@ -4941,18 +4976,24 @@ def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _containment_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _containment_pairs_df(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(a_id, b_id, n_a, n_b, shared) — every same-source doc pair
     size-oriented (a = smaller token set, tie by doc_id) with its exact
     intersection size, over the `_audit_docs_df` sample (pair budget
     CODE-ENFORCED since r9 — ≤ |sources| · `_AUDIT_DOC_CAP`² pairs at
     any corpus size; byte-identical to the uncapped form at the ≤ cap
-    docs/source fixture SFs).  Shared with
-    `minhash_containment_estimate`, which audits the sketch estimator
-    on exactly these pairs."""
+    docs/source fixture SFs; pass an already-checkpointed ``docs``
+    sample so the rank window isn't re-derived per plan branch).
+    Shared with `minhash_containment_estimate` and
+    `minhash_bbit_estimate`, which audit sketch estimators on exactly
+    these pairs."""
+    if docs is None:
+        docs = _audit_docs_df(spark, sf_dir)
     toksets = (
         load(spark, sf_dir, "documents")
-        .join(F.broadcast(_audit_docs_df(spark, sf_dir)), "doc_id")
+        .join(F.broadcast(docs), "doc_id")
         .select(
             "doc_id",
             "source",
@@ -5051,7 +5092,9 @@ def dedup_containment_superset(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_exact_jaccard_pairs_df`'s shape; no size prefilter applies
     because a small doc can be contained in a container of ANY size —
     the asymmetry is the point."""
-    o = _containment_pairs_df(spark, sf_dir)
+    o = _containment_pairs_df(
+        spark, sf_dir, docs=_audit_docs_df(spark, sf_dir).localCheckpoint()
+    )
     containment = F.col("shared") * F.lit(1.0) / F.col("n_a")
     jaccard = (
         F.col("shared")
@@ -5469,10 +5512,13 @@ def minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): signatures come from the Heaps-bounded vocab build
     (`_portable_minhash_df`); the audit joins 16 components per pair —
     linear in the (bounded-sample) pair set."""
-    o = _containment_pairs_df(spark, sf_dir).filter(
+    sample = _audit_docs_df(spark, sf_dir).localCheckpoint()
+    o = _containment_pairs_df(spark, sf_dir, docs=sample).filter(
         F.col("shared") * F.lit(1.0) / F.col("n_a") >= 0.8
     )
-    mins = _portable_minhash_df(spark, sf_dir)
+    mins = _portable_minhash_df(
+        spark, sf_dir, docs=sample
+    ).localCheckpoint()
     ma = mins.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
@@ -5505,5 +5551,149 @@ def minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_c, 4).alias("exact_containment"),
             F.round(est_c, 4).alias("est_containment"),
             F.round(F.abs(est_c - exact_c), 4).alias("abs_err"),
+        )
+    )
+
+
+# ----------------------------------------------- b-bit minwise hashing
+
+@register(
+    "minhash_bbit_estimate",
+    oracle=f"""
+    WITH{_AUDIT_SAMPLE_SQL},
+    tok AS (
+        SELECT DISTINCT doc_id, source, t
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+              FROM documents JOIN samp USING (doc_id))
+        WHERE t <> ''
+    ),
+    cnt AS (SELECT doc_id, source, COUNT(*) AS n FROM tok
+            GROUP BY doc_id, source),
+    allp AS (
+        -- EVERY same-source sampled pair, including zero-overlap ones
+        -- (a token-equality join would silently drop shared=0 pairs,
+        -- which the Spark blocked cross join keeps)
+        SELECT ca.doc_id AS x, cb.doc_id AS y, ca.n AS nx, cb.n AS ny
+        FROM cnt ca JOIN cnt cb
+          ON ca.source = cb.source AND ca.doc_id < cb.doc_id
+    ),
+    pairs AS (
+        SELECT ta.doc_id AS x, tb.doc_id AS y, COUNT(*) AS shared
+        FROM tok ta JOIN tok tb
+          ON ta.source = tb.source AND ta.t = tb.t
+         AND ta.doc_id < tb.doc_id
+        GROUP BY 1, 2
+    ),
+    o AS (
+        SELECT CASE WHEN a.nx < a.ny OR (a.nx = a.ny AND a.x < a.y)
+                    THEN a.x ELSE a.y END AS a_id,
+               CASE WHEN a.nx < a.ny OR (a.nx = a.ny AND a.x < a.y)
+                    THEN a.y ELSE a.x END AS b_id,
+               LEAST(a.nx, a.ny) AS n_a,
+               GREATEST(a.nx, a.ny) AS n_b,
+               COALESCE(p.shared, 0) AS shared
+        FROM allp a LEFT JOIN pairs p ON p.x = a.x AND p.y = a.y
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS s),
+    mh AS (
+        SELECT doc_id, s,
+               MIN(CAST(concat('0x', substr(md5(s || ':' || t), 1, 15))
+                        AS BIGINT)) AS v
+        FROM tok CROSS JOIN seeds
+        GROUP BY doc_id, s
+    ),
+    matches AS (
+        SELECT o.a_id, o.b_id,
+               CAST(COUNT(*) FILTER (ma.v = mb.v) AS BIGINT) AS m_full,
+               CAST(COUNT(*) FILTER (ma.v % 4 = mb.v % 4) AS BIGINT)
+                   AS m_bbit
+        FROM o
+        JOIN mh ma ON ma.doc_id = o.a_id
+        JOIN mh mb ON mb.doc_id = o.b_id AND mb.s = ma.s
+        GROUP BY o.a_id, o.b_id
+    )
+    SELECT o.a_id, o.b_id, m.m_full, m.m_bbit,
+           ROUND(CAST(o.shared AS DOUBLE) / (o.n_a + o.n_b - o.shared), 4)
+               AS jac_exact,
+           ROUND(CAST(m.m_full AS DOUBLE) / 16, 4) AS est_full,
+           ROUND((CAST(m.m_bbit AS DOUBLE) / 16 - 0.25) / 0.75, 4)
+               AS est_bbit,
+           ROUND(abs(CAST(m.m_full AS DOUBLE) / 16
+                     - CAST(o.shared AS DOUBLE)
+                       / (o.n_a + o.n_b - o.shared)), 4) AS err_full,
+           ROUND(abs((CAST(m.m_bbit AS DOUBLE) / 16 - 0.25) / 0.75
+                     - CAST(o.shared AS DOUBLE)
+                       / (o.n_a + o.n_b - o.shared)), 4) AS err_bbit
+    FROM o JOIN matches m ON m.a_id = o.a_id AND m.b_id = o.b_id
+    """,
+)
+def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-BIT MINWISE HASHING accuracy audit (Li & König 2010): keep only
+    the LOWEST b=2 bits of each of the 16 MinHash components — a 30×
+    signature-storage cut at 100 TB (2 bits vs 60 per component) — and
+    estimate Jaccard with the collision-corrected unbiased form
+    Ĵ_b = (m_b/16 − 1/4)/(1 − 1/4), where 1/4 is the accidental-collision
+    probability of independent 2-bit values.  Emitted per pair NEXT TO
+    the full-width estimate m/16 and the exact Jaccard, over exactly the
+    `_audit_docs_df` budget sample (the r9 code-enforced pair cap), so
+    the table answers the storage-planning question directly: how much
+    estimation error does the 30× compression actually buy at each
+    similarity level — the b-bit theory says the penalty concentrates
+    at LOW similarity, which is exactly where dedup thresholds don't
+    care.
+
+    Determinism: m_full/m_bbit are integer equality counts on the
+    portable md5-family signatures (low bits via % 4, identical in both
+    engines); the estimators are fixed-order double expressions with
+    exactly-representable constants (1/4, 3/4, 1/16).
+
+    Scale (100 TB): signatures come from the Heaps-bounded vocab build
+    (`_portable_minhash_df`); the audit join is linear in the capped
+    pair set (≤ |sources|·cap²); the PRODUCTION b-bit path stores the
+    packed low bits with the same banding as `dedup_minhash_portable` —
+    this op grades the estimator those bands would verify with."""
+    sample = _audit_docs_df(spark, sf_dir).localCheckpoint()
+    o = _containment_pairs_df(spark, sf_dir, docs=sample)
+    mins = _portable_minhash_df(
+        spark, sf_dir, docs=sample
+    ).localCheckpoint()
+    ma = mins.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASH_K)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASH_K)],
+    )
+    m_full = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    ).cast("bigint")
+    m_bbit = sum(
+        F.when(F.col(f"a{i}") % 4 == F.col(f"b{i}") % 4, 1).otherwise(0)
+        for i in range(_MINHASH_K)
+    ).cast("bigint")
+    jac = F.col("shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    est_full = F.col("m_full").cast("double") / F.lit(16)
+    est_bbit = (F.col("m_bbit").cast("double") / F.lit(16) - F.lit(0.25)) / F.lit(
+        0.75
+    )
+    return (
+        o.join(ma, "a_id")
+        .join(mb, "b_id")
+        .withColumn("m_full", m_full)
+        .withColumn("m_bbit", m_bbit)
+        .select(
+            "a_id",
+            "b_id",
+            "m_full",
+            "m_bbit",
+            F.round(jac, 4).alias("jac_exact"),
+            F.round(est_full, 4).alias("est_full"),
+            F.round(est_bbit, 4).alias("est_bbit"),
+            F.round(F.abs(est_full - jac), 4).alias("err_full"),
+            F.round(F.abs(est_bbit - jac), 4).alias("err_bbit"),
         )
     )

@@ -1112,3 +1112,111 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_per_day"),
         (F.col("s2") > 0).alias("trending_up"),
     )
+
+
+@register(
+    "cusum_drift_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT d, cnt,
+               COUNT(*) OVER () AS n,
+               SUM(cnt) OVER () AS t,
+               SUM(cnt * cnt) OVER () AS sq
+        FROM daily
+    ),
+    p AS (
+        SELECT d, cnt, n, t, sq,
+               SUM(n * cnt - t) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS pfx
+        FROM g
+    ),
+    s AS (
+        SELECT d, cnt, n, pfx,
+               n * sq - t * t AS s2n,
+               LEAST(MIN(pfx) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING),
+                     0) AS lo,
+               GREATEST(MAX(pfx) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING),
+                        0) AS hi
+        FROM p
+    )
+    SELECT d, cnt,
+           ROUND((pfx - lo) * 1.0 / n, 4) AS cusum_pos,
+           ROUND((hi - pfx) * 1.0 / n, 4) AS cusum_neg,
+           (pfx - lo) > 4.0 * sqrt(CAST(s2n AS DOUBLE)) AS alarm_pos,
+           (hi - pfx) > 4.0 * sqrt(CAST(s2n AS DOUBLE)) AS alarm_neg
+    FROM s
+    """,
+)
+def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE'S CUSUM DRIFT DETECTOR over daily event counts — the
+    monitoring op a pipeline owner points at ingest volume: a sustained
+    level shift (upstream source died, crawler unblocked, duplicate
+    feed attached) accumulates in the one-sided CUSUM statistics long
+    before any single day crosses an outlier bound, the failure mode
+    `anomaly_zscore_daily` (pointwise) cannot see.
+
+    Closed form instead of the textbook recurrence: with zero
+    allowance, S⁺_t = max(0, S⁺_{t-1} + (x_t − μ)) telescopes to
+    P_t − min_{j≤t} P_j where P is the prefix sum of (x − μ) — so two
+    running windows (min/max of one prefix-sum column) replace the
+    sequential loop, which is what makes the op ONE window pass over
+    the |days|-row daily frame instead of an iterative driver loop.
+
+    Determinism: everything is scaled to INTEGERS — P is accumulated
+    as Σ(n·x_i − T) (n = day count, T = total), exactly n× the
+    textbook statistic, so prefix sums, running extrema, and the
+    CUSUM values are exact int64 arithmetic; the only doubles are the
+    final /n renders and the alarm threshold 4σ̂ (σ̂ from the exact
+    n·Σx²−T² moment via one sqrt — the same fixed-order expression in
+    both engines).
+
+    Scale (100 TB): one partial aggregate collapses the corpus to
+    |days| rows; every window after that runs on the tiny daily frame
+    (single partition by design — the frame IS small; repartitioning
+    a |days|-row frame would be overhead, not parallelism)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_pfx = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = daily.select(
+        "d",
+        "cnt",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).alias("t"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w_all).alias("sq"),
+    )
+    p = g.withColumn(
+        "pfx", F.sum(F.col("n") * F.col("cnt") - F.col("t")).over(w_pfx)
+    )
+    s = p.select(
+        "d",
+        "cnt",
+        "n",
+        "pfx",
+        (F.col("n") * F.col("sq") - F.col("t") * F.col("t")).alias("s2n"),
+        # the prefix minimum/maximum must include the EMPTY prefix
+        # (P_0 = 0): S_t = P_t − min_{0≤j≤t} P_j
+        F.least(F.min("pfx").over(w_pfx), F.lit(0)).alias("lo"),
+        F.greatest(F.max("pfx").over(w_pfx), F.lit(0)).alias("hi"),
+    )
+    thresh = F.lit(4.0) * F.sqrt(F.col("s2n").cast("double"))
+    return s.select(
+        "d",
+        "cnt",
+        F.round((F.col("pfx") - F.col("lo")) * F.lit(1.0) / F.col("n"), 4)
+        .alias("cusum_pos"),
+        F.round((F.col("hi") - F.col("pfx")) * F.lit(1.0) / F.col("n"), 4)
+        .alias("cusum_neg"),
+        ((F.col("pfx") - F.col("lo")) > thresh).alias("alarm_pos"),
+        ((F.col("hi") - F.col("pfx")) > thresh).alias("alarm_neg"),
+    )

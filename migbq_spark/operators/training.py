@@ -3009,3 +3009,104 @@ def sample_allocation_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_proportional"
         ),
     )
+
+
+# --------------------------------------------- ngram_lm_kneser_ney
+
+@register(
+    "ngram_lm_kneser_ney",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2
+    ),
+    bi AS (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS n_pair
+        FROM pos GROUP BY 1, 2
+    ),
+    ctx AS (
+        SELECT w1, SUM(n_pair) AS n_w1, COUNT(*) AS n1_fw
+        FROM bi GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS n1_bw FROM bi GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS b_types FROM bi)
+    SELECT bi.w1, bi.w2, bi.n_pair,
+           ROUND(CAST(bi.n_pair AS DOUBLE) / ctx.n_w1, 6) AS p_mle,
+           ROUND((CAST(bi.n_pair AS DOUBLE) - 0.75) / ctx.n_w1
+                 + 0.75 * CAST(ctx.n1_fw AS DOUBLE) / ctx.n_w1
+                   * (CAST(cont.n1_bw AS DOUBLE) / tot.b_types), 6) AS p_kn
+    FROM bi
+    JOIN ctx USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN tot
+    WHERE bi.n_pair >= 3
+    """,
+)
+def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED KNESER-NEY bigram probabilities (Kneser & Ney 1995,
+    the smoothing that made n-gram LMs competitive and still the
+    baseline perplexity scorer for corpus quality filtering):
+    P_KN(w2|w1) = (c(w1,w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · P_cont(w2)
+    with discount d = 0.75 and the CONTINUATION probability
+    P_cont(w2) = N1+(·w2)/|bigram types| — "how many contexts does w2
+    complete", the correction that stops high-count-but-single-context
+    words (the "San Francisco" effect) from stealing probability mass.
+    Emitted beside the MLE so the smoothing delta is visible per
+    bigram; support-filtered at n_pair ≥ 3 like `ngram_lm_bigram_probs`
+    (this op's unsmoothed sibling).
+
+    Determinism: every statistic is an integer count off ONE bigram
+    count table (c, row-counts per w1, per w2, and the global type
+    count); d = 0.75 is exactly representable, so p_kn is a fixed-order
+    double expression over exact integers — identical in both engines.
+
+    Scale (100 TB): bigram extraction is row-local; counts collapse
+    map-side to |bigram vocab| (Heaps-bounded); BOTH marginal tables
+    and the type total derive from the already-aggregated bigram table
+    (no second corpus pass); the w1 join is co-partitioned with the
+    bigram shuffle and the w2 join moves only the vocab-sized tables;
+    the 1-row type total broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("n_pair").alias("n_w1"), F.count(F.lit(1)).alias("n1_fw")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bw"))
+    tot = bi.agg(F.count(F.lit(1)).alias("b_types"))
+    p_mle = F.col("n_pair").cast("double") / F.col("n_w1")
+    p_kn = (
+        (F.col("n_pair").cast("double") - F.lit(0.75)) / F.col("n_w1")
+        + F.lit(0.75)
+        * F.col("n1_fw").cast("double")
+        / F.col("n_w1")
+        * (F.col("n1_bw").cast("double") / F.col("b_types"))
+    )
+    return (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_pair") >= 3)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(p_mle, 6).alias("p_mle"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+    )

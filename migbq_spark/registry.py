@@ -107,16 +107,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "compact_merge_on_read",
 )
 
-#: Pre-staged round-10 window: the oldest remaining driver evidence
-#: after the r9 rotation, in displacement order — FIRST the nine
-#: r4-graded control/TPC-H ids trimmed at r9's exactly-50 cut, then
-#: the eighteen r3/r4-graded refresh ids displaced by the late-r8
-#: additions (rolled here from the r9 staging), then the r4-graded
-#: relational span.  38 ids staged; the r10 rotation trims or tops up
-#: to EXACTLY 50 from the remaining r4-graded tail at rotation time.
-#: Every previously-graded id is parity-guarded continuously since it
-#: was first graded.
+#: Pre-staged round-10 window: FIRST the r9 additions (never
+#: driver-run — new evidence outranks refresh), then the oldest
+#: remaining driver evidence after the r9 rotation, in displacement
+#: order — the nine r4-graded control/TPC-H ids trimmed at r9's
+#: exactly-50 cut, the eighteen r3/r4-graded refresh ids displaced by
+#: the late-r8 additions (rolled here from the r9 staging), then the
+#: r4-graded relational span.  41 ids staged; the r10 rotation trims
+#: or tops up to EXACTLY 50 from the remaining r4-graded tail at
+#: rotation time.  Every previously-graded id is parity-guarded
+#: continuously since it was first graded.
 R10_WINDOW: tuple[str, ...] = (
+    # r9 additions (never driver-run — new evidence outranks refresh)
+    "cusum_drift_daily",
+    "ngram_lm_kneser_ney",
+    "minhash_bbit_estimate",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

@@ -7,13 +7,17 @@ scale-up datapoints exist (r5 VERDICT "Next round" #2).  This script
 builds `.stage/sf{N}/` from PUBLIC knowledge of the fixture shapes
 (FIXTURES.md):
 
-- `documents` / `embeddings` are generated fresh with the OBSERVED
-  sf0.1 statistics (31-word vocab, uniform 10-100 words/doc, 20
-  sources, 5 langs; 64-dim L2-normalized float32 vectors, labels 0-9)
-  at FACTOR x the source row counts — fresh generation (not
-  replication) keeps the near-dup/LSH bucket distributions comparable
-  to the shipped fixture instead of planting FACTOR-cliques of exact
-  duplicates.
+- `documents` are generated fresh at FACTOR x the source row counts
+  from a REALISTIC text model (r9): a 20k-type Zipf(s≈1.07) vocabulary
+  (uniform 10-100 words/doc, 20 sources, 5 langs) plus a 3% planted
+  near-dup fraction (~10%-token-mutated copies within the same
+  source).  The shipped fixture's 31-word vocab made LSH buckets grow
+  with the corpus (738-doc buckets at 500k docs -> 264 M candidate
+  pairs, the r8 "ABORTED by design" cells); Zipf text keeps buckets
+  near-singleton like real crawl data while the planted fraction keeps
+  the verify paths exercised with a linear number of true pairs.
+- `embeddings` are generated fresh with the OBSERVED sf0.1 statistics
+  (64-dim L2-normalized float32 vectors, labels 0-9).
 - The star-schema + `events` tables are replicated FACTOR x with
   key-offset remaps (PKs and FKs shifted per replica by max(key)+1 of
   the SOURCE, so chaining sf0.1 -> sf1 -> sf10 stays consistent),
@@ -97,36 +101,68 @@ def replicate(name: str, offs: dict[str, int]) -> None:
     print(f"{name}: {t.num_rows} -> {n}")
 
 
+#: Zipf vocabulary for generated documents (r9, r8 VERDICT "Next round"
+#: #3): the shipped sf0.1 fixture's 31-word vocab packs half-million-doc
+#: corpora into 738-doc LSH buckets (token SETS collide constantly), so
+#: the pair-listing dedup ops measured the FIXTURE's pathology, not
+#: their design.  Real text is Zipfian over >=10k types with
+#: near-singleton buckets; 20k types at the canonical s≈1.07 rank
+#: exponent reproduces that regime, and an explicit planted near-dup
+#: fraction (3% of docs are ~10%-token-mutated copies of an earlier doc
+#: in the SAME source) keeps the candidate-verify paths exercised with
+#: a LINEAR number of true pairs.
+_VOCAB_N = 20_000
+_ZIPF_S = 1.07
+_DUP_FRAC = 0.03
+
+
 def gen_documents(rng: np.random.Generator) -> None:
     src_docs = pq.read_table(SRC / "documents.parquet")
-    vocab = sorted(
-        {w for txt in src_docs.column("text").to_pylist() for w in txt.split()}
-    )
     n = src_docs.num_rows * FACTOR
     langs = np.array(["en", "es", "de", "fr", "zh"])
     sources = np.array([f"src{i}" for i in range(20)])
+    varr = np.array([f"w{i}" for i in range(_VOCAB_N)])
+    probs = 1.0 / np.arange(1, _VOCAB_N + 1, dtype=np.float64) ** _ZIPF_S
+    probs /= probs.sum()
     lens = rng.integers(10, 101, size=n)
-    varr = np.array(vocab)
     # one big draw, then slice per doc: ~20x faster than per-doc choice
-    flat = varr[rng.integers(0, len(varr), size=int(lens.sum()))]
+    flat = varr[rng.choice(_VOCAB_N, size=int(lens.sum()), p=probs)]
     texts = []
     pos = 0
     for ln in lens:
         texts.append(" ".join(flat[pos:pos + ln]))
         pos += ln
+    src_col = rng.choice(sources, size=n)
+    # plant near-duplicates: doc j becomes a light mutation of an earlier
+    # doc i (same source, ~10% tokens replaced) — high-Jaccard pairs the
+    # LSH bands MUST catch, at a density that keeps true pairs linear
+    n_dup = int(n * _DUP_FRAC)
+    dup_j = rng.choice(np.arange(1, n), size=n_dup, replace=False)
+    repl_pool = varr[rng.choice(_VOCAB_N, size=n_dup * 12, p=probs)]
+    rpos = 0
+    for j in dup_j:
+        i = int(rng.integers(0, j))
+        toks = texts[i].split(" ")
+        m = max(1, len(toks) // 10)
+        for k in rng.choice(len(toks), size=m, replace=False):
+            toks[int(k)] = repl_pool[rpos]
+            rpos += 1
+        texts[j] = " ".join(toks)
+        src_col[j] = src_col[i]
     t = pa.table(
         {
             "doc_id": pa.array(np.arange(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(rng.choice(langs, size=n), pa.string()),
-            "source": pa.array(rng.choice(sources, size=n), pa.string()),
+            "source": pa.array(src_col, pa.string()),
             "n_chars": pa.array(
                 np.array([len(s) for s in texts]), pa.int64()
             ),
         }
     )
     pq.write_table(t, OUT / "documents.parquet")
-    print(f"documents: {src_docs.num_rows} -> {n}")
+    print(f"documents: {src_docs.num_rows} -> {n} "
+          f"(zipf vocab {_VOCAB_N}, {n_dup} planted near-dups)")
 
 
 def gen_embeddings(rng: np.random.Generator) -> None:

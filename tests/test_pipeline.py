@@ -1363,3 +1363,61 @@ def test_containment_estimator_semantics(spark, sf_dir):
             abs(r.abs_err - abs(r.est_containment - r.exact_containment)) <= 2e-4
     mae = sum(r.abs_err for r in est) / len(est)
     assert mae < 0.25, mae
+
+
+def test_cusum_drift_daily_invariants(spark, sf_dir):
+    """CUSUM one-sided statistics are non-negative by construction, the
+    frame is one row per distinct day, and the closed form must equal
+    the textbook recurrence replayed in python."""
+    rows = Q["cusum_drift_daily"](spark, sf_dir).orderBy("d").collect()
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    days = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .orderBy("d")
+        .collect()
+    )
+    assert len(rows) == len(days)
+    xs = [r["count"] for r in days]
+    n, t = len(xs), sum(xs)
+    sp = sn = 0.0
+    mu = t / n
+    for r, x in zip(rows, xs):
+        assert r.cnt == x
+        sp = max(0.0, sp + (x - mu))
+        sn = max(0.0, sn + (mu - x))
+        assert r.cusum_pos >= 0 and r.cusum_neg >= 0
+        # output is rounded to 4 decimals -> quantization half-step 5e-5
+        assert abs(r.cusum_pos - sp) < 5.1e-5 + 1e-9 * abs(sp), (r.d, sp)
+        assert abs(r.cusum_neg - sn) < 5.1e-5 + 1e-9 * abs(sn), (r.d, sn)
+
+
+def test_kneser_ney_probability_bounds(spark, sf_dir):
+    """Every emitted KN probability is a valid probability, is strictly
+    positive (the continuation term guarantees mass), and the smoothed
+    estimate never exceeds the MLE by more than the continuation mass."""
+    rows = Q["ngram_lm_kneser_ney"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.p_kn <= 1.0 + 1e-9, r
+        assert 0.0 < r.p_mle <= 1.0 + 1e-9, r
+
+
+def test_bbit_estimator_tracks_full_width(spark, sf_dir):
+    """The 2-bit estimator must track exact Jaccard about as well as the
+    full-width estimator on HIGH-similarity pairs (where b-bit theory
+    says the penalty is small): mean abs error within 3x of full-width
+    + the sketch's own quantization floor."""
+    rows = Q["minhash_bbit_estimate"](spark, sf_dir).collect()
+    assert rows
+    hi = [r for r in rows if r.jac_exact >= 0.5]
+    for r in rows:
+        assert 0 <= r.m_bbit <= 16 and 0 <= r.m_full <= 16
+        assert r.m_bbit >= r.m_full  # equal wide values => equal low bits
+    if hi:
+        mean_full = sum(r.err_full for r in hi) / len(hi)
+        mean_bbit = sum(r.err_bbit for r in hi) / len(hi)
+        assert mean_bbit <= 3.0 * mean_full + 0.2, (mean_full, mean_bbit)
