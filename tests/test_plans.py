@@ -481,3 +481,52 @@ def test_semdedup_broadcasts_centroids(spark, sf_dir):
     p = _plan(Q["semdedup_centroid_prune"](spark, sf_dir))
     assert "partial_max_by" in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_cusum_partial_agg_then_tiny_windows(spark, sf_dir):
+    """r9 plan contract for cusum_drift_daily: the corpus collapses in
+    ONE partial aggregation (two HashAggregate levels) before any
+    window touches it — windows run on the |days|-row daily frame."""
+    plan = _plan(Q["cusum_drift_daily"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("HashAggregate") >= 2
+    # windows come AFTER the aggregation in the plan tree (aggregate is
+    # deeper = appears later in the indented dump than the windows)
+    assert "Window" in plan
+
+
+def test_kneser_ney_single_corpus_pass(spark, sf_dir):
+    """r9 plan contract for ngram_lm_kneser_ney: every marginal (c(w1.),
+    N1+(w1.), N1+(.w2), |bigram types|) derives from the ONE aggregated
+    bigram table — the corpus-scale pair explode is scanned once per
+    join branch at most, and the 1-row type total is broadcast."""
+    plan = _plan(Q["ngram_lm_kneser_ney"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus scans bounded: bigram lineage per branch, never per-shape
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_bbit_audit_sample_bounded_lineage(spark, sf_dir):
+    """r9 plan contract for minhash_bbit_estimate: the checkpointed
+    sample + sampled-signature build keep the plan at <= 4 corpus
+    scans (the r9 lesson: un-checkpointed audit lineages re-derived
+    corpus-wide signature builds per join branch — 22+ scans, 30 s at
+    sf1 for a <=1280-doc audit)."""
+    plan = _plan(Q["minhash_bbit_estimate"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_containment_estimate_sample_bounded_lineage(spark, sf_dir):
+    """Same contract for minhash_containment_estimate (measured 30 s ->
+    3.1 s at sf1 when the lineage was cut)."""
+    plan = _plan(Q["minhash_containment_estimate"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_jaccard_estimate_one_signature_build(spark, sf_dir):
+    """minhash_jaccard_estimate checkpoints ONE signature table reused
+    by banding + both per-side joins: only the exact-verify token sets
+    and the candidate lineage may scan the corpus (measured 31.7 s ->
+    4.3 s at sf1)."""
+    plan = _plan(Q["minhash_jaccard_estimate"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
