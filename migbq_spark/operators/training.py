@@ -3110,3 +3110,249 @@ def ngram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p_kn, 6).alias("p_kn"),
         )
     )
+
+
+# ------------------------------------------- pareto_skyline_quality_cost
+
+@register(
+    "pareto_skyline_quality_cost",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_toks,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                   t -> t <> ''))) AS n_distinct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, n_toks,
+               (1000000 * n_distinct) // n_toks AS uniq_ppm
+        FROM m WHERE n_toks >= 1
+    ),
+    w AS (
+        SELECT doc_id, source, n_toks, uniq_ppm,
+               MAX(uniq_ppm) OVER (ORDER BY n_toks
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS m_lt,
+               MAX(uniq_ppm) OVER (PARTITION BY n_toks) AS m_eq
+        FROM q
+    )
+    SELECT doc_id, source, n_toks, uniq_ppm
+    FROM w
+    WHERE uniq_ppm = m_eq AND (m_lt IS NULL OR uniq_ppm > m_lt)
+    """,
+)
+def pareto_skyline_quality_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) of documents on (quality UP, token cost
+    DOWN) — the selection question a budget-constrained curator actually
+    asks: which docs are not strictly beaten by a doc that is both
+    higher-quality AND cheaper?  Quality proxy = unique-token ratio in
+    exact parts-per-million; cost = whitespace token count.  Dominance
+    is the standard skyline definition (≥ on both axes, > on at least
+    one), so duplicate (cost, quality) points are BOTH on the frontier.
+
+    The 2-D skyline needs no pairwise join: sort by cost, then a point
+    is on the frontier iff its quality (a) exceeds the running max over
+    all STRICTLY cheaper points and (b) equals the max within its own
+    cost — two window functions replace the O(n²) NOT-EXISTS self-join.
+
+    Determinism: quality is integer floor-division ppm (exact in both
+    engines); no doubles anywhere.
+
+    Scale (100 TB): a naive global-order window is one partition.  This
+    op runs the same two windows FIRST inside 64 hash groups (map-side
+    skyline prune — a locally dominated point cannot be globally
+    non-dominated, so the prune is lossless), then globally over the
+    survivors, whose count is bounded by 64 × |frontier of a group| —
+    frontier sizes are ~log n for independent dimensions, so the global
+    pass sees a vanishing fraction of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).filter(F.col("n_toks") >= 1)
+    q = q.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.expr("(1000000 * n_distinct) div n_toks").alias("uniq_ppm"),
+    )
+
+    def skyline(df: DataFrame, *group: str) -> DataFrame:
+        w_lt = (
+            Window.partitionBy(*group)
+            .orderBy("n_toks")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*group, "n_toks")
+        return (
+            df.withColumn("m_lt", F.max("uniq_ppm").over(w_lt))
+            .withColumn("m_eq", F.max("uniq_ppm").over(w_eq))
+            .filter(
+                (F.col("uniq_ppm") == F.col("m_eq"))
+                & (
+                    F.col("m_lt").isNull()
+                    | (F.col("uniq_ppm") > F.col("m_lt"))
+                )
+            )
+            .drop("m_lt", "m_eq")
+        )
+
+    local = skyline(q.withColumn("g", F.pmod("doc_id", F.lit(64))), "g")
+    return skyline(local.drop("g"))
+
+
+# ------------------------------------------- curriculum_interleave_order
+
+@register(
+    "curriculum_interleave_order",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_toks,
+               len(list_distinct(list_filter(string_split(text, ' '),
+                   t -> t <> ''))) AS n_distinct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               (1000000 * n_distinct) // n_toks AS uniq_ppm
+        FROM m WHERE n_toks >= 1
+    ),
+    r AS (
+        SELECT doc_id, source, uniq_ppm,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY uniq_ppm DESC, doc_id) AS rn
+        FROM q
+    ),
+    top AS (SELECT * FROM r WHERE rn <= 25)
+    SELECT ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) AS pos,
+           doc_id, source, rn, uniq_ppm
+    FROM top
+    """,
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM INTERLEAVE: emit the training order a quality-first,
+    source-balanced dataloader would consume — each source's docs are
+    ranked by quality (unique-token ppm, tiebreak doc_id), then ranks
+    are interleaved round-robin across sources so the stream opens with
+    every source's best doc instead of draining the best SOURCE first.
+    Top 25 per source; `pos` is the global curriculum position.
+
+    Determinism: integer quality + total ORDER BY (rn, source, doc_id)
+    — every window has a unique sort key (SURVEY §7.4 tiebreak rule).
+
+    Scale (100 TB): the per-source ranking window is partitioned by
+    source (distributed; a skewed source is one sorted partition, and
+    rank-25 truncation is a running top-k, not a full sort in theory —
+    Spark's window sorts the partition, which is the price of rank).
+    The GLOBAL position window runs only on the 25 × |sources| slice,
+    so the single-partition global sort is bounded, not corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    q = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_toks"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+        )
+        .filter(F.col("n_toks") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(1000000 * n_distinct) div n_toks").alias("uniq_ppm"),
+        )
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("uniq_ppm").desc(), "doc_id"
+    )
+    top = q.withColumn("rn", F.row_number().over(w_src)).filter(
+        F.col("rn") <= 25
+    )
+    w_pos = Window.orderBy("rn", "source", "doc_id")
+    return top.select(
+        F.row_number().over(w_pos).alias("pos"),
+        "doc_id",
+        "source",
+        "rn",
+        "uniq_ppm",
+    )
+
+
+# ---------------------------------------------- token_budget_epoch_plan
+
+@register(
+    "token_budget_epoch_plan",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                   t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT SUM(n_tokens) AS total, SUM(sqrt(n_tokens)) AS z FROM c
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / t.total, 4) AS share_raw,
+           ROUND(sqrt(n_tokens) / t.z, 4) AS share_target,
+           ROUND((sqrt(n_tokens) / t.z) * 4.0 * t.total / n_tokens, 4)
+               AS epochs,
+           ROUND((sqrt(n_tokens) / t.z) * 4.0 * t.total / n_tokens, 4)
+               > 1.0 AS oversampled
+    FROM c CROSS JOIN t
+    """,
+)
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET EPOCH PLAN: given a training budget of 4× the corpus
+    token count and temperature-flattened target shares (α = 0.5, the
+    `mix_temperature_sampling` weighting), compute per source the epoch
+    (repeat) factor a dataloader must apply: epochs_s = B·w_s /
+    tokens_s.  This is the static plan behind "repeat small
+    high-quality sources, subsample the head crawl" — the op that turns
+    a mixture POLICY into per-source dataloader repeat factors, with
+    the oversampled flag marking sources that will be seen more than
+    once per run.
+
+    Determinism: token counts are exact integers; sqrt is one
+    correctly-rounded IEEE op; the |sources|-row scalar sums land
+    behind ROUND(·,4), and the flag compares the ROUNDED value so it
+    cannot diverge when the rounds agree (repo float recipe §7.4).
+
+    Scale (100 TB): token counting is row-local and the groupBy
+    collapses map-side to |sources| rows; the budget scalars are one
+    broadcast row.  The corpus is read exactly once."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # lineage cut: the |sources|-row count frame feeds BOTH the output
+    # and the budget scalars — without the checkpoint Catalyst re-derives
+    # it from the corpus in each branch (two full scans for one table)
+    c = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("n_tokens"),
+    ).localCheckpoint()
+    t = c.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+    )
+    share_raw = F.col("n_tokens") * F.lit(1.0) / F.col("total")
+    share_target = F.sqrt("n_tokens") / F.col("z")
+    epochs = F.round(
+        share_target * F.lit(4.0) * F.col("total") / F.col("n_tokens"), 4
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share_raw, 4).alias("share_raw"),
+        F.round(share_target, 4).alias("share_target"),
+        epochs.alias("epochs"),
+        (epochs > F.lit(1.0)).alias("oversampled"),
+    )

@@ -122,6 +122,9 @@ R10_WINDOW: tuple[str, ...] = (
     "cusum_drift_daily",
     "ngram_lm_kneser_ney",
     "minhash_bbit_estimate",
+    "pareto_skyline_quality_cost",
+    "curriculum_interleave_order",
+    "token_budget_epoch_plan",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

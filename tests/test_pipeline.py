@@ -1421,3 +1421,74 @@ def test_bbit_estimator_tracks_full_width(spark, sf_dir):
         mean_full = sum(r.err_full for r in hi) / len(hi)
         mean_bbit = sum(r.err_bbit for r in hi) / len(hi)
         assert mean_bbit <= 3.0 * mean_full + 0.2, (mean_full, mean_bbit)
+
+
+def test_pareto_skyline_matches_bruteforce(spark, sf_dir):
+    """Every skyline point must be non-dominated against the FULL
+    per-doc frame (brute force replay), and every non-dominated doc
+    must be in the output — set equality, not just soundness."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stats = (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n"),
+            F.size(F.array_distinct(toks)).alias("u"),
+        )
+        .filter(F.col("n") >= 1)
+        .collect()
+    )
+    pts = {r.doc_id: (r.n, (1000000 * r.u) // r.n) for r in stats}
+
+    def dominated(a):
+        ca, qa = pts[a]
+        return any(
+            (cb <= ca and qb >= qa and (cb < ca or qb > qa))
+            for b, (cb, qb) in pts.items()
+            if b != a
+        )
+
+    expect = {a for a in pts if not dominated(a)}
+    got = {
+        r.doc_id
+        for r in Q["pareto_skyline_quality_cost"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_curriculum_interleave_properties(spark, sf_dir):
+    """pos is a contiguous 1..N permutation; rank caps at 25; rn is
+    non-decreasing along the curriculum (round-robin by rank); within a
+    source the quality ordering is respected."""
+    rows = (
+        Q["curriculum_interleave_order"](spark, sf_dir)
+        .orderBy("pos")
+        .collect()
+    )
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    assert all(1 <= r.rn <= 25 for r in rows)
+    assert all(a.rn <= b.rn for a, b in zip(rows, rows[1:]))
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src_rows in by_src.values():
+        qs = [r.uniq_ppm for r in src_rows]  # already rank-ordered
+        assert qs == sorted(qs, reverse=True), qs[:5]
+
+
+def test_token_budget_epoch_plan_conserves_budget(spark, sf_dir):
+    """Target shares sum to 1, epochs reproduce B*w/tokens for B = 4x
+    corpus, and the oversampled flag agrees with the rounded epochs."""
+    rows = Q["token_budget_epoch_plan"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    z = sum(r.n_tokens**0.5 for r in rows)
+    assert abs(sum(r.share_target for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        w = r.n_tokens**0.5 / z
+        ref = w * 4.0 * total / r.n_tokens
+        assert abs(r.epochs - ref) < 5.1e-5 + 1e-9 * ref, (r.source, ref)
+        assert r.oversampled == (r.epochs > 1.0)

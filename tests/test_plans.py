@@ -530,3 +530,32 @@ def test_jaccard_estimate_one_signature_build(spark, sf_dir):
     4.3 s at sf1)."""
     plan = _plan(Q["minhash_jaccard_estimate"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+
+
+def test_pareto_skyline_local_prune_before_global(spark, sf_dir):
+    """r9 plan contract for pareto_skyline_quality_cost: ONE corpus
+    scan; the hash-group local skyline windows run BEFORE the global
+    window, so the single-partition global pass only ever sees local
+    survivors (~64 x per-group frontier), never the corpus."""
+    plan = _plan(Q["pareto_skyline_quality_cost"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("Window") >= 2, plan
+
+
+def test_curriculum_global_window_bounded(spark, sf_dir):
+    """r9 plan contract for curriculum_interleave_order: one scan; the
+    rank<=25 filter sits between the distributed per-source window and
+    the global position window, bounding the single-partition sort."""
+    plan = _plan(Q["curriculum_interleave_order"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("Window") >= 2, plan
+
+
+def test_token_budget_single_pass_broadcast_scalars(spark, sf_dir):
+    """r9 plan contract for token_budget_epoch_plan: the corpus is read
+    once — the |sources|-row count frame is checkpointed so the budget
+    scalars derive from IT, not from a second corpus scan — and the
+    1-row scalar frame is broadcast back."""
+    plan = _plan(Q["token_budget_epoch_plan"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
