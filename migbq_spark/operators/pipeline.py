@@ -5697,3 +5697,294 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est_bbit - jac), 4).alias("err_bbit"),
         )
     )
+
+
+# --------------------------------------------- dedup_sorted_neighborhood
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(string_split(text, ' '),
+                   x -> x <> ''))) AS ts
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, ts, len(ts) AS n,
+               ts[1] AS blk,
+               list_aggregate(ts[1:4], 'string_agg', ' ') AS skey
+        FROM t WHERE len(ts) >= 1
+    ),
+    nbr AS (
+        SELECT doc_id AS a_id, ts AS a_ts, n AS n_a, k,
+               lead(doc_id, k) OVER w AS b_id,
+               lead(ts, k) OVER w AS b_ts,
+               lead(n, k) OVER w AS n_b
+        FROM keyed CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS k)
+        WINDOW w AS (PARTITION BY blk, k ORDER BY skey, doc_id)
+    ),
+    verified AS (
+        SELECT a_id, b_id, k, n_a, n_b,
+               len(list_intersect(a_ts, b_ts)) AS shared
+        FROM nbr WHERE b_id IS NOT NULL
+    )
+    SELECT a_id, b_id, k, shared, n_a, n_b,
+           ROUND(shared * 1.0 / (n_a + n_b - shared), 4) AS jaccard
+    FROM verified
+    WHERE shared * 2 >= n_a + n_b - shared
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD near-dup detection (Hernandez & Stolfo 1995,
+    the merge/purge method) — the LSH-free third way beside minhash
+    banding and simhash bucketing: sort docs by a content key, compare
+    each doc only to its next 4 neighbors in sort order, verify those
+    candidates with exact Jaccard >= 0.5.  The candidate set is EXACTLY
+    4n pairs by construction (vs LSH's data-dependent bucket blowup) —
+    the property that makes SNM the predictable-cost screen when a
+    pipeline owner needs a hard upper bound on compare work.
+
+    Key design: block on the lexicographically smallest distinct token,
+    sort within a block by the first-4-sorted-tokens string then doc_id
+    (a total order, §7.4) — near-dups share most tokens, so they share
+    the smallest ones and land adjacent.  The window is PARTITIONED by
+    block: fully distributed, no global-order window; the price is
+    losing cross-block candidate pairs, the standard SNM blocking
+    trade documented against `dedup_minhash_lsh` (which has no such
+    loss but data-dependent cost).
+
+    Determinism: token lists are sorted-distinct, intersections are
+    integer counts, and the >= 0.5 threshold is the integer inequality
+    2*shared >= union — no doubles until the final rounded render.
+
+    Scale (100 TB): one exchange on (block, k); each task sorts its
+    blocks and emits lead() pairs carrying the token arrays — no
+    token-table re-join for verification; compare work is exactly 4
+    array intersections per doc."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 1)
+    keyed = t.select(
+        "doc_id",
+        "ts",
+        F.size("ts").alias("n"),
+        F.element_at("ts", 1).alias("blk"),
+        F.array_join(F.slice("ts", 1, 4), " ").alias("skey"),
+    )
+    w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    led = keyed.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("n").alias("n_a"),
+        *[
+            c
+            for k in range(1, 5)
+            for c in (
+                F.lead("doc_id", k).over(w).alias(f"b_id_{k}"),
+                F.lead("ts", k).over(w).alias(f"b_ts_{k}"),
+                F.lead("n", k).over(w).alias(f"n_b_{k}"),
+            )
+        ],
+    )
+    lanes = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.col(f"b_id_{k}").alias("b_id"),
+                F.col(f"b_ts_{k}").alias("b_ts"),
+                F.col(f"n_b_{k}").alias("n_b"),
+            )
+            for k in range(1, 5)
+        ]
+    )
+    nbr = (
+        led.select("a_id", "a_ts", "n_a", F.explode(lanes).alias("nb"))
+        .select(
+            "a_id",
+            F.col("nb.b_id").alias("b_id"),
+            F.col("nb.k").alias("k"),
+            "n_a",
+            F.col("nb.n_b").alias("n_b"),
+            F.size(F.array_intersect("a_ts", F.col("nb.b_ts"))).alias(
+                "shared"
+            ),
+        )
+        .filter(F.col("b_id").isNotNull())
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return nbr.filter(F.col("shared") * 2 >= union).select(
+        "a_id",
+        "b_id",
+        "k",
+        "shared",
+        "n_a",
+        "n_b",
+        F.round(F.col("shared") * F.lit(1.0) / union, 4).alias("jaccard"),
+    )
+
+
+# ------------------------------------------------ knn_graph_rp_portable
+
+@register(
+    "knn_graph_rp_portable",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j),
+    planes AS (SELECT unnest(generate_series(0, 11)) AS p),
+    signs AS (
+        SELECT p, j,
+               CASE WHEN CAST(concat('0x',
+                        substr(md5('rp:' || p || ':' || j), 1, 2)) AS INT)
+                        % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM planes CROSS JOIN dims
+    ),
+    scaled AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                   AS se
+        FROM embeddings
+    ),
+    sv AS (
+        SELECT vec_id, j, se[j + 1] AS v FROM scaled CROSS JOIN dims
+    ),
+    proj AS (
+        SELECT sv.vec_id, s.p, SUM(sv.v * s.s) AS dot
+        FROM sv JOIN signs s ON s.j = sv.j
+        GROUP BY sv.vec_id, s.p
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0 THEN 1::BIGINT << p ELSE 0 END)
+                    AS BIGINT) AS sig
+        FROM proj GROUP BY vec_id
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id,
+               unnest(list_prepend(sig,
+                   list_transform(generate_series(0, 11),
+                                  p -> xor(sig, 1::BIGINT << p)))) AS bucket
+        FROM sigs
+    ),
+    pairs AS (
+        SELECT DISTINCT q_id, c.vec_id AS n_id
+        FROM qprobe JOIN sigs c ON c.sig = qprobe.bucket
+        WHERE q_id <> c.vec_id
+    ),
+    simt AS (
+        SELECT p.q_id, p.n_id,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> qs.se[i] * ns.se[i])) AS BIGINT) AS sim_scaled
+        FROM pairs p
+        JOIN scaled qs ON qs.vec_id = p.q_id
+        JOIN scaled ns ON ns.vec_id = p.n_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY sim_scaled DESC, n_id ASC
+        ) AS rnk
+        FROM simt
+    ),
+    edges AS (SELECT q_id, n_id, sim_scaled, rnk FROM ranked WHERE rnk <= 3)
+    SELECT e.q_id, e.n_id, e.sim_scaled, e.rnk,
+           EXISTS (SELECT 1 FROM edges r
+                   WHERE r.q_id = e.n_id AND r.n_id = e.q_id) AS mutual
+    FROM edges e
+    """,
+)
+def knn_graph_rp_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH CONSTRUCTION over the whole embedding table — the
+    input structure for graph-based semantic dedup and density
+    clustering (SemDeDup-style cluster pruning, mutual-kNN community
+    detection): every vector gets its top-3 in-bucket neighbors under
+    the same portable sign-LSH index as `ann_rp_lsh_topk_portable`
+    (12 md5-parity hyperplanes, hamming-1 multi-probe), plus the
+    `mutual` flag marking edges whose reverse edge also made the other
+    node's top-3 — the robust edges graph algorithms keep.
+
+    Differs from the topk op in WHAT it computes (all-nodes graph, not
+    a 10-query lookup) and in the closure: the mutual flag is a
+    semi-join of the edge set with its own transpose, which is the
+    first graph-shaped consumption of the ANN index in the repo.
+
+    Determinism: the shared quantize-then-integer pipeline (floor(x
+    ·10⁶) int64; all ranking on exact integer dots with n_id
+    tiebreak) — same recipe that made the topk twin hash-checkable.
+
+    Scale (100 TB): signature build is one narrow JVM-side pass;
+    the 13× probe fan-out is per-NODE here (it was per-query), so the
+    bucket join shuffles 13·n rows keyed by signature — the documented
+    cost of graph construction; bucket sizes are the LSH-bounded ones,
+    and the transpose semi-join shuffles only the 3n edge rows."""
+    _N_PLANES = 12
+    e = load(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint"),
+    )
+    sv = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", scaled.alias("se")
+    )
+
+    def proj(p: int) -> F.Column:
+        signs = F.array(*[F.lit(_rp_sign(p, j)) for j in range(64)])
+        return F.aggregate(
+            F.zip_with("se", signs, lambda x, s: x * s.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    sig = sum(
+        (
+            F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(_N_PLANES)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    # one signature pass reused by the probe side, the candidate side
+    # and both exact-dot joins (the r9 audit-lineage lesson)
+    sigs = sv.select("vec_id", "se", sig.alias("sig")).localCheckpoint()
+    probes = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)],
+    )
+    q = sigs.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("se").alias("q_se"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = sigs.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("se").alias("n_se"),
+        F.col("sig").alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("q_se", "n_se", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_scaled"), F.asc("n_id"))
+    edges = (
+        q.join(cand, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("sim_scaled"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .localCheckpoint()
+    )
+    rev = edges.select(
+        F.col("n_id").alias("q_id"), F.col("q_id").alias("n_id")
+    ).withColumn("m", F.lit(True))
+    return edges.join(rev, ["q_id", "n_id"], "left").select(
+        "q_id",
+        "n_id",
+        "sim_scaled",
+        "rnk",
+        F.coalesce("m", F.lit(False)).alias("mutual"),
+    )

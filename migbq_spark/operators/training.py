@@ -3356,3 +3356,130 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs > F.lit(1.0)).alias("oversampled"),
     )
+
+
+# ------------------------------------------------- bm25_top_terms_source
+
+@register(
+    "bm25_top_terms_source",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, source, token, COUNT(*) AS tf
+        FROM toks GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.source, tf.token,
+               SUM(CAST(FLOOR(
+                   ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                   * 100000000.0) AS BIGINT)) AS bm25_scaled,
+               COUNT(*) AS n_docs_term
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.source, tf.token
+    )
+    SELECT source, token,
+           ROUND(bm25_scaled / 100000000.0, 4) AS bm25, n_docs_term, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY bm25_scaled DESC, token) AS rn
+          FROM scored) t
+    WHERE rn <= 10
+    """,
+)
+def bm25_top_terms_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TERM SALIENCE per source (Robertson-Sparck Jones, the
+    Okapi BM25 weighting; k1 = 1.2, b = 0.75, Lucene's ln(1 + (N-df
+    +0.5)/(df+0.5)) idf): top-10 terms per source by summed BM25 mass
+    — what distinguishes a source's vocabulary once term frequency is
+    saturation-damped and length-normalized, the upgrade over raw
+    `tfidf_top_terms` (linear tf, no doc-length correction) for
+    source-profiling and retrieval-based decontamination queries.
+
+    Determinism: HARDER than tfidf_top_terms's recipe — the
+    per-(doc,term) score is one fixed-order double expression over
+    exact integer tf/df/dl stats (constants 2.2 = k1+1, 0.25 = 1-b
+    exactly representable), then QUANTIZED to floor(x·10⁸) int64
+    BEFORE the cross-doc sum, so the (source, term) aggregation is
+    exact integer addition — order-independent at any group size —
+    and ranks order by the integer with a token tiebreak.
+
+    Scale (100 TB): tf/df/dl are map-side-combinable token rollups;
+    the df join moves vocabulary-sized tables, the dl join is keyed by
+    doc on the already-aggregated tf table, the 1-row corpus stats
+    broadcast, and top-10-per-source is a bounded window — no global
+    sort, no corpus re-scan (tf feeds everything)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # doc lengths + corpus stats derive from tf, not a second corpus pass
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * F.lit(2.2)
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("source", "token")
+        .agg(
+            # quantize the per-(doc,term) double BEFORE summing: the
+            # per-row expression is fixed-order (identical in both
+            # engines), so its floor(x*1e8) int64 sums exactly and
+            # order-independently — no cross-row double accumulation
+            F.sum(F.floor(score * F.lit(100000000.0)).cast("bigint")).alias(
+                "bm25_scaled"
+            ),
+            F.count(F.lit(1)).alias("n_docs_term"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("bm25_scaled"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "source",
+            "token",
+            F.round(F.col("bm25_scaled") / F.lit(100000000.0), 4).alias(
+                "bm25"
+            ),
+            "n_docs_term",
+            "rn",
+        )
+    )

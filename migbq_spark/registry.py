@@ -125,6 +125,9 @@ R10_WINDOW: tuple[str, ...] = (
     "pareto_skyline_quality_cost",
     "curriculum_interleave_order",
     "token_budget_epoch_plan",
+    "dedup_sorted_neighborhood",
+    "knn_graph_rp_portable",
+    "bm25_top_terms_source",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

@@ -1492,3 +1492,62 @@ def test_token_budget_epoch_plan_conserves_budget(spark, sf_dir):
         ref = w * 4.0 * total / r.n_tokens
         assert abs(r.epochs - ref) < 5.1e-5 + 1e-9 * ref, (r.source, ref)
         assert r.oversampled == (r.epochs > 1.0)
+
+
+def test_snm_candidate_budget_and_verification(spark, sf_dir):
+    """SNM's defining property: every emitted pair really is jaccard
+    >= 0.5 (exact replay on the token sets), pairs are distinct, and
+    the candidate set respects the hard 4n budget."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    rows = Q["dedup_sorted_neighborhood"](spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) <= 4 * n_docs
+    assert len({(r.a_id, r.b_id) for r in rows}) == len(rows)
+    toks = {
+        r.doc_id: set(r.text.split()) - {""}
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:200]:
+        a, b = toks[r.a_id], toks[r.b_id]
+        shared = len(a & b)
+        assert shared == r.shared and len(a) == r.n_a and len(b) == r.n_b
+        assert 2 * shared >= len(a | b)
+        assert r.jaccard >= 0.3333  # 0.5 threshold rounds no lower
+
+
+def test_knn_graph_properties(spark, sf_dir):
+    """Every node emits <= 3 edges ranked by descending integer dot;
+    the mutual flag is exactly 'reverse edge exists in the edge set'."""
+    rows = Q["knn_graph_rp_portable"](spark, sf_dir).collect()
+    assert rows
+    edges = {(r.q_id, r.n_id) for r in rows}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, es in by_q.items():
+        assert len(es) <= 3
+        es.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in es] == list(range(1, len(es) + 1))
+        sims = [r.sim_scaled for r in es]
+        assert sims == sorted(sims, reverse=True)
+    for r in rows:
+        assert r.mutual == ((r.n_id, r.q_id) in edges), (r.q_id, r.n_id)
+
+
+def test_bm25_beats_stopwords(spark, sf_dir):
+    """BM25's saturation + length norm must rank source-distinct
+    content terms, and scores must be positive and rank-consistent."""
+    rows = Q["bm25_top_terms_source"](spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src_rows in by_src.values():
+        src_rows.sort(key=lambda r: r.rn)
+        assert [r.rn for r in src_rows] == list(range(1, len(src_rows) + 1))
+        scores = [r.bm25 for r in src_rows]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)

@@ -559,3 +559,32 @@ def test_token_budget_single_pass_broadcast_scalars(spark, sf_dir):
     plan = _plan(Q["token_budget_epoch_plan"](spark, sf_dir))
     assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_snm_no_global_window_one_scan(spark, sf_dir):
+    """r9 plan contract for dedup_sorted_neighborhood: ONE corpus scan,
+    the neighbor window is partitioned by block (never a global-order
+    single-partition window), and verification happens on the carried
+    token arrays — no token-table re-join."""
+    plan = _plan(Q["dedup_sorted_neighborhood"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "partitionBy" not in plan  # formatted plans spell windows out
+
+
+def test_knn_graph_single_signature_lineage(spark, sf_dir):
+    """r9 plan contract for knn_graph_rp_portable: the checkpointed
+    signature table feeds probes, candidates and both dot sides — the
+    final plan reads NO parquet (audit-lineage rule), and the mutual
+    flag joins only the 3n-edge checkpoint against itself."""
+    plan = _plan(Q["knn_graph_rp_portable"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+
+
+def test_bm25_tf_feeds_everything(spark, sf_dir):
+    """r9 plan contract for bm25_top_terms_source: dl/df/corpus stats
+    all derive from the tf rollup or its checkpoint — at most the two
+    tf-branch corpus scans (tf + df lineage), never one per stat."""
+    plan = _plan(Q["bm25_top_terms_source"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
