@@ -1463,3 +1463,271 @@ def chi2_independence_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cramers_v"),
     )
+
+
+# ----------------------------------------------- kaplan_meier_retention
+
+@register(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(MIN(ts) AS DATE) AS first_d,
+               CAST(MAX(ts) AS DATE) AS last_d
+        FROM events GROUP BY user_id
+    ),
+    obs AS (SELECT MAX(last_d) AS max_d FROM u),
+    lt AS (
+        SELECT user_id,
+               datediff('day', first_d, last_d) AS t,
+               last_d = obs.max_d AS censored
+        FROM u CROSS JOIN obs
+    ),
+    tot AS (SELECT COUNT(*) AS n_users FROM lt),
+    per_t AS (
+        SELECT t,
+               COUNT(*) AS n_at_t,
+               CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_deaths
+        FROM lt GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_at_t, n_deaths,
+               CAST(tot.n_users
+                   - SUM(n_at_t) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   + n_at_t AS BIGINT) AS n_risk
+        FROM per_t CROSS JOIN tot
+    ),
+    km AS (
+        SELECT t, n_risk, n_deaths,
+               exp(SUM(ln(1.0 - n_deaths * 1.0 / n_risk))
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS s
+        FROM risk WHERE n_deaths >= 1
+    )
+    SELECT t AS t_days, n_risk, n_deaths, ROUND(s, 4) AS survival
+    FROM km
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER SURVIVAL ESTIMATOR over user lifetimes — the
+    censoring-correct retention curve `retention_cohorts` (raw day-N
+    return rates) cannot give: a user still active on the final observed day is
+    CENSORED (alive at window end, lifetime unknown), not counted as
+    churned — the distinction that makes naive
+    "days active" retention curves biased low near the corpus edge.
+    S(t) = prod over death times u <= t of (1 - d_u/n_u), one row per
+    death time with the at-risk count.
+
+    Determinism: d_u/n_u are exact integer ratios; the log-sum runs
+    over an ORDERED window (fixed accumulation order in both engines),
+    and survival renders behind ROUND(-,4).
+
+    Scale (100 TB): per-user first/last collapse map-side on user_id;
+    lifetimes collapse to <= |days| rows; every window after runs on
+    that tiny frame (single partition by design — same note as
+    `cusum_drift_daily`).  The observation-end scalar broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    ).localCheckpoint()
+    obs = u.agg(F.max("last_d").alias("max_d"))
+    lt = u.crossJoin(F.broadcast(obs)).select(
+        F.datediff("last_d", "first_d").alias("t"),
+        (F.col("last_d") == F.col("max_d")).alias("censored"),
+    )
+    per_t = lt.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at_t"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1)).alias("n_deaths"),
+    )
+    tot = lt.agg(F.count(F.lit(1)).alias("n_users"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_users") - F.sum("n_at_t").over(w_cum) + F.col("n_at_t"),
+    )
+    km = risk.filter(F.col("n_deaths") >= 1).withColumn(
+        "s",
+        F.exp(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_deaths") * F.lit(1.0) / F.col("n_risk")
+                )
+            ).over(w_cum)
+        ),
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        "n_deaths",
+        F.round("s", 4).alias("survival"),
+    )
+
+
+# ----------------------------------------------- pagerank_event_graph
+
+@register(
+    "pagerank_event_graph",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS u,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS v
+        FROM events
+    ),
+    edges AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+        FROM seq WHERE v IS NOT NULL GROUP BY u, v
+    ),
+    nodes AS (SELECT DISTINCT event_type AS t FROM events),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    outw AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY u),
+    p0 AS (
+        SELECT t, CAST(1000000000000 // nn.n AS BIGINT) AS p
+        FROM nodes CROSS JOIN nn
+    ),
+    c1 AS (
+        SELECT e.v AS t,
+               CAST(SUM(CAST(FLOOR(p0.p * 1.0 * e.w / o.wout) AS BIGINT))
+                    AS BIGINT) AS contrib
+        FROM edges e JOIN p0 ON p0.t = e.u JOIN outw o ON o.u = e.u
+        GROUP BY e.v
+    ),
+    d1 AS (
+        SELECT CAST(COALESCE(SUM(p0.p), 0) AS BIGINT) AS dm
+        FROM p0 LEFT JOIN outw o ON o.u = p0.t
+        WHERE o.u IS NULL
+    ),
+    p1 AS (
+        SELECT nodes.t,
+               CAST(FLOOR(0.15 * 1000000000000.0 / nn.n
+                    + 0.85 * (COALESCE(c1.contrib, 0) + d1.dm // nn.n))
+                    AS BIGINT) AS p
+        FROM nodes LEFT JOIN c1 ON c1.t = nodes.t
+        CROSS JOIN nn CROSS JOIN d1
+    ),
+    c2 AS (
+        SELECT e.v AS t,
+               CAST(SUM(CAST(FLOOR(p1.p * 1.0 * e.w / o.wout) AS BIGINT))
+                    AS BIGINT) AS contrib
+        FROM edges e JOIN p1 ON p1.t = e.u JOIN outw o ON o.u = e.u
+        GROUP BY e.v
+    ),
+    d2 AS (
+        SELECT CAST(COALESCE(SUM(p1.p), 0) AS BIGINT) AS dm
+        FROM p1 LEFT JOIN outw o ON o.u = p1.t
+        WHERE o.u IS NULL
+    ),
+    p2 AS (
+        SELECT nodes.t,
+               CAST(FLOOR(0.15 * 1000000000000.0 / nn.n
+                    + 0.85 * (COALESCE(c2.contrib, 0) + d2.dm // nn.n))
+                    AS BIGINT) AS p
+        FROM nodes LEFT JOIN c2 ON c2.t = nodes.t
+        CROSS JOIN nn CROSS JOIN d2
+    )
+    SELECT p2.t AS event_type,
+           CAST(COALESCE(o.wout, 0) AS BIGINT) AS w_out,
+           ROUND(p1.p / 1000000000000.0, 6) AS pr_iter1,
+           ROUND(p2.p / 1000000000000.0, 6) AS pr_iter2,
+           CAST(ROW_NUMBER() OVER (ORDER BY p2.p DESC, p2.t) AS BIGINT)
+               AS rnk
+    FROM p2
+    JOIN p1 ON p1.t = p2.t
+    LEFT JOIN outw o ON o.u = p2.t
+    """,
+)
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK (2 unrolled power iterations, damping 0.85) over the
+    event-type transition graph — "which state do user journeys
+    accumulate in": the graph-centrality upgrade over raw
+    `sequence_next_event` counts (in-degree mass weighted by the
+    IMPORTANCE of the predecessor, not just its frequency).  Includes
+    the textbook dangling-node correction (mass of out-degree-0 nodes
+    redistributed uniformly each iteration).
+
+    Determinism (the BM25 move, applied to an iterative algorithm):
+    rank mass lives as int64 scaled 1e12; each per-edge transfer
+    floor(p(u)·w/W(u)) is one fixed-order double expression over
+    int64s — identical in both engines — floored back to int64, so
+    every SUM is exact integer addition and iteration results are
+    bit-stable at any parallelism.  Ranks order by the integer.
+
+    Scale (100 TB): the corpus is touched ONCE (the lead() window on
+    user_id + edge rollup — the `sequence_next_event` shape); both
+    iterations are joins/aggregations on the |types|²-bounded edge
+    table with |types|-row rank vectors and 1-row scalars broadcast.
+    K more iterations = K more tiny joins, no corpus re-scans."""
+    ev = load(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("u"),
+        F.lead("event_type").over(w_seq).alias("v"),
+    )
+    edges = (
+        seq.filter(F.col("v").isNotNull())
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        ev.select(F.col("event_type").alias("t")).distinct().localCheckpoint()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = edges.groupBy("u").agg(F.sum("w").alias("wout"))
+    scale = F.lit(1000000000000)
+    p0 = nodes.crossJoin(F.broadcast(nn)).select(
+        "t", F.expr("1000000000000 div n").alias("p")
+    )
+
+    def iterate(p: DataFrame) -> DataFrame:
+        term = F.floor(
+            F.col("p") * F.lit(1.0) * F.col("w") / F.col("wout")
+        ).cast("bigint")
+        c = (
+            edges.join(p.withColumnRenamed("t", "u"), "u")
+            .join(outw, "u")
+            .groupBy("v")
+            .agg(F.sum(term).alias("contrib"))
+            .withColumnRenamed("v", "t")
+        )
+        dm = (
+            p.join(outw.withColumnRenamed("u", "t"), "t", "left")
+            .filter(F.col("wout").isNull())
+            .agg(F.coalesce(F.sum("p"), F.lit(0)).alias("dm"))
+        )
+        return (
+            nodes.join(c, "t", "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "t",
+                F.floor(
+                    F.lit(0.15) * scale / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0))
+                        + F.expr("dm div n")
+                    )
+                )
+                .cast("bigint")
+                .alias("p"),
+            )
+        )
+
+    p1 = iterate(p0).localCheckpoint()
+    p2 = iterate(p1)
+    w_rnk = Window.orderBy(F.desc("p2s"), "t")
+    return (
+        p2.withColumnRenamed("p", "p2s")
+        .join(p1.withColumnRenamed("p", "p1s"), "t")
+        .join(outw.withColumnRenamed("u", "t"), "t", "left")
+        .select(
+            F.col("t").alias("event_type"),
+            F.coalesce(F.col("wout"), F.lit(0)).cast("bigint").alias("w_out"),
+            F.round(F.col("p1s") / scale.cast("double"), 6).alias("pr_iter1"),
+            F.round(F.col("p2s") / scale.cast("double"), 6).alias("pr_iter2"),
+            F.row_number().over(w_rnk).cast("bigint").alias("rnk"),
+        )
+    )

@@ -1220,3 +1220,90 @@ def cusum_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("pfx") - F.col("lo")) > thresh).alias("alarm_pos"),
         ((F.col("hi") - F.col("pfx")) > thresh).alias("alarm_neg"),
     )
+
+
+# --------------------------------------------------- ewma_daily_volume
+
+def _ewma_oracle() -> str:
+    """Build the 16-lag EWMA oracle: integer weights 3^k * 4^(15-k)
+    (= (3/4)^k scaled by 4^15) over the last 16 days."""
+    num = " + ".join(
+        f"COALESCE(lag(cnt, {k}) OVER w, 0) * CAST({3**k * 4**(15-k)} AS BIGINT)"
+        for k in range(16)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cnt, {k}) OVER w IS NULL THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST({3**k * 4**(15-k)} AS BIGINT) END"
+        for k in range(16)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    e AS (
+        SELECT d, cnt,
+               {num} AS num,
+               {den} AS den
+        FROM daily
+        WINDOW w AS (ORDER BY d)
+    )
+    SELECT d, cnt,
+           ROUND(num * 1.0 / den, 4) AS ewma_16d,
+           ROUND(cnt * den * 1.0 / num, 4) AS ratio
+    FROM e
+    """
+
+
+@register("ewma_daily_volume", oracle=_ewma_oracle())
+def ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-WEIGHTED MOVING AVERAGE of daily event volume,
+    alpha = 1/4 truncated at 16 days — the smoothed baseline ops
+    dashboards divide today's volume by (the `ratio` column; compare
+    `cusum_drift_daily` for sustained shifts, this for "is today 2x
+    its smoothed self").  The recurrence S_t = alpha*x_t +
+    (1-alpha)*S_{t-1} is unrolled into 16 literal lag() terms with
+    weights (3/4)^k, renormalized over the lags that exist (first 15
+    days use fewer terms — the standard adjusted-EWMA correction).
+
+    Determinism is EXACT, not behind-rounding: weights are the
+    INTEGERS 3^k * 4^(15-k) (so (3/4)^k x 4^15), every numerator term
+    x * 3^k * 4^(15-k) <= ~1e6 * 1.07e9 fits int64, the sums are
+    integer, and the single final division of two exact int64s is one
+    correctly-rounded IEEE op — bit-identical in any engine, at any
+    accumulation order.  (Contrast the textbook float recurrence,
+    which is order-SENSITIVE and impossible to hash-verify.)
+
+    Scale (100 TB): the corpus collapses map-side to |days| rows; the
+    16 lags are ONE window pass over that tiny frame (single
+    partition by design, same note as `cusum_drift_daily`)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("d")
+    lags = [F.lag("cnt", k).over(w).alias(f"l{k}") for k in range(16)]
+    e = daily.select("d", "cnt", *lags)
+    num = sum(
+        (
+            F.coalesce(F.col(f"l{k}"), F.lit(0))
+            * F.lit(3**k * 4 ** (15 - k)).cast("bigint")
+            for k in range(16)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"l{k}").isNull(), F.lit(0).cast("bigint")).otherwise(
+                F.lit(3**k * 4 ** (15 - k)).cast("bigint")
+            )
+            for k in range(16)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return e.select(
+        "d",
+        "cnt",
+        F.round(num * F.lit(1.0) / den, 4).alias("ewma_16d"),
+        F.round(F.col("cnt") * den * F.lit(1.0) / num, 4).alias("ratio"),
+    )

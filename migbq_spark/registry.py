@@ -128,6 +128,9 @@ R10_WINDOW: tuple[str, ...] = (
     "dedup_sorted_neighborhood",
     "knn_graph_rp_portable",
     "bm25_top_terms_source",
+    "kaplan_meier_retention",
+    "ewma_daily_volume",
+    "pagerank_event_graph",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

@@ -1551,3 +1551,73 @@ def test_bm25_beats_stopwords(spark, sf_dir):
         scores = [r.bm25 for r in src_rows]
         assert all(s > 0 for s in scores)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_kaplan_meier_replays_textbook_estimator(spark, sf_dir):
+    """Replay the KM product-limit estimator in python over the
+    per-user lifetimes and match every emitted row."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("f"),
+            F.max(F.to_date("ts")).alias("l"),
+        )
+        .collect()
+    )
+    max_d = max(r.l for r in u)
+    lts = [((r.l - r.f).days, r.l == max_d) for r in u]
+    times = sorted({t for t, _ in lts})
+    s, out = 1.0, {}
+    for t in times:
+        n_risk = sum(1 for x, _ in lts if x >= t)
+        d = sum(1 for x, c in lts if x == t and not c)
+        if d >= 1:
+            s *= 1.0 - d / n_risk
+            out[t] = (n_risk, d, s)
+    rows = Q["kaplan_meier_retention"](spark, sf_dir).collect()
+    assert {r.t_days for r in rows} == set(out)
+    for r in rows:
+        n_risk, d, s = out[r.t_days]
+        assert (r.n_risk, r.n_deaths) == (n_risk, d)
+        assert abs(r.survival - s) < 5.1e-5
+        assert 0.0 <= r.survival <= 1.0
+
+
+def test_ewma_exact_integer_weights(spark, sf_dir):
+    """The unrolled EWMA must equal the adjusted closed form replayed
+    in exact python rationals (integer weights 3^k 4^(15-k))."""
+    from fractions import Fraction
+
+    rows = Q["ewma_daily_volume"](spark, sf_dir).orderBy("d").collect()
+    assert len(rows) >= 16
+    xs = [r.cnt for r in rows]
+    for i, r in enumerate(rows):
+        num = den = 0
+        for k in range(16):
+            if i - k < 0:
+                break
+            wgt = 3**k * 4 ** (15 - k)
+            num += xs[i - k] * wgt
+            den += wgt
+        ref = Fraction(num, den)
+        assert abs(r.ewma_16d - float(ref)) < 5.1e-5, (r.d, float(ref))
+        assert r.ewma_16d > 0
+
+
+def test_pagerank_mass_conservation_and_ordering(spark, sf_dir):
+    """Both iterations approximately conserve probability mass (up to
+    the 1e-12 quantization floor x N), every rank is positive, and the
+    rnk column orders by pr_iter2 descending."""
+    rows = Q["pagerank_event_graph"](spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for it in ("pr_iter1", "pr_iter2"):
+        mass = sum(getattr(r, it) for r in rows)
+        assert abs(mass - 1.0) < 1e-3, (it, mass)
+        assert all(getattr(r, it) >= 0.15 / n / 2 for r in rows)
+    ordered = sorted(rows, key=lambda r: (-r.pr_iter2, r.event_type))
+    assert [r.rnk for r in ordered] == list(range(1, n + 1))

@@ -588,3 +588,32 @@ def test_bm25_tf_feeds_everything(spark, sf_dir):
     plan = _plan(Q["bm25_top_terms_source"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kaplan_meier_collapses_before_windows(spark, sf_dir):
+    """r9 plan contract for kaplan_meier_retention: the checkpointed
+    per-user frame feeds lifetimes + the observation-end scalar — the
+    tail plan reads no parquet and windows run on the |days| frame."""
+    plan = _plan(Q["kaplan_meier_retention"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "Window" in plan
+
+
+def test_ewma_one_aggregation_pass(spark, sf_dir):
+    """r9 plan contract for ewma_daily_volume: one corpus scan, one
+    partial-aggregated collapse to |days| rows, all 16 lags in ONE
+    window pass (a single Window node, not 16)."""
+    plan = _plan(Q["ewma_daily_volume"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Window") == 1, plan.count("Window")
+
+
+def test_pagerank_iterations_never_rescan_corpus(spark, sf_dir):
+    """r9 plan contract for pagerank_event_graph: the corpus feeds the
+    checkpointed edge table once; both power iterations and the final
+    assembly read NO parquet (iterations are joins on |types|-sized
+    frames with broadcast scalars)."""
+    plan = _plan(Q["pagerank_event_graph"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
