@@ -1057,3 +1057,164 @@ def mannwhitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("reject_05"),
     )
+
+
+# ---------------------------------------------- weighted_median_per_key
+
+@register(
+    "weighted_median_per_key",
+    oracle="""
+    WITH rows_ AS (
+        SELECT l_returnflag AS k,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT k, price_c, w,
+               SUM(w) OVER (PARTITION BY k ORDER BY price_c,
+                   l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY k) AS tw
+        FROM rows_
+    ),
+    med AS (
+        SELECT k, price_c, w, cw, tw,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY cw, price_c)
+                   AS rn
+        FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT k AS l_returnflag,
+           CAST(tw AS BIGINT) AS total_weight,
+           ROUND(price_c / 100.0, 2) AS weighted_median_price
+    FROM med WHERE rn = 1
+    """,
+)
+def weighted_median_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN of extended price, weighted by quantity,
+    per return flag — the order statistic `agg_percentile` (unweighted
+    exact) and `agg_approx_percentile` (sketch) both miss: "the price
+    point at which half the shipped UNITS are cheaper", the
+    inventory-weighted center a pricing analyst actually wants.
+    Definition: smallest price with cumulative weight >= half total
+    (the lower weighted median — deterministic, no interpolation).
+
+    Determinism: prices as exact cents int64 (the `cents` recipe),
+    weights as int64, the cumulative sum over a TOTALLY ordered window
+    (price, orderkey, linenumber tiebreak §7.4), and the integer
+    inequality 2*cw >= tw picks the row — no doubles until the final
+    /100 render.
+
+    Scale (100 TB): one shuffle on the group key, one sorted window
+    pass per group (the same cost class as any per-key rank), output
+    |keys| rows.  Contrast the naive percentile_approx or a
+    collect-and-sort: this is the fully-distributed exact form."""
+    li = load(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_returnflag").alias("k"),
+        (dec("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("k")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("k")
+    cum = rows_.select(
+        "k",
+        "price_c",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    w_rn = Window.partitionBy("k").orderBy("cw", "price_c")
+    med = (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+    )
+    return med.select(
+        F.col("k").alias("l_returnflag"),
+        F.col("tw").cast("bigint").alias("total_weight"),
+        F.round(F.col("price_c") / F.lit(100.0), 2).alias(
+            "weighted_median_price"
+        ),
+    )
+
+
+# --------------------------------------------- share_of_parent_rollup
+
+@register(
+    "share_of_parent_rollup",
+    oracle="""
+    WITH base AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS rev_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           ROUND(rev_c / 100.0, 2) AS revenue,
+           ROUND(rev_c * 1.0 / SUM(rev_c) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(SUM(rev_c) OVER (PARTITION BY region)
+                 * 1.0 / SUM(rev_c) OVER (), 6) AS region_share_of_total
+    FROM base
+    """,
+)
+def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-PARENT along the region→nation hierarchy — the OLAP
+    "percent of parent" measure every BI layer bolts onto a rollup:
+    each nation's share of its region's revenue and each region's
+    share of world revenue, on one row per nation.  Complements
+    `agg_rollup` (subtotal ROWS) with the ratio FORM those subtotals
+    exist to feed.
+
+    Determinism: revenue lives as exact cents int64 end-to-end
+    (the `cents` recipe) — group sums AND both denominator window
+    sums are exact integer addition, so each share is one IEEE
+    division of two exact int64s; doubles appear only in the final
+    rounded renders.
+
+    Scale (100 TB): orders joins broadcast dims (customer is the only
+    big-ish side), the rollup collapses map-side to |nations| rows,
+    and every window runs on that tiny frame."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    base = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum((dec("o_totalprice") * 100).cast("bigint")).alias("rev_c")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return base.select(
+        "region",
+        "nation",
+        F.round(F.col("rev_c") / F.lit(100.0), 2).alias("revenue"),
+        F.round(
+            F.col("rev_c") * F.lit(1.0) / F.sum("rev_c").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("rev_c").over(w_region)
+            * F.lit(1.0)
+            / F.sum("rev_c").over(w_all),
+            6,
+        ).alias("region_share_of_total"),
+    )

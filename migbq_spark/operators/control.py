@@ -924,3 +924,152 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "would_explode"
         ),
     )
+
+
+# --------------------------------------------------- dq_expectation_suite
+
+@register(
+    "dq_expectation_suite",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orders_pk_not_null' AS check_name, 'orders' AS tbl,
+               CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_pk_unique', 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_status_accepted', 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_totalprice_range', 'orders',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice > 0
+                              AND o_totalprice < 1000000 THEN 0 ELSE 1 END)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orders', 'lineitem',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders_fk_customer', 'orders',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem_qty_positive', 'lineitem',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_quantity >= 1 THEN 0 ELSE 1 END)
+                    AS BIGINT)
+        FROM lineitem
+    )
+    SELECT check_name, tbl, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM checks
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATION SUITE (the dbt-test / Great-Expectations
+    control-plane shape): seven named assertions over the star schema
+    — PK not-null + uniqueness, accepted-set membership, value range,
+    two referential-integrity checks (lineitem→orders, orders→customer
+    via anti-join counts), and a per-row domain invariant
+    (quantity ≥ 1) — one row per check with checked/violation
+    counts.  This is the gate a load pipeline runs between
+    `load_job_sink_commit` and publishing a partition; the violation
+    COUNTS (not just booleans) are what the quarantine path
+    (`load_dead_letter_quarantine`) consumes.
+
+    Determinism: all counts are exact integers.
+
+    Scale (100 TB): each per-table check is one map-side-combinable
+    aggregation (they share the table scans — Spark fuses the four
+    orders checks over one scan each branch at worst); the FK checks
+    are LEFT ANTI joins that shuffle on the key or broadcast the
+    small side — never row-by-row assertions.  Output is |checks|
+    rows."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    def agg_check(df: DataFrame, name: str, tbl: str, viol: F.Column):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(viol.cast("int")).cast("bigint").alias("n_violations"),
+        )
+
+    pk_nn = agg_check(
+        o, "orders_pk_not_null", "orders", F.col("o_orderkey").isNull()
+    )
+    pk_uniq = o.agg(
+        F.lit("orders_pk_unique").alias("check_name"),
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    status = agg_check(
+        o,
+        "orders_status_accepted",
+        "orders",
+        ~F.col("o_orderstatus").isin("O", "F", "P"),
+    )
+    price = agg_check(
+        o,
+        "orders_totalprice_range",
+        "orders",
+        ~((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000)),
+    )
+    li_n = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    li_orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    fk_li = li_n.crossJoin(li_orphans).select(
+        F.lit("lineitem_fk_orders").alias("check_name"),
+        F.lit("lineitem").alias("tbl"),
+        "n_checked",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+    )
+    o_n = o.agg(F.count(F.lit(1)).alias("n_checked"))
+    o_orphans = o.join(
+        c.select("c_custkey"),
+        o["o_custkey"] == c["c_custkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_violations"))
+    fk_o = o_n.crossJoin(o_orphans).select(
+        F.lit("orders_fk_customer").alias("check_name"),
+        F.lit("orders").alias("tbl"),
+        "n_checked",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+    )
+    qty = agg_check(
+        li,
+        "lineitem_qty_positive",
+        "lineitem",
+        ~(F.col("l_quantity") >= 1),
+    )
+    out = (
+        pk_nn.unionAll(pk_uniq)
+        .unionAll(status)
+        .unionAll(price)
+        .unionAll(fk_li)
+        .unionAll(fk_o)
+        .unionAll(qty)
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -131,6 +131,9 @@ R10_WINDOW: tuple[str, ...] = (
     "kaplan_meier_retention",
     "ewma_daily_volume",
     "pagerank_event_graph",
+    "dq_expectation_suite",
+    "weighted_median_per_key",
+    "share_of_parent_rollup",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

@@ -1621,3 +1621,63 @@ def test_pagerank_mass_conservation_and_ordering(spark, sf_dir):
         assert all(getattr(r, it) >= 0.15 / n / 2 for r in rows)
     ordered = sorted(rows, key=lambda r: (-r.pr_iter2, r.event_type))
     assert [r.rnk for r in ordered] == list(range(1, n + 1))
+
+
+def test_dq_expectation_suite_all_pass_on_clean_fixture(spark, sf_dir):
+    """The shipped fixture is referentially clean — every expectation
+    must pass with 0 violations and a full checked count."""
+    rows = {r.check_name: r for r in Q["dq_expectation_suite"](spark, sf_dir).collect()}
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r.passed and r.n_violations == 0, r
+        assert r.n_checked > 0
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """Replay the lower weighted median in python per return flag."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("pc"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+        .collect()
+    )
+    by_k: dict[str, list] = {}
+    for r in li:
+        by_k.setdefault(r.l_returnflag, []).append((r.pc, r.w))
+    out = {r.l_returnflag: r for r in Q["weighted_median_per_key"](spark, sf_dir).collect()}
+    assert set(out) == set(by_k)
+    for k, vals in by_k.items():
+        vals.sort()
+        tw = sum(w for _, w in vals)
+        cw = 0
+        for pc, w in vals:
+            cw += w
+            if 2 * cw >= tw:
+                break
+        assert out[k].total_weight == tw
+        assert abs(out[k].weighted_median_price - pc / 100.0) < 1e-9
+
+
+def test_share_of_parent_sums_to_one(spark, sf_dir):
+    """Within each region the nation shares sum to 1; region shares of
+    total sum to 1 (counted once per region)."""
+    rows = Q["share_of_parent_rollup"](spark, sf_dir).collect()
+    assert rows
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    region_share = {}
+    for region, rs in by_region.items():
+        assert abs(sum(x.share_of_region for x in rs) - 1.0) < 1e-4
+        shares = {x.region_share_of_total for x in rs}
+        assert len(shares) == 1  # constant within the region
+        region_share[region] = shares.pop()
+    assert abs(sum(region_share.values()) - 1.0) < 1e-4

@@ -617,3 +617,29 @@ def test_pagerank_iterations_never_rescan_corpus(spark, sf_dir):
     plan = _plan(Q["pagerank_event_graph"](spark, sf_dir))
     assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dq_suite_anti_joins_and_partial_aggs(spark, sf_dir):
+    """r9 plan contract for dq_expectation_suite: FK checks run as
+    real anti-joins (BroadcastHashJoin/SortMergeJoin LeftAnti), and
+    every count check partial-aggregates map-side."""
+    plan = _plan(Q["dq_expectation_suite"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:500]
+    assert plan.count("HashAggregate") >= 8
+
+
+def test_weighted_median_single_shuffle_per_key(spark, sf_dir):
+    """r9 plan contract for weighted_median_per_key: both windows and
+    the rank reuse ONE exchange on the group key; one corpus scan."""
+    plan = _plan(Q["weighted_median_per_key"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_share_of_parent_broadcasts_dims(spark, sf_dir):
+    """r9 plan contract for share_of_parent_rollup: nation/region (and
+    customer under AQE sizing) broadcast — no SMJ on the fact side;
+    windows run on the |nations| frame after a map-side rollup."""
+    plan = _plan(Q["share_of_parent_rollup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
