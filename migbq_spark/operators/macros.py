@@ -321,3 +321,69 @@ def tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ------------------------------------------- orders_fulfillment_sla
+
+@register(
+    "orders_fulfillment_sla",
+    oracle="""
+    WITH last_ship AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+               datediff('day', o.o_orderdate, ls.last_ship) AS lead_days
+        FROM orders o JOIN last_ship ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_30d,
+           CAST(SUM(CASE WHEN lead_days <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_90d,
+           CAST(MAX(lead_days) AS BIGINT) AS worst_lead_days,
+           ROUND(SUM(CASE WHEN lead_days <= 30 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS sla_30d_rate
+    FROM j GROUP BY order_month
+    """,
+)
+def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-FULFILLMENT SLA by order month: share of orders whose LAST
+    line item ships within 30/90 days of the order date, plus the
+    worst observed lead time — the completion-latency rollup an ops
+    team tracks per cohort (an order is fulfilled when its FINAL line
+    ships, so the per-order MAX, not the per-line date, is the SLA
+    clock; counting lines would overstate on-time performance).
+
+    Determinism: date arithmetic and counts are exact; the single
+    rate divides two exact integers behind ROUND(-,4).
+
+    Scale (100 TB): the lineitem rollup collapses map-side on
+    l_orderkey, joins orders on the SAME key (co-partitioned with the
+    natural layout; AQE can plan either side), and the month rollup
+    is map-side combinable to |months| rows."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    j = o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"]).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.datediff("last_ship", "o_orderdate").alias("lead_days"),
+    )
+    in30 = F.sum((F.col("lead_days") <= 30).cast("int")).cast("bigint")
+    in90 = F.sum((F.col("lead_days") <= 90).cast("int")).cast("bigint")
+    return j.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        in30.alias("n_within_30d"),
+        in90.alias("n_within_90d"),
+        F.max("lead_days").cast("bigint").alias("worst_lead_days"),
+        F.round(
+            F.sum((F.col("lead_days") <= 30).cast("int"))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            4,
+        ).alias("sla_30d_rate"),
+    )

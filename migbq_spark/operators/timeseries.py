@@ -1307,3 +1307,71 @@ def ewma_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num * F.lit(1.0) / den, 4).alias("ewma_16d"),
         F.round(F.col("cnt") * den * F.lit(1.0) / num, 4).alias("ratio"),
     )
+
+
+# --------------------------------------------- open_orders_backlog_daily
+
+@register(
+    "open_orders_backlog_daily",
+    oracle="""
+    WITH opened AS (
+        SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_opened
+        FROM orders GROUP BY 1
+    ),
+    shipped AS (
+        SELECT last_ship AS d, CAST(COUNT(*) AS BIGINT) AS n_closed
+        FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+              FROM lineitem GROUP BY l_orderkey)
+        GROUP BY 1
+    ),
+    delta AS (
+        SELECT COALESCE(o.d, s.d) AS d,
+               COALESCE(n_opened, 0) AS n_opened,
+               COALESCE(n_closed, 0) AS n_closed
+        FROM opened o FULL OUTER JOIN shipped s ON o.d = s.d
+    )
+    SELECT d, n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed)
+                OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS backlog
+    FROM delta
+    """,
+)
+def open_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-ORDER BACKLOG curve via the SWEEP-LINE / difference-array
+    method: +1 at order date, -1 on the day the order's LAST line item
+    ships, running sum = in-flight orders per day — the
+    interval-stabbing question ("how many intervals cover day d")
+    answered WITHOUT expanding order x day pairs, which is what makes
+    it viable when intervals span months: cost is |orders| + |days|,
+    never their product (contrast the naive `d BETWEEN open AND close`
+    range join).
+
+    Determinism: all counts exact integers; the running sum is int64
+    over an ordered window.
+
+    Scale (100 TB): both event streams collapse map-side to |days|
+    rows (the lineitem max-per-order rollup shuffles once on the
+    orderkey it shares with the scan layout); the full-outer stitch
+    and running sum run on the tiny daily frame."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    opened = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_opened")
+    )
+    shipped = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .groupBy(F.col("last_ship").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    delta = opened.join(shipped, "d", "full_outer").select(
+        "d",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return delta.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
+    )

@@ -3483,3 +3483,176 @@ def bm25_top_terms_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------- keyphrase_rake_top
+
+#: RAKE stopword set — the phrase delimiters (kept tiny and fixed so
+#: the oracle can inline the same list).
+_RAKE_STOPS = (
+    "the", "a", "of", "to", "in", "and", "is", "for", "on", "with",
+)
+
+
+@register(
+    "keyphrase_rake_top",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, ws,
+               unnest(generate_series(1, len(ws))) AS i
+        FROM toks WHERE len(ws) >= 1
+    ),
+    words AS (
+        SELECT doc_id, source, ws[i] AS w, i,
+               ws[i] IN {_RAKE_STOPS!r} AS is_stop
+        FROM pos
+    ),
+    marked AS (
+        SELECT doc_id, source, w, i,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i) AS pid,
+               is_stop
+        FROM words
+    ),
+    occ AS (
+        SELECT doc_id, source, pid, i, w FROM marked WHERE NOT is_stop
+    ),
+    phrases AS (
+        SELECT doc_id, source, pid,
+               string_agg(w, ' ' ORDER BY i) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM occ GROUP BY doc_id, source, pid
+    ),
+    wstats AS (
+        SELECT o.w,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(p.plen) AS BIGINT) AS degree
+        FROM occ o JOIN phrases p USING (doc_id, pid)
+        GROUP BY o.w
+    ),
+    scored AS (
+        SELECT o.doc_id, o.source, o.pid,
+               CAST(SUM(CAST(FLOOR(ws.degree * 100000000.0 / ws.freq)
+                    AS BIGINT)) AS BIGINT) AS score_scaled
+        FROM occ o JOIN wstats ws ON ws.w = o.w
+        GROUP BY o.doc_id, o.source, o.pid
+    ),
+    uniq AS (
+        SELECT p.source, p.phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occur,
+               MAX(s.score_scaled) AS score_scaled,
+               MAX(p.plen) AS plen
+        FROM phrases p JOIN scored s USING (doc_id, pid)
+        WHERE p.plen >= 2
+        GROUP BY p.source, p.phrase
+    )
+    SELECT source, phrase, plen, n_occur,
+           ROUND(score_scaled / 100000000.0, 4) AS rake_score, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY score_scaled DESC, phrase) AS rn
+          FROM uniq) t
+    WHERE rn <= 5
+    """,
+)
+def keyphrase_rake_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, Rapid Automatic
+    Keyword Extraction): split each doc into candidate phrases at
+    stopword boundaries, score each word by degree(w)/freq(w) (degree
+    = summed length of the phrases it appears in — rewards words that
+    co-occur inside longer phrases), score a phrase by the sum of its
+    member word scores, and emit the top-5 multi-word phrases per
+    source — the document-collection keyphrase profile beside
+    `bm25_top_terms_source` (single tokens) and `pmi_collocations`
+    (bigram association).
+
+    Determinism: freq/degree are exact integers; each word score is
+    quantized floor(1e8·degree/freq) BEFORE phrase summation (the BM25
+    move), phrase strings are built with an explicit ORDER BY position
+    inside the aggregation, and ranks tiebreak on the phrase.
+
+    Scale (100 TB): phrase segmentation is a per-doc window over word
+    positions (partitioned by doc — fully distributed), and the corpus
+    is read ONCE: the phrase table (with its ordered word arrays) is
+    checkpointed and every later stage — vocab-collapsed word stats,
+    the vocab-keyed score join, the unique-phrase rollup and the
+    bounded top-5 window — derives from it (plan contract: 0 parquet
+    scans in the tail).  No corpus-wide sort, no pair blowup."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("i", "w"),
+    ).withColumn("is_stop", F.col("w").isin(*_RAKE_STOPS))
+    w_pid = Window.partitionBy("doc_id").orderBy("i")
+    occ = (
+        words.withColumn(
+            "pid", F.sum(F.col("is_stop").cast("int")).over(w_pid)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "source", "pid", "i", "w")
+    )
+    # ONE corpus pass builds the phrase table (words kept as an ordered
+    # array); the checkpoint lets word stats, scores and the final
+    # rollup all derive from this much smaller frame instead of
+    # re-deriving the corpus-sized occurrence lineage per branch
+    phrases = (
+        occ.groupBy("doc_id", "source", "pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s.w,
+            ).alias("ws_arr"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .withColumn("phrase", F.array_join("ws_arr", " "))
+        .localCheckpoint()
+    )
+    exploded = phrases.select(
+        "doc_id", "pid", "plen", F.explode("ws_arr").alias("w")
+    )
+    wstats = exploded.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    sq = F.floor(
+        F.col("degree") * F.lit(100000000.0) / F.col("freq")
+    ).cast("bigint")
+    scored = (
+        exploded.join(wstats, "w")
+        .groupBy("doc_id", "pid")
+        .agg(F.sum(sq).alias("score_scaled"))
+    )
+    uniq = (
+        phrases.filter(F.col("plen") >= 2)
+        .join(scored, ["doc_id", "pid"])
+        .groupBy("source", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occur"),
+            F.max("score_scaled").alias("score_scaled"),
+            F.max("plen").alias("plen"),
+        )
+    )
+    w_rnk = Window.partitionBy("source").orderBy(
+        F.desc("score_scaled"), "phrase"
+    )
+    return (
+        uniq.withColumn("rn", F.row_number().over(w_rnk))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "source",
+            "phrase",
+            "plen",
+            "n_occur",
+            F.round(F.col("score_scaled") / F.lit(100000000.0), 4).alias(
+                "rake_score"
+            ),
+            "rn",
+        )
+    )

@@ -134,6 +134,9 @@ R10_WINDOW: tuple[str, ...] = (
     "dq_expectation_suite",
     "weighted_median_per_key",
     "share_of_parent_rollup",
+    "open_orders_backlog_daily",
+    "keyphrase_rake_top",
+    "orders_fulfillment_sla",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

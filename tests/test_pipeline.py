@@ -1681,3 +1681,80 @@ def test_share_of_parent_sums_to_one(spark, sf_dir):
         assert len(shares) == 1  # constant within the region
         region_share[region] = shares.pop()
     assert abs(sum(region_share.values()) - 1.0) < 1e-4
+
+
+def test_backlog_sweep_line_invariants(spark, sf_dir):
+    """Backlog equals opened-minus-closed replayed cumulatively, never
+    goes negative on the clean fixture, and ends at the count of
+    orders with no shipped-last-line date beyond the horizon."""
+    rows = (
+        Q["open_orders_backlog_daily"](spark, sf_dir).orderBy("d").collect()
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        run += r.n_opened - r.n_closed
+        assert r.backlog == run, (r.d, run)
+        assert r.backlog >= 0
+    total_opened = sum(r.n_opened for r in rows)
+    total_closed = sum(r.n_closed for r in rows)
+    assert rows[-1].backlog == total_opened - total_closed
+
+
+def test_rake_scores_replay(spark, sf_dir):
+    """Replay RAKE end-to-end in python on the raw text and match the
+    emitted top-5 phrases and scores per source."""
+    from migbq_spark.catalog import load
+    from migbq_spark.operators.training import _RAKE_STOPS
+
+    docs = load(spark, sf_dir, "documents").collect()
+    phrases = {}
+    for doc in docs:
+        words = [w for w in doc.text.split(" ") if w != ""]
+        pid = 0
+        for w in words:
+            if w in _RAKE_STOPS:
+                pid += 1
+            else:
+                phrases.setdefault((doc.doc_id, pid, doc.source), []).append(w)
+    freq, degree = {}, {}
+    for (d_id, pid, src), ws in phrases.items():
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            degree[w] = degree.get(w, 0) + len(ws)
+    import math
+    sq = {w: math.floor(degree[w] * 1e8 / freq[w]) for w in freq}
+    best: dict[str, dict[str, tuple]] = {}
+    for (d_id, pid, src), ws in phrases.items():
+        if len(ws) < 2:
+            continue
+        phrase = " ".join(ws)
+        score = sum(sq[w] for w in ws)
+        n, s, _ = best.setdefault(src, {}).get(phrase, (0, score, len(ws)))
+        best[src][phrase] = (n + 1, score, len(ws))
+    rows = Q["keyphrase_rake_top"](spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        expect = sorted(
+            best[src].items(), key=lambda kv: (-kv[1][1], kv[0])
+        )[: len(rs)]
+        rs.sort(key=lambda r: r.rn)
+        for r, (phrase, (n, score, ln)) in zip(rs, expect):
+            assert r.phrase == phrase, (src, r.phrase, phrase)
+            assert r.n_occur == n and r.plen == ln
+            # output is ROUND(.,4): half-step quantization tolerance
+            assert abs(r.rake_score - score / 1e8) < 5.1e-5
+
+
+def test_fulfillment_sla_counts(spark, sf_dir):
+    """Monotone containment (30d count <= 90d count <= orders) and the
+    rate is exactly the 30d ratio."""
+    rows = Q["orders_fulfillment_sla"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_within_30d <= r.n_within_90d <= r.n_orders
+        assert r.sla_30d_rate == round(r.n_within_30d / r.n_orders, 4)
+        # the synthetic fixture contains ship dates before the order
+        # date, so lead days may be negative — no sign assertion

@@ -643,3 +643,33 @@ def test_share_of_parent_broadcasts_dims(spark, sf_dir):
     plan = _plan(Q["share_of_parent_rollup"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_backlog_no_interval_expansion(spark, sf_dir):
+    """r9 plan contract for open_orders_backlog_daily: the sweep-line
+    form never range-joins orders x days — no join below the daily
+    stitch except the full-outer on the two |days| frames; both
+    streams partial-aggregate map-side."""
+    plan = _plan(Q["open_orders_backlog_daily"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "")
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_rake_no_corpus_sort(spark, sf_dir):
+    """r9 plan contract for keyphrase_rake_top: phrase segmentation
+    windows partition by doc_id (distributed), word stats collapse to
+    vocab size, and the only row_number window is the bounded top-5
+    per source."""
+    plan = _plan(Q["keyphrase_rake_top"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+    assert "EvalPython" not in plan
+
+
+def test_fulfillment_sla_single_join(spark, sf_dir):
+    """r9 plan contract for orders_fulfillment_sla: one join between
+    the order scan and the map-side lineitem rollup; month rollup
+    partial-aggregates."""
+    plan = _plan(Q["orders_fulfillment_sla"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert plan.count("HashAggregate") >= 4
