@@ -1218,3 +1218,136 @@ def share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_of_total"),
     )
+
+
+# --------------------------------------------- bootstrap_ci_event_value
+
+#: Cumulative Poisson(1) thresholds for k = 0..6 (as exact decimal
+#: literals rendered to double identically in both engines) — the
+#: inverse-CDF table that turns a uniform md5 draw into a Poisson
+#: multiplier weight.
+_POIS_CDF = (
+    "0.3678794411714423",
+    "0.7357588823428846",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+
+def _pois_case(u: str) -> str:
+    """CASE expression mapping a uniform [0,1) draw to Poisson(1) k."""
+    branches = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register(
+    "bootstrap_ci_event_value",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, 31)) AS b),
+    w AS (
+        SELECT b.b,
+               CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+               {_pois_case("(CAST(concat('0x', substr(md5("
+                           "CAST(e.event_id AS VARCHAR) || ':' || "
+                           "CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)"
+                           " * 1.0 / 4294967296.0)")} AS wgt
+        FROM events e CROSS JOIN b
+    ),
+    means AS (
+        SELECT b,
+               CAST(SUM(wgt * v_c) AS BIGINT) * 1.0
+                   / (CAST(SUM(wgt) AS BIGINT) * 100.0) AS m
+        FROM w GROUP BY b
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn, COUNT(*) OVER () AS n
+        FROM means
+    ),
+    pt AS (
+        SELECT SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) * 1.0
+                   / (COUNT(*) * 100.0) AS point
+        FROM events
+    )
+    SELECT ROUND(pt.point, 4) AS point_mean,
+           ROUND(MIN(CASE WHEN rn = 2 THEN m END), 4) AS ci_lo,
+           ROUND(MIN(CASE WHEN rn = 31 THEN m END), 4) AS ci_hi,
+           CAST(MAX(n) AS BIGINT) AS n_resamples
+    FROM ranked CROSS JOIN pt
+    GROUP BY pt.point
+    """,
+)
+def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON (multiplier) BOOTSTRAP confidence interval for the mean
+    event value — THE bootstrap that distributes: instead of resampling
+    rows (which needs global coordination), every row gets a
+    Poisson(1) multiplier per replicate, so all 32 resample means are
+    computed in ONE pass as weighted sums (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", the production form at
+    Google).  CI = the 2nd and 31st order statistics of the 32 means
+    (~93.75% coverage by the order-statistic rule).
+
+    Determinism: the multiplier is an md5-derived uniform pushed
+    through a fixed Poisson(1) inverse-CDF table (exact double
+    literals, identical branch order); values are exact cents int64,
+    each replicate's Σw·v and Σw are exact integer sums, and each mean
+    is one IEEE division — bit-identical at any row order.
+
+    Scale (100 TB): the 32× row fan-out is map-side (no shuffle until
+    the 32-group aggregation); the means frame is 32 rows.  Replicates
+    scale by widening the CASE fan, never by re-reading data."""
+    ev = load(spark, sf_dir, "events")
+    b = spark.range(0, 32).select(F.col("id").cast("int").alias("b"))
+    u = (
+        "(CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) * 1.0 "
+        "/ 4294967296.0)"
+    )
+    w = ev.crossJoin(b).select(
+        "b",
+        (dec("value") * 100).cast("bigint").alias("v_c"),
+        F.expr(_pois_case(u)).alias("wgt"),
+    )
+    means = w.groupBy("b").agg(
+        (
+            F.sum(F.col("wgt") * F.col("v_c")).cast("bigint")
+            * F.lit(1.0)
+            / (F.sum("wgt").cast("bigint") * F.lit(100.0))
+        ).alias("m")
+    )
+    w_rn = Window.orderBy("m")
+    w_all = Window.partitionBy()
+    ranked = means.select(
+        "m",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    pt = ev.agg(
+        (
+            F.sum((dec("value") * 100).cast("bigint")) * F.lit(1.0)
+            / (F.count(F.lit(1)) * F.lit(100.0))
+        ).alias("point")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy("point")
+        .agg(
+            F.round(F.min(F.when(F.col("rn") == 2, F.col("m"))), 4).alias(
+                "ci_lo"
+            ),
+            F.round(F.min(F.when(F.col("rn") == 31, F.col("m"))), 4).alias(
+                "ci_hi"
+            ),
+            F.max("n").cast("bigint").alias("n_resamples"),
+        )
+        .select(
+            F.round("point", 4).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            "n_resamples",
+        )
+    )

@@ -1731,3 +1731,88 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rnk).cast("bigint").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------- ab_assignment_srm_check
+
+@register(
+    "ab_assignment_srm_check",
+    oracle="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CAST(concat('0x', substr(md5('exp1:'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+                   AS variant
+        FROM events
+    ),
+    counts AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM assign GROUP BY variant
+    ),
+    tot AS (SELECT SUM(n_users) AS n FROM counts),
+    chi AS (
+        SELECT SUM((n_users - tot.n / 2.0) * (n_users - tot.n / 2.0)
+                   / (tot.n / 2.0)) AS chi2
+        FROM counts CROSS JOIN tot
+    )
+    SELECT c.variant, c.n_users,
+           ROUND(c.n_users * 1.0 / tot.n, 4) AS share,
+           ROUND(chi.chi2, 4) AS srm_chi2,
+           chi.chi2 > 3.841 AS srm_flag
+    FROM counts c CROSS JOIN tot CROSS JOIN chi
+    """,
+)
+def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B BUCKET ASSIGNMENT + SAMPLE-RATIO-MISMATCH check: users are
+    deterministically hashed into two variants (md5 of a salted user
+    id — the industry-standard sticky assignment that needs no
+    assignment table, replayable by any engine), then the observed
+    split is tested against the designed 50/50 with the 1-df chi-square
+    SRM test (Fabijan et al. 2019: an SRM means the EXPERIMENT
+    PLUMBING is broken and the metric readout — `ab_test_welch` here —
+    must not be trusted).  The op is the gate in front of the t-test.
+
+    Determinism: assignment is pure md5 bit math; counts exact; the
+    chi-square is a fixed-order expression over exact counts behind
+    ROUND(·,4); the flag compares against the fixed 3.841 critical
+    value (alpha = 0.05, 1 df).
+
+    Scale (100 TB): distinct users collapse map-side; everything after
+    is |variants| rows + broadcast scalars.  The same salted-hash
+    expression is what the exposure logger runs row-local at serve
+    time."""
+    ev = load(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id",
+        (
+            F.expr(
+                "cast(conv(substr(md5(concat('exp1:', "
+                "cast(user_id as string))), 1, 8), 16, 10) as bigint)"
+            )
+            % 2
+        ).alias("variant"),
+    ).distinct()
+    # the 2-row counts frame feeds the total, the chi-square AND the
+    # output — checkpoint it so the distinct-users scan runs once
+    counts = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).localCheckpoint()
+    tot = counts.agg(F.sum("n_users").alias("n"))
+    dev = F.col("n_users") - F.col("n") / F.lit(2.0)
+    chi = (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(F.sum(dev * dev / (F.col("n") / F.lit(2.0))).alias("chi2"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("n_users") * F.lit(1.0) / F.col("n"), 4).alias(
+                "share"
+            ),
+            F.round("chi2", 4).alias("srm_chi2"),
+            (F.col("chi2") > F.lit(3.841)).alias("srm_flag"),
+        )
+    )

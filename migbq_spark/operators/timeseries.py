@@ -1375,3 +1375,87 @@ def open_orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "backlog",
         F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
     )
+
+
+# ------------------------------------------------ session_timeout_sweep
+
+@register(
+    "session_timeout_sweep",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id), ts) AS gap_s
+        FROM events
+    ),
+    users AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    tot AS (SELECT COUNT(*) AS n_events FROM events),
+    t AS (SELECT unnest([300, 1800, 7200, 21600]) AS timeout_s)
+    SELECT t.timeout_s,
+           CAST(users.n_users
+                + SUM(CASE WHEN gap_s > t.timeout_s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           ROUND(tot.n_events * 1.0 /
+                 (users.n_users
+                  + SUM(CASE WHEN gap_s > t.timeout_s THEN 1 ELSE 0 END)),
+                 4) AS events_per_session
+    FROM gaps CROSS JOIN users CROSS JOIN tot CROSS JOIN t
+    GROUP BY t.timeout_s, users.n_users, tot.n_events
+    """,
+)
+def session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-TIMEOUT SENSITIVITY SWEEP — the measurement that PICKS
+    the gap threshold `sessionize_gaps` and `stream_session_window`
+    hard-code: session counts and mean session depth at four candidate
+    timeouts (5 min / 30 min / 2 h / 6 h) from ONE pass over the
+    per-user gap distribution.  Where the curve flattens (adding
+    timeout no longer merges sessions) is the natural choice — the
+    same elbow methodology as watermark sizing, applied to
+    sessionization.
+
+    Sessions-at-timeout needs no sessionizer: every user contributes
+    1 session plus one more per gap exceeding T, so the sweep is a
+    conditional count over gaps — 4 literals, zero extra passes.
+
+    Determinism: gaps are exact integer seconds off a totally ordered
+    window (ts, event_id); counts are exact; one rounded division.
+
+    Scale (100 TB): one shuffle on user_id for the lag window, then
+    the corpus collapses map-side to 4 rows; the two scalar frames
+    broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap_s")
+    )
+    users = ev.agg(F.count_distinct("user_id").alias("n_users"))
+    tot = ev.agg(F.count(F.lit(1)).alias("n_events"))
+    t = spark.createDataFrame(
+        [(300,), (1800,), (7200,), (21600,)], "timeout_s int"
+    )
+    return (
+        gaps.crossJoin(F.broadcast(users))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(t))
+        .groupBy("timeout_s", "n_users", "n_events")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_s") > F.col("timeout_s"), 1).otherwise(0)
+            ).alias("n_extra")
+        )
+        .select(
+            "timeout_s",
+            (F.col("n_users") + F.col("n_extra"))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.round(
+                F.col("n_events")
+                * F.lit(1.0)
+                / (F.col("n_users") + F.col("n_extra")),
+                4,
+            ).alias("events_per_session"),
+        )
+    )

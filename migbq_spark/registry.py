@@ -113,9 +113,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: order — the nine r4-graded control/TPC-H ids trimmed at r9's
 #: exactly-50 cut, the eighteen r3/r4-graded refresh ids displaced by
 #: the late-r8 additions (rolled here from the r9 staging), then the
-#: r4-graded relational span.  41 ids staged; the r10 rotation trims
-#: or tops up to EXACTLY 50 from the remaining r4-graded tail at
-#: rotation time.  Every previously-graded id is parity-guarded
+#: r4-graded relational span.  59 ids staged (the 21 never-driver-run
+#: r9 additions first — new evidence outranks refresh); the r10
+#: rotation trims to EXACTLY 50, rolling the overflow refresh ids to
+#: r11 staging.  Every previously-graded id is parity-guarded
 #: continuously since it was first graded.
 R10_WINDOW: tuple[str, ...] = (
     # r9 additions (never driver-run — new evidence outranks refresh)
@@ -137,6 +138,9 @@ R10_WINDOW: tuple[str, ...] = (
     "open_orders_backlog_daily",
     "keyphrase_rake_top",
     "orders_fulfillment_sla",
+    "bootstrap_ci_event_value",
+    "session_timeout_sweep",
+    "ab_assignment_srm_check",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

@@ -1758,3 +1758,62 @@ def test_fulfillment_sla_counts(spark, sf_dir):
         assert r.sla_30d_rate == round(r.n_within_30d / r.n_orders, 4)
         # the synthetic fixture contains ship dates before the order
         # date, so lead days may be negative — no sign assertion
+
+
+def test_bootstrap_ci_brackets_point(spark, sf_dir):
+    """The CI must bracket the point estimate (32 resamples around the
+    mean), be ordered, and be plausibly tight (within 50% of point)."""
+    r = Q["bootstrap_ci_event_value"](spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_resamples == 32
+    assert r.ci_lo <= r.ci_hi
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    assert abs(r.ci_hi - r.ci_lo) < 0.5 * abs(r.point_mean) + 1.0
+
+
+def test_session_timeout_sweep_monotone(spark, sf_dir):
+    """More timeout => fewer sessions (monotone), bounded between
+    |users| and |events|; events_per_session is the exact ratio."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    rows = sorted(
+        Q["session_timeout_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.timeout_s,
+    )
+    assert [r.timeout_s for r in rows] == [300, 1800, 7200, 21600]
+    prev = None
+    for r in rows:
+        assert n_users <= r.n_sessions <= n_events
+        assert r.events_per_session == round(n_events / r.n_sessions, 4)
+        if prev is not None:
+            assert r.n_sessions <= prev
+        prev = r.n_sessions
+
+
+def test_srm_check_replays_assignment(spark, sf_dir):
+    """Replay the md5 assignment in python: per-variant counts match,
+    shares sum to 1, and the chi-square agrees with the formula."""
+    import hashlib
+
+    from migbq_spark.catalog import load
+
+    users = {
+        r.user_id
+        for r in load(spark, sf_dir, "events").select("user_id").distinct().collect()
+    }
+    counts = {0: 0, 1: 0}
+    for u in users:
+        h = int(hashlib.md5(f"exp1:{u}".encode()).hexdigest()[:8], 16)
+        counts[h % 2] += 1
+    n = len(users)
+    chi2 = sum((c - n / 2.0) ** 2 / (n / 2.0) for c in counts.values())
+    rows = {r.variant: r for r in Q["ab_assignment_srm_check"](spark, sf_dir).collect()}
+    assert {v: rows[v].n_users for v in rows} == counts
+    for r in rows.values():
+        assert abs(r.srm_chi2 - chi2) < 5.1e-5
+        assert r.srm_flag == (chi2 > 3.841)

@@ -673,3 +673,31 @@ def test_fulfillment_sla_single_join(spark, sf_dir):
     plan = _plan(Q["orders_fulfillment_sla"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_bootstrap_fanout_is_mapside(spark, sf_dir):
+    """r9 plan contract for bootstrap_ci_event_value: the 32x replicate
+    fan-out happens map-side (broadcast cross join below the
+    aggregation) — one corpus scan for the resample branch plus one
+    for the point estimate; the means frame is 32 rows."""
+    plan = _plan(Q["bootstrap_ci_event_value"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_session_sweep_single_gap_pass(spark, sf_dir):
+    """r9 plan contract for session_timeout_sweep: gaps are computed in
+    ONE user-keyed window pass; the 4-threshold sweep is a broadcast
+    fan over that pass, never four sessionizer runs."""
+    plan = _plan(Q["session_timeout_sweep"](spark, sf_dir))
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert plan.count("Scan parquet") <= 3, plan.count("Scan parquet")
+
+
+def test_srm_check_tail_reads_no_parquet(spark, sf_dir):
+    """r9 plan contract for ab_assignment_srm_check: the checkpointed
+    2-row counts frame feeds total/chi-square/output — 0 parquet scans
+    in the tail plan."""
+    plan = _plan(Q["ab_assignment_srm_check"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
