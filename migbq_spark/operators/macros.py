@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
+from migbq_spark.common import dec
 from migbq_spark.registry import register
 
 #: Exact decimal revenue: DECIMAL(18,2) price × (1 − DECIMAL(18,2)
@@ -386,4 +387,106 @@ def orders_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             4,
         ).alias("sla_30d_rate"),
+    )
+
+
+# ------------------------------------------------ tpch_q6_pipe_syntax
+
+@register(
+    "tpch_q6_pipe_syntax",
+    oracle="""
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))
+                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) expressed in Spark 4's SQL
+    PIPE SYNTAX (`FROM t |> WHERE ... |> AGGREGATE ...`, SPARK-49555)
+    — the linear top-to-bottom dataflow form that reads like the
+    DataFrame chain it compiles to.  Proves the engine's SQL surface
+    includes the modern pipe dialect and that it optimizes identically
+    to classic SQL: the same pushed filters and two-level aggregation
+    the plan contract pins for the flagship.
+
+    Money semantics follow the house DECIMAL rule (§7.4): per-row
+    DECIMAL products, exact decimal SUM, one terminal double.
+
+    Scale (100 TB): three pushed scan predicates prune at the parquet
+    reader; the aggregate is a map-side-combinable scalar — Q6 is the
+    canonical predicate-pushdown benchmark."""
+    # Q6's canonical 1994 window predates this fixture's 1995-2001
+    # ship-date span — shifted to 1996 so the filter selects real rows
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("mq_q6_lineitem")
+    return spark.sql(
+        """
+        FROM mq_q6_lineitem
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate < DATE '1997-01-01'
+            AND l_discount BETWEEN 0.05 AND 0.07
+            AND l_quantity < 24
+        |> AGGREGATE
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))
+                          AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+            CAST(COUNT(*) AS BIGINT) AS n_lines
+        """
+    )
+
+
+# ------------------------------------------------ tpch_q14_promo_effect
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%%'
+               THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+               / SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(18,4))), 4) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1995-09-01'
+      AND l.l_shipdate < DATE '1995-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the percentage of one month's
+    discounted revenue that came from PROMO parts — the conditional-
+    revenue-share pattern (CASE inside SUM over a dimension attribute)
+    that every campaign-attribution rollup reuses.  Completes the
+    implemented TPC-H set alongside Q1/Q3/Q5/Q10/Q12/Q18 (+ Q6 above).
+
+    Money follows the DECIMAL rule; the single output ratio divides
+    two exact decimal sums behind ROUND(·,4).
+
+    Scale (100 TB): the ship-date filter pushes to the scan and prunes
+    to one month BEFORE the join; part joins as a broadcast dim; the
+    conditional sums are map-side combinable scalars."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    disc = (
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("decimal(18,4)")
+    j = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    ).join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), disc
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo) / F.sum(disc), 4
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
     )

@@ -325,3 +325,62 @@ def map_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.key").alias("event_type"), F.col("kv.value").alias("cnt")
     )
     return unpacked.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+
+
+# ------------------------------------------------ props_variant_extract
+
+@register(
+    "props_variant_extract",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS INT) AS k_min,
+           CAST(MAX(k) AS INT) AS k_max,
+           ROUND(SUM(k) * 1.0 / COUNT(*), 4) AS k_avg,
+           CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_50
+    FROM x GROUP BY event_type
+    """,
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-TYPE semi-structured extraction (Spark 4's new VARIANT
+    column type, the Snowflake/Delta-style answer to schema-on-read
+    JSON): `parse_json` turns the props string into a binary VARIANT
+    once, `variant_get` then extracts typed paths WITHOUT re-parsing —
+    at 100 TB the parse-once/extract-many split is the whole game,
+    because get_json_object re-parses the string per extraction while
+    a VARIANT is a parsed binary the executor walks directly.
+    Complements `json_path_extract` (string get_json_object) and
+    `regexp_extract_json` with the modern typed path.
+
+    The rollup (per event type: count, min/max/avg and a threshold
+    count over the extracted int) proves the extracted values feed
+    ordinary typed aggregation.
+
+    Determinism: extraction yields exact ints; avg is one division of
+    exact integer sums behind ROUND(·,4).
+
+    Scale (100 TB): parse + extract are row-local JVM expressions
+    (whole-stage codegen'd, no Python); the rollup collapses map-side
+    to |types| rows."""
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(F.sum("k") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "k_avg"
+        ),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_50"),
+    )

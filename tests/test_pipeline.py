@@ -1817,3 +1817,69 @@ def test_srm_check_replays_assignment(spark, sf_dir):
     for r in rows.values():
         assert abs(r.srm_chi2 - chi2) < 5.1e-5
         assert r.srm_flag == (chi2 > 3.841)
+
+
+def test_variant_extract_matches_string_path(spark, sf_dir):
+    """The VARIANT path must agree with the legacy string
+    get_json_object path on every aggregate."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    legacy = (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+        .collect()
+    )
+    got = {r.event_type: r for r in Q["props_variant_extract"](spark, sf_dir).collect()}
+    assert len(got) == len(legacy)
+    for r in legacy:
+        g = got[r.event_type]
+        assert g.n == r.n
+        assert g.k_avg == round(r.s / r.n, 4)
+
+
+def test_pipe_syntax_equals_dataframe_q6(spark, sf_dir):
+    """The pipe-SQL Q6 must equal the equivalent DataFrame chain."""
+    from migbq_spark.catalog import load
+    from migbq_spark.common import dec
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    ref = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * dec("l_discount")).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .collect()[0]
+    )
+    got = Q["tpch_q6_pipe_syntax"](spark, sf_dir).collect()[0]
+    assert got.n_lines == ref.n_lines
+    assert abs(got.revenue - ref.revenue) < 1e-6
+
+
+def test_q14_promo_pct_bounds(spark, sf_dir):
+    """The promo share is a valid percentage and the month filter
+    bounds the line count below the full table."""
+    from migbq_spark.catalog import load
+
+    got = Q["tpch_q14_promo_effect"](spark, sf_dir).collect()[0]
+    assert 0.0 <= got.promo_revenue_pct <= 100.0
+    assert 0 < got.n_lines < load(spark, sf_dir, "lineitem").count()

@@ -701,3 +701,32 @@ def test_srm_check_tail_reads_no_parquet(spark, sf_dir):
     in the tail plan."""
     plan = _plan(Q["ab_assignment_srm_check"](spark, sf_dir))
     assert plan.count("Scan parquet") == 0, plan.count("Scan parquet")
+
+
+def test_variant_extract_stays_jvm(spark, sf_dir):
+    """r9 plan contract for props_variant_extract: parse_json +
+    variant_get are JVM expressions (no Python eval), and the rollup
+    partial-aggregates map-side."""
+    plan = _plan(Q["props_variant_extract"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pipe_q6_pushes_filters(spark, sf_dir):
+    """r9 plan contract for tpch_q6_pipe_syntax: the pipe dialect must
+    optimize exactly like classic SQL — pushed scan filters and a
+    partial+final aggregate pair."""
+    plan = _plan(Q["tpch_q6_pipe_syntax"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q14_broadcasts_part_and_pushes_dates(spark, sf_dir):
+    """r9 plan contract for tpch_q14_promo_effect: part joins as a
+    broadcast dim and the one-month ship-date filter reaches the
+    lineitem scan."""
+    plan = _plan(Q["tpch_q14_promo_effect"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "l_shipdate" in pushed
