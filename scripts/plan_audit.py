@@ -42,7 +42,24 @@ def main() -> None:
     import contextlib
     import io
 
-    for qid in bench.HEADLINE:
+    # r9: audit the heavy-family suites and the r9 additions alongside
+    # the headline queries — the plans that matter most at 100 TB
+    R9_OPS = [
+        "pareto_skyline_quality_cost",
+        "dedup_sorted_neighborhood",
+        "knn_graph_rp_portable",
+        "bm25_top_terms_source",
+        "pagerank_event_graph",
+        "keyphrase_rake_top",
+        "bootstrap_ci_event_value",
+        "weighted_median_per_key",
+        "open_orders_backlog_daily",
+        "tpch_q6_pipe_syntax",
+        "tpch_q14_promo_effect",
+        "props_variant_extract",
+    ]
+    audit = list(dict.fromkeys(bench.HEADLINE + bench.R8_FAMILY + R9_OPS))
+    for qid in audit:
         df = queries[qid](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -72,7 +89,7 @@ def main() -> None:
             "",
         ]
     OUT.write_text("\n".join(lines))
-    print(f"wrote {OUT} ({len(bench.HEADLINE)} plans)")
+    print(f"wrote {OUT} ({len(audit)} plans)")
     spark.stop()
 
 
