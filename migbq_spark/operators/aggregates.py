@@ -1107,10 +1107,15 @@ def weighted_median_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality 2*cw >= tw picks the row — no doubles until the final
     /100 render.
 
-    Scale (100 TB): one shuffle on the group key, one sorted window
-    pass per group (the same cost class as any per-key rank), output
-    |keys| rows.  Contrast the naive percentile_approx or a
-    collect-and-sort: this is the fully-distributed exact form."""
+    Scale (100 TB): TWO-PHASE bucket-prefix form — phase 1 collapses
+    the corpus map-side to |keys| x ~1.5k (key, price-bucket) weight
+    cells and localizes the median bucket on that tiny frame; phase 2
+    sorts ONLY the selected bucket's rows (~1/1500 of the data) for
+    the exact pick.  The single-phase per-key sorted window (3 keys =
+    3 straggler tasks) measured 88 s / 12.0x at sf10; this form keeps
+    every stage either map-side or sliver-sized.  Same exact result,
+    same oracle — the bucket split respects price order, so the
+    cumulative weights are identical."""
     li = load(spark, sf_dir, "lineitem")
     rows_ = li.select(
         F.col("l_returnflag").alias("k"),
@@ -1119,17 +1124,53 @@ def weighted_median_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
+    # PHASE 1 — bucket-prefix localization (the KS-test move): weight
+    # mass per (key, price bucket) collapses MAP-SIDE to a tiny frame;
+    # a cumulative window over it finds the single bucket containing
+    # the weighted median plus the weight mass strictly before it.
+    bucketed = rows_.withColumn("bkt", F.expr("price_c div 65536"))
+    bw = bucketed.groupBy("k", "bkt").agg(F.sum("w").alias("wsum"))
+    w_cum_b = (
+        Window.partitionBy("k")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all_b = Window.partitionBy("k")
+    marked = bw.select(
+        "k",
+        "bkt",
+        "wsum",
+        F.sum("wsum").over(w_cum_b).alias("cw_end"),
+        F.sum("wsum").over(w_all_b).alias("tw"),
+    )
+    w_pick = Window.partitionBy("k").orderBy("bkt")
+    target = (
+        marked.filter(2 * F.col("cw_end") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "k",
+            "bkt",
+            (F.col("cw_end") - F.col("wsum")).alias("cw_before"),
+            "tw",
+        )
+    )
+    # PHASE 2 — exact pick inside the ONE selected bucket per key
+    # (~1/1500 of the rows): the sorted window now runs on a sliver,
+    # not on a 3-partition corpus-wide sort (the r9 sf10 cell measured
+    # the single-phase form at 88 s / 12.0x — a straggler shape that
+    # only gets worse at 100 TB).
+    in_bkt = bucketed.join(F.broadcast(target), ["k", "bkt"])
     w_cum = (
         Window.partitionBy("k")
         .orderBy("price_c", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy("k")
-    cum = rows_.select(
+    cum = in_bkt.select(
         "k",
         "price_c",
-        F.sum("w").over(w_cum).alias("cw"),
-        F.sum("w").over(w_all).alias("tw"),
+        "tw",
+        (F.col("cw_before") + F.sum("w").over(w_cum)).alias("cw"),
     )
     w_rn = Window.partitionBy("k").orderBy("cw", "price_c")
     med = (

@@ -629,11 +629,15 @@ def test_dq_suite_anti_joins_and_partial_aggs(spark, sf_dir):
 
 
 def test_weighted_median_single_shuffle_per_key(spark, sf_dir):
-    """r9 plan contract for weighted_median_per_key: both windows and
-    the rank reuse ONE exchange on the group key; one corpus scan."""
+    """r9 plan contract for weighted_median_per_key (two-phase form):
+    the bucket rollup partial-aggregates map-side, the ~3-row target
+    bucket BROADCASTS back, and the exact-pick window only ever sees
+    the selected bucket's sliver — never a corpus-wide per-key sort
+    (the single-phase shape measured 88 s / 12.0x at sf10)."""
     plan = _plan(Q["weighted_median_per_key"](spark, sf_dir))
-    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
 
 
 def test_share_of_parent_broadcasts_dims(spark, sf_dir):
