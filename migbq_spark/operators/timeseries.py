@@ -1459,3 +1459,89 @@ def session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("events_per_session"),
         )
     )
+
+
+# -------------------------------------------- burst_detection_twostate
+
+#: Shared SQL body for the two-state burst DP — identical text runs on
+#: both engines (only the daily-source CTE differs), so the sequential
+#: recursion cannot diverge: every cost is an int64 micro-nat.
+_BURST_DP_SQL = """
+    prep AS (
+        SELECT rn, d, x,
+               CAST(FLOOR((lam0 - x * ln(lam0)) * 1000000.0) AS BIGINT)
+                   AS e0,
+               CAST(FLOOR((lam1 - x * ln(lam1)) * 1000000.0) AS BIGINT)
+                   AS e1,
+               CAST(FLOOR(ln(n * 1.0) * 1000000.0) AS BIGINT) AS tu
+        FROM (
+            SELECT rn, d, x,
+                   SUM(x) OVER () * 1.0 / COUNT(*) OVER () AS lam0,
+                   2.0 * SUM(x) OVER () / COUNT(*) OVER () AS lam1,
+                   COUNT(*) OVER () AS n
+            FROM daily
+        )
+    ),
+    dp(rn, d, x, c0, c1) AS (
+        SELECT rn, d, x, e0, e1 + tu FROM prep WHERE rn = 1
+        UNION ALL
+        SELECT p.rn, p.d, p.x,
+               p.e0 + LEAST(dp.c0, dp.c1),
+               p.e1 + LEAST(dp.c0 + p.tu, dp.c1)
+        FROM dp JOIN prep p ON p.rn = dp.rn + 1
+    )
+    SELECT d, x AS cnt,
+           ROUND(CAST(c0 AS DOUBLE) / 1000000.0, 4) AS cost_base,
+           ROUND(CAST(c1 AS DOUBLE) / 1000000.0, 4) AS cost_burst,
+           c1 < c0 AS in_burst
+    FROM dp
+"""
+
+
+@register(
+    "burst_detection_twostate",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, d, x
+        FROM (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1)
+    ),
+    """
+    + _BURST_DP_SQL,
+)
+def burst_detection_twostate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STATE BURST DETECTION (Kleinberg 2002's finite-automaton
+    model, batch form): each day is emitted by a base-rate or a
+    2x-rate Poisson state; a Viterbi-style forward DP accumulates the
+    per-state costs with an ln(n) penalty for entering the burst
+    state, and a day is flagged when the burst state's forward cost
+    undercuts the base state's — the burst model that separates "a
+    sustained elevated episode" from `anomaly_zscore_daily`'s
+    single-day spikes and `cusum_drift_daily`'s one-sided level
+    shifts.  The sequential recurrence runs as a REAL `WITH RECURSIVE`
+    (Spark 4) — the same frontier-iteration surface as
+    `recursive_pk_ranges`, here with genuine step-to-step dependence.
+
+    Determinism: emission and transition costs are quantized to int64
+    micro-nats BEFORE the recursion (each floor is of a fixed-order
+    double expression, identical in both engines), so the DP is exact
+    integer addition + LEAST — bit-stable at any depth; the SQL body
+    is ONE shared string run verbatim on both engines.
+
+    Scale (100 TB): the corpus collapses map-side to |days| rows
+    before any recursion; the DP is |days| sequential steps over that
+    tiny frame (a year = 365 steps) — recursion depth never touches
+    corpus size.  Poisson x! terms cancel between states and are
+    dropped."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+        .select("rn", "d", "x")
+    )
+    daily.createOrReplaceTempView("mq_burst_daily")
+    return spark.sql(
+        "WITH RECURSIVE daily AS (SELECT rn, d, x FROM mq_burst_daily),\n"
+        + _BURST_DP_SQL
+    )

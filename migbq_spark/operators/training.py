@@ -3656,3 +3656,95 @@ def keyphrase_rake_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ------------------------------------------------------ pmi_skip_bigrams
+
+@register(
+    "pmi_skip_bigrams",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    pos AS (
+        SELECT ts, unnest(generate_series(3, len(ts))) AS i
+        FROM toks WHERE len(ts) >= 3
+    ),
+    pairs AS (
+        SELECT ts[i - 2] AS w1, ts[i] AS w2, COUNT(*) AS n_pair
+        FROM pos GROUP BY 1, 2
+    ),
+    l AS (SELECT w1, SUM(n_pair) AS n_l FROM pairs GROUP BY w1),
+    r AS (SELECT w2, SUM(n_pair) AS n_r FROM pairs GROUP BY w2),
+    tot AS (SELECT SUM(n_pair) AS n FROM pairs),
+    scored AS (
+        SELECT p.w1, p.w2, p.n_pair,
+               ROUND(ln(CAST(tot.n AS DOUBLE) * p.n_pair
+                        / (l.n_l * CAST(r.n_r AS DOUBLE))), 4) AS pmi
+        FROM pairs p
+        JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        WHERE p.n_pair >= 5
+    )
+    SELECT w1, w2, n_pair, pmi, rn
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+          FROM scored) t
+    WHERE rn <= 20
+    """,
+)
+def pmi_skip_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP-BIGRAM PMI — pointwise mutual information of token pairs
+    at distance EXACTLY 2 (one token skipped): the non-adjacent
+    association `pmi_collocations` (adjacent bigrams) cannot see —
+    "either _ or", "from _ to" templates, and the word2vec-window
+    co-occurrence signal.  Top-20 pairs with support ≥ 5.
+
+    Determinism: counts exact; PMI is one fixed-order double
+    expression ROUNDED BEFORE ranking (the pmi_collocations trick —
+    a 1-ulp ln() difference cannot reorder the cut), tiebreak
+    (w1, w2).
+
+    Scale (100 TB): skip-pair extraction is row-local; the pair table
+    is Heaps-bounded (vocab²-capped but support-filtered); marginals
+    derive from the aggregated pair table — no second corpus pass —
+    and the 1-row total broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    ).filter(F.size("ts") >= 3)
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts) - 1),"
+                    " i -> struct(ts[i - 2] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    lm = pairs.groupBy("w1").agg(F.sum("n_pair").alias("n_l"))
+    rm = pairs.groupBy("w2").agg(F.sum("n_pair").alias("n_r"))
+    tot = pairs.agg(F.sum("n_pair").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("n").cast("double")
+            * F.col("n_pair")
+            / (F.col("n_l") * F.col("n_r").cast("double"))
+        ),
+        4,
+    )
+    scored = (
+        pairs.join(lm, "w1")
+        .join(rm, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_pair") >= 5)
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+    )
+    w_rnk = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rnk))
+        .filter(F.col("rn") <= 20)
+    )

@@ -1883,3 +1883,67 @@ def test_q14_promo_pct_bounds(spark, sf_dir):
     got = Q["tpch_q14_promo_effect"](spark, sf_dir).collect()[0]
     assert 0.0 <= got.promo_revenue_pct <= 100.0
     assert 0 < got.n_lines < load(spark, sf_dir, "lineitem").count()
+
+
+def test_burst_dp_replays_viterbi_forward(spark, sf_dir):
+    """Replay the two-state forward DP in exact python ints and match
+    every emitted cost and flag."""
+    import math
+
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    days = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r["count"] for r in days]
+    n, total = len(xs), sum(xs)
+    lam0 = total * 1.0 / n
+    lam1 = 2.0 * total / n
+    tu = math.floor(math.log(n * 1.0) * 1e6)
+    e0 = [math.floor((lam0 - x * math.log(lam0)) * 1e6) for x in xs]
+    e1 = [math.floor((lam1 - x * math.log(lam1)) * 1e6) for x in xs]
+    c0, c1 = e0[0], e1[0] + tu
+    expect = [(c0, c1)]
+    for t in range(1, n):
+        c0, c1 = e0[t] + min(c0, c1), e1[t] + min(c0 + tu, c1)
+        expect.append((c0, c1))
+    rows = (
+        Q["burst_detection_twostate"](spark, sf_dir).orderBy("d").collect()
+    )
+    assert len(rows) == n
+    for r, (c0_, c1_) in zip(rows, expect):
+        assert r.cost_base == round(c0_ / 1e6, 4), (r.d, c0_)
+        assert r.cost_burst == round(c1_ / 1e6, 4), (r.d, c1_)
+        assert r.in_burst == (c1_ < c0_)
+
+
+def test_skip_bigram_pmi_properties(spark, sf_dir):
+    """Support floor respected, ranks contiguous and ordered by the
+    rounded PMI, and every pair is a genuine distance-2 pair in some
+    doc (spot-check the top pair)."""
+    rows = sorted(
+        Q["pmi_skip_bigrams"](spark, sf_dir).collect(), key=lambda r: r.rn
+    )
+    assert rows and len(rows) <= 20
+    assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.n_pair >= 5 for r in rows)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    from migbq_spark.catalog import load
+
+    top = rows[0]
+    found = False
+    for doc in load(spark, sf_dir, "documents").collect():
+        ws = [w for w in doc.text.split(" ") if w]
+        for i in range(2, len(ws)):
+            if ws[i - 2] == top.w1 and ws[i] == top.w2:
+                found = True
+                break
+        if found:
+            break
+    assert found, (top.w1, top.w2)

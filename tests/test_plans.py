@@ -734,3 +734,23 @@ def test_q14_broadcasts_part_and_pushes_dates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     pushed = plan.split("PushedFilters:")[1].split("]")[0]
     assert "l_shipdate" in pushed
+
+
+def test_burst_recursion_on_collapsed_frame(spark, sf_dir):
+    """r9 plan contract for burst_detection_twostate: the DP executes
+    as a REAL recursive loop (UnionLoop node — Spark 4 WITH RECURSIVE
+    execution), and the frame entering the loop is the |days|-row
+    daily view (the corpus collapse happens in the view lineage, so
+    recursion depth is days, never rows)."""
+    plan = _plan(Q["burst_detection_twostate"](spark, sf_dir))
+    assert "UnionLoop" in plan, plan[:300]
+    assert "Scan parquet" not in plan  # loop input is the tiny daily frame
+
+
+def test_skip_pmi_marginals_from_pair_table(spark, sf_dir):
+    """r9 plan contract for pmi_skip_bigrams: both marginals and the
+    total derive from the aggregated pair table — corpus scans bounded
+    by the pair lineage (<= 3 branches), 1-row total broadcast."""
+    plan = _plan(Q["pmi_skip_bigrams"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
