@@ -712,3 +712,46 @@ def shard_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_moved"
         ),
     )
+
+
+# ---------------------------------------------------- orc_sink_roundtrip
+
+@register(
+    "orc_sink_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           md5(string_agg(n_name, '|' ORDER BY n_name)) AS names_md5
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC FORMAT ROUNDTRIP — the second columnar format Spark ships
+    natively (vectorized reader, predicate pushdown, zlib/zstd): write
+    the nation dim to an ORC staging table, read it BACK through the
+    ORC reader with an explicit schema, and aggregate a per-region
+    checksum over the read-back — value-identical output proves the
+    write→read cycle loses nothing (types, nulls, ordering don't leak
+    into the checksum because the string_agg orders explicitly).
+    Broadens §2.A beyond parquet/CSV/JSONL: a migration pipeline that
+    lands in ORC-based warehouses (Hive ACID, legacy Presto) runs this
+    exact path.
+
+    Determinism: counts/sums exact; the md5 is over an ORDER BY-pinned
+    string_agg — same bytes in both engines.
+
+    Scale (100 TB): per-partition ORC writes (no driver funnel),
+    explicit read-back schema (never pays inference), and the checksum
+    rollup is map-side combinable."""
+    src = load(spark, sf_dir, "nation")
+    dest = _stage_dir(sf_dir, "nation_orc_sink")
+    src.write.mode("overwrite").orc(dest)
+    back = spark.read.schema(src.schema).orc(dest)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|")
+        ).alias("names_md5"),
+    )

@@ -1947,3 +1947,29 @@ def test_skip_bigram_pmi_properties(spark, sf_dir):
         if found:
             break
     assert found, (top.w1, top.w2)
+
+
+def test_orc_roundtrip_matches_parquet_source(spark, sf_dir):
+    """The ORC read-back checksum must equal the same rollup computed
+    directly on the parquet source (write->read loses nothing)."""
+    from migbq_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    direct = {
+        r.n_regionkey: (r.n_nations, r.key_sum, r.names_md5)
+        for r in load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("n_name")), "|")
+            ).alias("names_md5"),
+        )
+        .collect()
+    }
+    got = {
+        r.n_regionkey: (r.n_nations, r.key_sum, r.names_md5)
+        for r in Q["orc_sink_roundtrip"](spark, sf_dir).collect()
+    }
+    assert got == direct
