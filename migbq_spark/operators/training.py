@@ -3748,3 +3748,124 @@ def pmi_skip_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w_rnk))
         .filter(F.col("rn") <= 20)
     )
+
+
+# ------------------------------------------- quantile_normalize_by_type
+
+@register(
+    "quantile_normalize_by_type",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS src,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_c,
+               event_id
+        FROM events
+    ),
+    pooled AS (
+        SELECT v_c, ROW_NUMBER() OVER (ORDER BY v_c, event_id) AS r
+        FROM v
+    ),
+    n_all AS (SELECT COUNT(*) AS n FROM v),
+    per AS (
+        SELECT src, v_c,
+               ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY v_c, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY src) AS n
+        FROM v
+    ),
+    mapped AS (
+        SELECT per.src, per.v_c,
+               ((per.r - 1) * 10) // per.n + 1 AS decile,
+               ((2 * per.r - 1) * n_all.n + per.n) // (2 * per.n) AS tgt
+        FROM per CROSS JOIN n_all
+    ),
+    norm AS (
+        SELECT m.src, m.decile, m.v_c, p.v_c AS nv_c
+        FROM mapped m JOIN pooled p ON p.r = m.tgt
+    )
+    SELECT src, decile,
+           ROUND(AVG(v_c) / 100.0, 2) AS raw_mean,
+           ROUND(AVG(nv_c) / 100.0, 2) AS norm_mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM norm GROUP BY src, decile
+    """,
+)
+def quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (the bioinformatics /
+    feature-prep transform): each source's value distribution is
+    mapped ONTO the pooled reference distribution by rank — the r-th
+    of n values in a source becomes the pooled value at position
+    round(((r-1/2)/n)·N), so after the transform every source has the
+    SAME distribution and only the ordering information survives.
+    Emitted as a per-(source, decile) before/after mean table — the
+    aligned norm_mean columns across sources are the proof the
+    transform worked.
+
+    The interesting part at scale is the GLOBAL rank: a naive
+    ROW_NUMBER() OVER (ORDER BY v) is a single-partition window over
+    the corpus.  Here every rank — pooled AND per-source — is computed
+    DISTRIBUTED via bucket-prefix decomposition: bucket counts
+    collapse map-side to a tiny frame, a cumulative window over THAT
+    frame yields each bucket's global offset, and row_number runs
+    partitioned BY BUCKET — global total order, no global window.
+    Deciles come from the rank arithmetically (((r-1)·10) div n + 1),
+    avoiding NTILE's engine-specific remainder placement.
+
+    Determinism: values as exact cents; ranks are integers under a
+    total (v, event_id) order; the mapping index is integer floor
+    arithmetic; means divide exact integer sums behind ROUND(·,2).
+
+    Scale (100 TB): two bucket-keyed shuffles (pooled + per-source
+    ranks), one rank-keyed join against the pooled table, map-side
+    decile rollup.  Nothing single-partition anywhere."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.col("event_type").alias("src"),
+        (dec("value") * 100).cast("bigint").alias("v_c"),
+        "event_id",
+    )
+    bkt = F.expr("v_c div 65536")
+
+    def global_rank(df: DataFrame, *part: str) -> DataFrame:
+        """row_number over (*part) ordered by (v_c, event_id), computed
+        without a single-partition window: per-bucket offsets from a
+        tiny cumulative frame + within-bucket row_number."""
+        d = df.withColumn("bkt", bkt)
+        counts = d.groupBy(*part, "bkt").agg(F.count(F.lit(1)).alias("c"))
+        w_off = (
+            Window.partitionBy(*part)
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = counts.select(
+            *part,
+            "bkt",
+            F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        )
+        w_in = Window.partitionBy(*part, "bkt").orderBy("v_c", "event_id")
+        return d.join(offs, [*part, "bkt"]).withColumn(
+            "r", F.col("off") + F.row_number().over(w_in)
+        )
+
+    pooled = global_rank(v.select("v_c", "event_id")).select(
+        F.col("v_c").alias("nv_c"), F.col("r").alias("tgt")
+    )
+    n_all = v.agg(F.count(F.lit(1)).alias("n_pool"))
+    per_n = v.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        global_rank(v, "src")
+        .join(F.broadcast(per_n), "src")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "src",
+            "v_c",
+            (F.expr("((r - 1) * 10) div n") + 1).alias("decile"),
+            F.expr("((2 * r - 1) * n_pool + n) div (2 * n)").alias("tgt"),
+        )
+    )
+    norm = per.join(pooled, "tgt")
+    return norm.groupBy("src", "decile").agg(
+        F.round(F.avg("v_c") / F.lit(100.0), 2).alias("raw_mean"),
+        F.round(F.avg("nv_c") / F.lit(100.0), 2).alias("norm_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -113,7 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: order — the nine r4-graded control/TPC-H ids trimmed at r9's
 #: exactly-50 cut, the eighteen r3/r4-graded refresh ids displaced by
 #: the late-r8 additions (rolled here from the r9 staging), then the
-#: r4-graded relational span.  65 ids staged (the 27 never-driver-run
+#: r4-graded relational span.  66 ids staged (the 28 never-driver-run
 #: r9 additions first — new evidence outranks refresh); the r10
 #: rotation trims to EXACTLY 50, rolling the overflow refresh ids to
 #: r11 staging.  Every previously-graded id is parity-guarded
@@ -147,6 +147,7 @@ R10_WINDOW: tuple[str, ...] = (
     "burst_detection_twostate",
     "pmi_skip_bigrams",
     "orc_sink_roundtrip",
+    "quantile_normalize_by_type",
     # r4-graded control/TPC-H ids trimmed at the r9 exactly-50 cut
     "cdc_snapshot_diff",
     "table_checksum_md5",

@@ -1973,3 +1973,34 @@ def test_orc_roundtrip_matches_parquet_source(spark, sf_dir):
         for r in Q["orc_sink_roundtrip"](spark, sf_dir).collect()
     }
     assert got == direct
+
+
+def test_quantile_normalization_aligns_sources(spark, sf_dir):
+    """After normalization every source's per-decile mean must be
+    (near-)identical — that IS the definition of the transform; raw
+    means meanwhile differ source-to-source only by sampling noise.
+    Also: decile rollup covers 10 deciles per source, counts sum to
+    the source sizes."""
+    from migbq_spark.catalog import load
+
+    rows = Q["quantile_normalize_by_type"](spark, sf_dir).collect()
+    by_decile: dict[int, list] = {}
+    by_src: dict[str, int] = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, []).append(r.norm_mean)
+        by_src[r.src] = by_src.get(r.src, 0) + r.n
+    assert set(by_decile) == set(range(1, 11))
+    for d, means in by_decile.items():
+        lo, hi = min(means), max(means)
+        # aligned distributions: per-decile means agree across sources
+        # to well under the decile's own width
+        assert hi - lo <= max(0.05 * abs(hi), 1.0), (d, means)
+    totals = {
+        r.event_type: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert by_src == totals
