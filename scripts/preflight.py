@@ -129,11 +129,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r9, graded this round)", lines,
+        "DRIVER_WINDOW (r10, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R10_WINDOW),
-        "R10_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R11_WINDOW),
+        "R11_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")

@@ -52,3 +52,123 @@ def test_every_query_has_contract_entry():
     assert QUERIES, "no queries registered"
     for qid in ORACLES:
         assert qid in QUERIES
+
+
+#: THE rows-only evidence contract (r9 VERDICT "Next round" #4): one
+#: grep-able table stating, for each id whose SURVEY §2 oracle column
+#: permits no SQL oracle, (a) its hash-checked portable twin(s) where
+#: one is possible, and (b) where its quality bound is pytest-pinned.
+#: ``test_rows_only_evidence_contract`` below structurally enforces
+#: the table: complete over ROWS_ONLY_IDS, twins actually hash-checked,
+#: pin locations actually existing tests.
+ROWS_ONLY_EVIDENCE = {
+    # live connectors: no offline hash possible by design; the plan /
+    # roundtrip paths are what CAN be tested in this sandbox
+    "jdbc_source": {
+        "twins": [],
+        "bound": "embedded-Derby JDBC roundtrip equals the parquet "
+        "source slice",
+        "pinned_in": ("tests.test_app", "test_cli_jdbc_roundtrip"),
+    },
+    "bq_sink_adapter": {
+        "twins": [],
+        "bound": "staged-export writer path executes end-to-end and "
+        "survives the driver canonicalizer (no BigQuery in sandbox)",
+        "pinned_in": ("tests.test_parity", "test_rows_only_runs"),
+    },
+    "kafka_source_adapter": {
+        "twins": [],
+        "bound": "adapter reader path executes end-to-end and survives "
+        "the driver canonicalizer (no Kafka in sandbox)",
+        "pinned_in": ("tests.test_parity", "test_rows_only_runs"),
+    },
+    # Spark-native sketches: estimates are engine-specific; each is
+    # bounded against its exact counterpart
+    "agg_approx_distinct": {
+        "twins": ["agg_count_distinct"],
+        "bound": "±5% of exact count-distinct per group",
+        "pinned_in": ("tests.test_parity", "test_approx_distinct_bound"),
+    },
+    "agg_approx_percentile": {
+        "twins": ["agg_percentile"],
+        "bound": "within sketch accuracy bound of exact p50 per group",
+        "pinned_in": (
+            "tests.test_pipeline",
+            "test_approx_percentile_within_sketch_bound",
+        ),
+    },
+    "active_users_7d_hll": {
+        "twins": ["active_users_7d", "sliding_distinct_hll",
+                  "hll_portable_merge"],
+        "bound": "per-day WAU estimate within max(3, 5%) of exact",
+        "pinned_in": ("tests.test_pipeline", "test_hll_wau_tracks_exact"),
+    },
+    # engine-hash dedup/ANN ops: xxhash64/rand differ per engine; each
+    # has a portable hash-checked twin plus a recall pin vs exact
+    "dedup_minhash_lsh": {
+        "twins": ["dedup_minhash_portable"],
+        "bound": "recall ≥ 0.9 vs exact Jaccard at τ=0.8",
+        "pinned_in": (
+            "tests.test_pipeline",
+            "test_minhash_lsh_recall_vs_exact",
+        ),
+    },
+    "dedup_simhash": {
+        "twins": ["dedup_simhash_portable"],
+        "bound": "every reported pair verified near-dup by hamming "
+        "distance",
+        "pinned_in": (
+            "tests.test_pipeline",
+            "test_simhash_pairs_are_near_dups",
+        ),
+    },
+    "ann_ivf_topk": {
+        "twins": ["ann_ivf_probe_sweep"],
+        "bound": "recall@5 ≥ 0.3 vs brute-force cosine (≥1.5× the "
+        "0.19 unprobed-fraction floor)",
+        "pinned_in": (
+            "tests.test_pipeline",
+            "test_ann_ivf_recall_vs_brute_force",
+        ),
+    },
+    "ann_rp_lsh_topk": {
+        "twins": ["ann_rp_lsh_topk_portable"],
+        "bound": "recall@5 ≥ 10× probed corpus fraction",
+        "pinned_in": (
+            "tests.test_pipeline",
+            "test_ann_rp_lsh_recall_vs_brute_force",
+        ),
+    },
+}
+
+
+def test_rows_only_evidence_contract():
+    """The table above must stay complete and honest: exactly the
+    rows-only ids, every named twin actually hash-checked, every pin
+    location an existing test function."""
+    import importlib
+
+    assert sorted(ROWS_ONLY_EVIDENCE) == ROWS_ONLY_IDS
+    for qid, ev in ROWS_ONLY_EVIDENCE.items():
+        for twin in ev["twins"]:
+            assert twin in ORACLES, (
+                f"{qid}: twin {twin} is not hash-checked"
+            )
+        mod_name, fn_name = ev["pinned_in"]
+        mod = importlib.import_module(mod_name)
+        assert hasattr(mod, fn_name), (
+            f"{qid}: pin {mod_name}.{fn_name} does not exist"
+        )
+
+
+def test_approx_distinct_bound(spark, sf_dir):
+    """agg_approx_distinct (HLL++, rows-only: estimates differ per
+    engine) must track the exact distinct count within 5% + small-count
+    slack on every group (the op itself carries the exact column, and
+    its hash-checked exact twin is agg_count_distinct)."""
+    rows = QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(
+            3, 0.05 * r.exact_users
+        ), (r.event_type, r.exact_users, r.approx_users)
