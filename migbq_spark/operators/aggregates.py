@@ -1392,3 +1392,268 @@ def bootstrap_ci_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_resamples",
         )
     )
+
+
+# ------------------------------------------ benjamini_hochberg_fdr
+
+@register(
+    "benjamini_hochberg_fdr",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN CAST((CAST(ts AS DATE) - DATE '1970-01-01')
+                         AS BIGINT) % 7 IN (2, 3)
+                    THEN 1 ELSE 0 END AS wk,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, wk, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s1,
+               CAST(SUM(v * v) AS DOUBLE) AS s2
+        FROM g GROUP BY event_type, wk
+    ),
+    m AS (
+        SELECT event_type, wk, n, s1 / n AS mean,
+               (s2 - s1 * s1 / n) / (n - 1) AS var
+        FROM stats
+    ),
+    z AS (
+        SELECT a.event_type,
+               ABS((a.mean - b.mean)
+                   / SQRT(a.var / a.n + b.var / b.n)) AS az
+        FROM m a JOIN m b
+          ON a.event_type = b.event_type AND a.wk = 1 AND b.wk = 0
+    ),
+    p AS (
+        SELECT event_type, az,
+               CAST(FLOOR(2.0 / (1.0 + EXP(0.07056 * az * az * az
+                                           + 1.5976 * az))
+                          * 1000000000.0) AS BIGINT) AS p_q,
+               COUNT(*) OVER () AS m_tests
+        FROM z
+    ),
+    ranked AS (
+        SELECT event_type, az, p_q, m_tests,
+               ROW_NUMBER() OVER (ORDER BY p_q, event_type) AS rnk
+        FROM p
+    ),
+    thr AS (
+        SELECT *,
+               CAST(FLOOR(CAST(rnk AS DOUBLE) * 0.1 / m_tests
+                          * 1000000000.0) AS BIGINT) AS thr_q
+        FROM ranked
+    ),
+    cut AS (
+        SELECT *,
+               MAX(CASE WHEN p_q <= thr_q THEN rnk ELSE 0 END)
+                   OVER () AS sig_rank
+        FROM thr
+    )
+    SELECT event_type,
+           ROUND(az, 4) AS abs_z,
+           ROUND(CAST(p_q AS DOUBLE) / 1000000000.0, 6) AS p_approx,
+           CAST(rnk AS BIGINT) AS p_rank,
+           ROUND(CAST(thr_q AS DOUBLE) / 1000000000.0, 6) AS bh_threshold,
+           rnk <= sig_rank AS significant
+    FROM cut
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR CONTROL over the five per-event-type
+    weekend-vs-weekday Welch tests — the multiple-testing discipline
+    `ab_test_welch` lacks once you run one test PER metric: order the
+    p-values, step up to the largest rank i with p_i <= (i/m)q at
+    q = 0.10, and flag everything at or below it.  A platform that
+    auto-tests every metric every day ships false "significant"
+    dashboards without exactly this correction.
+
+    Determinism: moment sums are exact DECIMAL; z is the fixed-order
+    Welch expression; the normal-CDF tail uses the Bowling logistic
+    approximation (1/(1+exp(0.07056 z^3 + 1.5976 z)) — max abs error
+    1.4e-4, a published closed form with no erf dependence) and both
+    p and the BH threshold are quantized to int64 nano-units BEFORE
+    the rank/step-up comparisons, so the decision boundary is integer
+    and identical in both engines; weekend = epoch-day mod 7 (no
+    engine DOW numbering).
+
+    Scale (100 TB): one map-side-combinable moments pass over the
+    corpus; everything after runs on |event_types| rows."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.when(
+            (
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                ).cast("bigint")
+                % 7
+            ).isin(2, 3),
+            1,
+        )
+        .otherwise(0)
+        .alias("wk"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    stats = g.groupBy("event_type", "wk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        "wk",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("wk") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("mean").alias("m1"),
+        F.col("var").alias("v1"),
+    )
+    b = m.filter(F.col("wk") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"),
+        F.col("mean").alias("m0"),
+        F.col("var").alias("v0"),
+    )
+    z = a.join(b, "event_type").select(
+        "event_type",
+        F.abs(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0"))
+        ).alias("az"),
+    )
+    nw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = z.select(
+        "event_type",
+        "az",
+        F.floor(
+            F.lit(2.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    F.lit(0.07056) * F.col("az") * F.col("az") * F.col("az")
+                    + F.lit(1.5976) * F.col("az")
+                )
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("p_q"),
+        F.count(F.lit(1)).over(nw).alias("m_tests"),
+    )
+    ranked = p.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("p_q", "event_type"))
+    )
+    thr = ranked.withColumn(
+        "thr_q",
+        F.floor(
+            F.col("rnk").cast("double")
+            * F.lit(0.1)
+            / F.col("m_tests")
+            * F.lit(1000000000.0)
+        ).cast("bigint"),
+    )
+    cut = thr.withColumn(
+        "sig_rank",
+        F.max(
+            F.when(F.col("p_q") <= F.col("thr_q"), F.col("rnk")).otherwise(
+                0
+            )
+        ).over(nw),
+    )
+    return cut.select(
+        "event_type",
+        F.round("az", 4).alias("abs_z"),
+        F.round(F.col("p_q").cast("double") / 1000000000.0, 6).alias(
+            "p_approx"
+        ),
+        F.col("rnk").cast("bigint").alias("p_rank"),
+        F.round(F.col("thr_q").cast("double") / 1000000000.0, 6).alias(
+            "bh_threshold"
+        ),
+        (F.col("rnk") <= F.col("sig_rank")).alias("significant"),
+    )
+
+
+# --------------------------------------------- power_mde_per_arm
+
+@register(
+    "power_mde_per_arm",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ),
+    m AS (
+        SELECT event_type, n, s1 / n AS mean,
+               (s2 - s1 * s1 / n) / (n - 1) AS var
+        FROM stats
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(mean, 4) AS mean,
+           ROUND(SQRT(var), 4) AS sd,
+           ROUND(2.801585 * SQRT(2.0 * var / n), 4) AS mde_abs,
+           ROUND(2.801585 * SQRT(2.0 * var / n) / mean, 4) AS mde_rel
+    FROM m
+    """,
+)
+def power_mde_per_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINIMUM DETECTABLE EFFECT per event-type arm at alpha = 0.05 /
+    power = 0.80 for an equal-split two-arm test: MDE =
+    (z_{0.975} + z_{0.80}) * sqrt(2 s^2 / n) = 2.801585 * se_diff —
+    the pre-experiment sizing answer ("with this traffic, what lift
+    could we even see?") that decides whether running the test in
+    `ab_test_welch` is worth the calendar time.  `mde_rel` is the
+    headline: an MDE of 40% of the mean means only a miracle ships.
+
+    Determinism: exact-DECIMAL moments converted to double once; the
+    MDE is one fixed-order expression with the z-sum folded to a
+    literal constant; rounded once.
+
+    Scale (100 TB): one map-side-combinable moments aggregation; the
+    MDE math runs on |event_types| rows."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    m = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round(F.sqrt("var"), 4).alias("sd"),
+        F.round(
+            F.lit(2.801585)
+            * F.sqrt(F.lit(2.0) * F.col("var") / F.col("n")),
+            4,
+        ).alias("mde_abs"),
+        F.round(
+            F.lit(2.801585)
+            * F.sqrt(F.lit(2.0) * F.col("var") / F.col("n"))
+            / F.col("mean"),
+            4,
+        ).alias("mde_rel"),
+    )

@@ -1816,3 +1816,151 @@ def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chi2") > F.lit(3.841)).alias("srm_flag"),
         )
     )
+
+
+# ------------------------------------------ sessionized_funnel_ordered
+
+@register(
+    "sessionized_funnel_ordered",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    f AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN LAG(us) OVER w IS NULL THEN 0
+                    WHEN us - LAG(us) OVER w > 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_type, us,
+               CAST(SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM f
+    ),
+    s1 AS (
+        SELECT user_id, session_id, MIN(us) AS t1
+        FROM s WHERE event_type = 'view'
+        GROUP BY user_id, session_id
+    ),
+    s2 AS (
+        SELECT s.user_id, s.session_id, MIN(s.us) AS t2
+        FROM s JOIN s1 ON s.user_id = s1.user_id
+                      AND s.session_id = s1.session_id
+        WHERE s.event_type = 'click' AND s.us > s1.t1
+        GROUP BY s.user_id, s.session_id
+    ),
+    s3 AS (
+        SELECT s.user_id, s.session_id, MIN(s.us) AS t3
+        FROM s JOIN s2 ON s.user_id = s2.user_id
+                      AND s.session_id = s2.session_id
+        WHERE s.event_type = 'purchase' AND s.us > s2.t2
+        GROUP BY s.user_id, s.session_id
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_id FROM s)
+    )
+    SELECT CAST(tot.n_sessions AS BIGINT) AS n_sessions,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+               AS n_view_click_purchase,
+           ROUND((SELECT COUNT(*) FROM s2) * 1.0
+                 / (SELECT COUNT(*) FROM s1), 4) AS click_rate,
+           ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                 / (SELECT COUNT(*) FROM s2), 4) AS purchase_rate
+    FROM tot
+    """,
+)
+def sessionized_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED FUNNEL WITHIN SESSION BOUNDARIES: view →
+    click → purchase must happen in that order INSIDE one 30-minute
+    session — the composition of `sessionize_gaps` (same gap rule)
+    and `events_funnel` (same per-stage MIN-after-anchor chaining),
+    and the metric product analytics actually reports ("in-session
+    conversion"), which the lifetime-scoped funnel overstates by
+    crediting a purchase weeks after the click.
+
+    Determinism: gap arithmetic on exact epoch-microsecond integers
+    with event_id tiebreak; stage anchors are MINs over exact
+    integers with strict `>` chaining; counts exact, two rounded
+    ratios.
+
+    Scale (100 TB): one shuffle on user_id serves the session window;
+    the three stage aggregations and their session-key joins reuse
+    (user_id, session_id) partitioning — no second corpus shuffle;
+    the final assembly is scalar."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(F.lag("us").over(w).isNull(), 0).otherwise(
+        F.when(
+            F.col("us") - F.lag("us").over(w) > 1_800_000_000, 1
+        ).otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id", F.sum("brk").over(run))
+        .select("user_id", "session_id", "event_type", "us")
+    )
+    # session frame is consumed by four plan branches — pin it so the
+    # user_id shuffle + window run once (localCheckpoint lesson)
+    s = s.localCheckpoint(eager=True)
+    keys = ["user_id", "session_id"]
+    s1 = (
+        s.filter(F.col("event_type") == "view")
+        .groupBy(*keys)
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        s.filter(F.col("event_type") == "click")
+        .join(s1, keys)
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy(*keys)
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        s.filter(F.col("event_type") == "purchase")
+        .join(s2, keys)
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy(*keys)
+        .agg(F.min("us").alias("t3"))
+    )
+    tot = s.select(*keys).distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        tot.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.col("n_view").cast("bigint").alias("n_view"),
+            F.col("n_view_click").cast("bigint").alias("n_view_click"),
+            F.col("n_view_click_purchase")
+            .cast("bigint")
+            .alias("n_view_click_purchase"),
+            F.round(
+                F.col("n_view_click") * F.lit(1.0) / F.col("n_view"), 4
+            ).alias("click_rate"),
+            F.round(
+                F.col("n_view_click_purchase")
+                * F.lit(1.0)
+                / F.col("n_view_click"),
+                4,
+            ).alias("purchase_rate"),
+        )
+    )

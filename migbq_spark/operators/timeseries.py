@@ -1463,10 +1463,10 @@ def session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------- burst_detection_twostate
 
-#: Shared SQL body for the two-state burst DP — identical text runs on
-#: both engines (only the daily-source CTE differs), so the sequential
-#: recursion cannot diverge: every cost is an int64 micro-nat.
-_BURST_DP_SQL = """
+#: Quantization prep for the two-state burst DP — identical text runs
+#: on both engines (only the daily-source CTE differs), so the costs
+#: entering the recurrence are the same int64 micro-nats everywhere.
+_BURST_PREP_SQL = """
     prep AS (
         SELECT rn, d, x,
                CAST(FLOOR((lam0 - x * ln(lam0)) * 1000000.0) AS BIGINT)
@@ -1481,7 +1481,15 @@ _BURST_DP_SQL = """
                    COUNT(*) OVER () AS n
             FROM daily
         )
-    ),
+    )"""
+
+#: Oracle-side DP: the recurrence as a real `WITH RECURSIVE` — exact
+#: integer addition + LEAST over the quantized costs, bit-stable at
+#: any depth.  The Spark side runs the SAME recurrence as one
+#: `applyInPandas` task (see the operator docstring for why).
+_BURST_DP_SQL = (
+    _BURST_PREP_SQL
+    + """,
     dp(rn, d, x, c0, c1) AS (
         SELECT rn, d, x, e0, e1 + tu FROM prep WHERE rn = 1
         UNION ALL
@@ -1496,6 +1504,7 @@ _BURST_DP_SQL = """
            c1 < c0 AS in_burst
     FROM dp
 """
+)
 
 
 @register(
@@ -1518,21 +1527,31 @@ def burst_detection_twostate(spark: SparkSession, sf_dir: str) -> DataFrame:
     undercuts the base state's — the burst model that separates "a
     sustained elevated episode" from `anomaly_zscore_daily`'s
     single-day spikes and `cusum_drift_daily`'s one-sided level
-    shifts.  The sequential recurrence runs as a REAL `WITH RECURSIVE`
-    (Spark 4) — the same frontier-iteration surface as
-    `recursive_pk_ranges`, here with genuine step-to-step dependence.
+    shifts.
 
     Determinism: emission and transition costs are quantized to int64
     micro-nats BEFORE the recursion (each floor is of a fixed-order
-    double expression, identical in both engines), so the DP is exact
-    integer addition + LEAST — bit-stable at any depth; the SQL body
-    is ONE shared string run verbatim on both engines.
+    double expression, run as the SAME `prep` SQL text on both
+    engines), so the DP is exact integer addition + min — bit-stable
+    at any depth regardless of which engine (or Python) executes it;
+    the final cost division + ROUND happens back in Spark expressions
+    (HALF_UP on both engines).
 
     Scale (100 TB): the corpus collapses map-side to |days| rows
-    before any recursion; the DP is |days| sequential steps over that
-    tiny frame (a year = 365 steps) — recursion depth never touches
-    corpus size.  Poisson x! terms cancel between states and are
-    dropped."""
+    before any recursion — that collapse is the scale move, and it is
+    unchanged.  The recurrence itself previously ran as a real `WITH
+    RECURSIVE`, i.e. |days| sequential frontier iterations, EACH a
+    scheduler round-trip: ~10 s of pure per-step overhead at 30 days,
+    ~1,100 sequential micro-jobs for three years, flat in data size
+    (r9 VERDICT "What's wrong" #2).  A sequential DP over a frame
+    that small belongs in ONE task: a single-group `applyInPandas`
+    runs the identical integer recurrence in-process (micro-seconds
+    for centuries of days), so wall-clock is the daily collapse plus
+    one tiny task.  The recursive-CTE form is retained verbatim as
+    the DuckDB oracle, pinning the two execution strategies equal.
+    Poisson x! terms cancel between states and are dropped."""
+    import pandas as pd
+
     ev = load(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.to_date("ts").alias("d"))
@@ -1541,7 +1560,702 @@ def burst_detection_twostate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rn", "d", "x")
     )
     daily.createOrReplaceTempView("mq_burst_daily")
-    return spark.sql(
-        "WITH RECURSIVE daily AS (SELECT rn, d, x FROM mq_burst_daily),\n"
-        + _BURST_DP_SQL
+    prep = spark.sql(
+        "WITH daily AS (SELECT rn, d, x FROM mq_burst_daily),\n"
+        + _BURST_PREP_SQL
+        + "\nSELECT rn, d, x, e0, e1, tu FROM prep"
+    )
+
+    def _dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        c0s: list[int] = []
+        c1s: list[int] = []
+        c0 = c1 = 0
+        for i, (e0, e1, tu) in enumerate(
+            zip(pdf["e0"].tolist(), pdf["e1"].tolist(), pdf["tu"].tolist())
+        ):
+            if i == 0:
+                c0, c1 = e0, e1 + tu
+            else:
+                # same recurrence as the oracle's recursive CTE: both
+                # new costs read the PREVIOUS (c0, c1) pair
+                c0, c1 = e0 + min(c0, c1), e1 + min(c0 + tu, c1)
+            c0s.append(c0)
+            c1s.append(c1)
+        return pd.DataFrame(
+            {"d": pdf["d"], "cnt": pdf["x"], "c0": c0s, "c1": c1s}
+        )
+
+    costs = prep.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _dp, schema="d date, cnt bigint, c0 bigint, c1 bigint"
+    )
+    return costs.select(
+        "d",
+        "cnt",
+        F.round(F.col("c0").cast("double") / 1000000.0, 4).alias(
+            "cost_base"
+        ),
+        F.round(F.col("c1").cast("double") / 1000000.0, 4).alias(
+            "cost_burst"
+        ),
+        (F.col("c1") < F.col("c0")).alias("in_burst"),
+    )
+
+
+# ------------------------------------------------- holt_linear_daily
+
+#: Shared daily-counts CTE text for the r10 trend/decomposition ops.
+_DAILY_CTE = """
+    daily AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, d, x
+        FROM (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1)
+    )"""
+
+
+@register(
+    "holt_linear_daily",
+    oracle="""
+    WITH RECURSIVE"""
+    + _DAILY_CTE
+    + """,
+    hw(rn, d, x, l, b) AS (
+        SELECT rn, d, x, x * 1000000, CAST(0 AS BIGINT) FROM daily
+        WHERE rn = 1
+        UNION ALL
+        SELECT p.rn, p.d, p.x,
+               CAST(FLOOR(CAST(p.x * 1000000 + 3 * (hw.l + hw.b)
+                               AS DOUBLE) / 4.0) AS BIGINT),
+               CAST(FLOOR(CAST(CAST(FLOOR(CAST(p.x * 1000000
+                                              + 3 * (hw.l + hw.b)
+                                              AS DOUBLE) / 4.0) AS BIGINT)
+                               - hw.l + 3 * hw.b
+                               AS DOUBLE) / 4.0) AS BIGINT)
+        FROM hw JOIN daily p ON p.rn = hw.rn + 1
+    )
+    SELECT d, x AS cnt,
+           ROUND(CAST(l AS DOUBLE) / 1000000.0, 4) AS level,
+           ROUND(CAST(b AS DOUBLE) / 1000000.0, 4) AS trend,
+           ROUND(CAST(l + b AS DOUBLE) / 1000000.0, 4) AS forecast_next
+    FROM hw
+    """,
+)
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND SMOOTHING (double exponential) of daily event
+    volume, alpha = beta = 1/4: level absorbs noise, trend carries the
+    drift, `forecast_next = level + trend` is the one-step-ahead
+    capacity forecast — the next rung past `ewma_daily_volume` (level
+    only, lag under drift) and the forecasting complement to
+    `cusum_drift_daily` (detects shifts, doesn't predict).
+
+    Determinism: the recurrence runs in int64 micro-units with
+    alpha = 1/4 exact — each step is integer add/multiply plus one
+    floor-of-(int/4.0), a power-of-two division that is exact in
+    double below 2^53, so level/trend are bit-stable at any depth in
+    any engine; init is l_1 = x_1, b_1 = 0.
+
+    Scale (100 TB): the corpus collapses map-side to |days| rows; the
+    sequential recurrence then runs in ONE `applyInPandas` task over
+    that tiny frame (micro-seconds for centuries of days) — same
+    de-serialization as `burst_detection_twostate`, with the
+    recursive-CTE form retained verbatim as the oracle pinning the
+    two execution strategies equal."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+        .select("rn", "d", "x")
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        ls: list[int] = []
+        bs: list[int] = []
+        l = b = 0
+        for i, x in enumerate(pdf["x"].tolist()):
+            if i == 0:
+                l, b = int(x) * 1000000, 0
+            else:
+                l_new = (int(x) * 1000000 + 3 * (l + b)) // 4
+                b = (l_new - l + 3 * b) // 4
+                l = l_new
+            ls.append(l)
+            bs.append(b)
+        return pd.DataFrame(
+            {"d": pdf["d"], "cnt": pdf["x"], "l": ls, "b": bs}
+        )
+
+    out = daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _holt, schema="d date, cnt bigint, l bigint, b bigint"
+    )
+    return out.select(
+        "d",
+        "cnt",
+        F.round(F.col("l").cast("double") / 1000000.0, 4).alias("level"),
+        F.round(F.col("b").cast("double") / 1000000.0, 4).alias("trend"),
+        F.round(
+            (F.col("l") + F.col("b")).cast("double") / 1000000.0, 4
+        ).alias("forecast_next"),
+    )
+
+
+# -------------------------------------------- changepoint_binseg_daily
+
+@register(
+    "changepoint_binseg_daily",
+    oracle="""
+    WITH"""
+    + _DAILY_CTE
+    + """,
+    pre AS (
+        SELECT rn, d, x,
+               CAST(SUM(x) OVER (ORDER BY rn) AS BIGINT) AS sk,
+               CAST(SUM(x) OVER () AS BIGINT) AS sn,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    gains AS (
+        SELECT rn AS k, d,
+               CAST(FLOOR((CAST(sk AS DOUBLE) * sk / k
+                           + CAST(sn - sk AS DOUBLE) * (sn - sk) / (n - k)
+                           - CAST(sn AS DOUBLE) * sn / n)
+                          * 1000000.0) AS BIGINT) AS gain_q,
+               sk, sn, n
+        FROM (SELECT rn, d, x, sk, sn, n, rn AS k FROM pre)
+        WHERE rn < n
+    )
+    SELECT d AS split_day, k AS split_k,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           ROUND(CAST(sk AS DOUBLE) / k, 4) AS mean_left,
+           ROUND(CAST(sn - sk AS DOUBLE) / (n - k), 4) AS mean_right,
+           ROUND(CAST(gain_q AS DOUBLE) / 1000000.0, 4) AS sse_gain
+    FROM gains
+    ORDER BY gain_q DESC, k ASC
+    LIMIT 1
+    """,
+)
+def changepoint_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-CHANGEPOINT BINARY SEGMENTATION over the daily volume
+    series: the split k that maximizes the variance-reduction gain
+    `S_k^2/k + (S_n-S_k)^2/(n-k) - S_n^2/n` (the classic CUSUM-square
+    identity — gain computed from PREFIX SUMS alone, no per-split
+    rescan, so evaluating all n-1 candidate splits costs one pass).
+    Complements `cusum_drift_daily` (direction-committed sequential
+    alarm) with the retrospective "WHERE did the level shift" answer.
+
+    Determinism: prefix sums are exact int64; the gain is one
+    fixed-order double expression per split quantized to micro-units;
+    argmax ties break on earliest split day.
+
+    Scale (100 TB): corpus collapses map-side to |days|; the gain scan
+    is a window pass over that tiny frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+    )
+    pre = daily.select(
+        "rn",
+        "d",
+        F.sum("x").over(Window.orderBy("rn")).cast("bigint").alias("sk"),
+        F.sum("x")
+        .over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+        .cast("bigint")
+        .alias("sn"),
+        F.count(F.lit(1))
+        .over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+        .alias("n"),
+    )
+    gains = pre.filter(F.col("rn") < F.col("n")).select(
+        F.col("rn").alias("k"),
+        "d",
+        F.floor(
+            (
+                F.col("sk").cast("double") * F.col("sk") / F.col("rn")
+                + (F.col("sn") - F.col("sk")).cast("double")
+                * (F.col("sn") - F.col("sk"))
+                / (F.col("n") - F.col("rn"))
+                - F.col("sn").cast("double") * F.col("sn") / F.col("n")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("gain_q"),
+        "sk",
+        "sn",
+        "n",
+    )
+    return (
+        gains.orderBy(F.col("gain_q").desc(), F.col("k").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("k").alias("split_k"),
+            F.col("k").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("k")).cast("bigint").alias("n_right"),
+            F.round(F.col("sk").cast("double") / F.col("k"), 4).alias(
+                "mean_left"
+            ),
+            F.round(
+                (F.col("sn") - F.col("sk")).cast("double")
+                / (F.col("n") - F.col("k")),
+                4,
+            ).alias("mean_right"),
+            F.round(
+                F.col("gain_q").cast("double") / 1000000.0, 4
+            ).alias("sse_gain"),
+        )
+    )
+
+
+# ---------------------------------------------- stl_decompose_daily
+
+@register(
+    "stl_decompose_daily",
+    oracle="""
+    WITH"""
+    + _DAILY_CTE
+    + """,
+    tr AS (
+        SELECT rn, d, x,
+               CAST((d - DATE '1970-01-01') AS BIGINT) % 7 AS dow,
+               CASE WHEN rn >= 4 AND rn <= COUNT(*) OVER () - 3
+                    THEN CAST(SUM(x) OVER (ORDER BY rn
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                         AS BIGINT)
+               END AS sum7
+        FROM daily
+    ),
+    dt AS (
+        SELECT rn, d, x, dow, sum7,
+               CAST(FLOOR((x - CAST(sum7 AS DOUBLE) / 7.0)
+                          * 1000000.0) AS BIGINT) AS dt_q
+        FROM tr WHERE sum7 IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(FLOOR(CAST(SUM(dt_q) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS s_q
+        FROM dt GROUP BY dow
+    )
+    SELECT dt.d, dt.x AS cnt,
+           ROUND(CAST(dt.sum7 AS DOUBLE) / 7.0, 4) AS trend,
+           ROUND(CAST(seas.s_q AS DOUBLE) / 1000000.0, 4) AS seasonal,
+           ROUND(CAST(dt.dt_q - seas.s_q AS DOUBLE) / 1000000.0, 4)
+               AS remainder
+    FROM dt JOIN seas ON dt.dow = seas.dow
+    """,
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-STYLE ADDITIVE DECOMPOSITION of daily volume into trend +
+    day-of-week seasonal + remainder (one classical-decomposition
+    pass: centered 7-day moving-average trend, seasonal = per-DOW
+    mean of the detrended series, remainder = what neither explains)
+    — the diagnostic that tells an on-call WHICH component moved:
+    `seasonality_dow_hour` profiles the raw grid, this separates the
+    weekly rhythm FROM the trend so a Monday spike isn't misread as
+    growth.  Edge days without a full 7-day window are excluded (the
+    standard centered-MA truncation).
+
+    Determinism: the 7-day sum is exact int64; day-of-week comes from
+    epoch-day mod 7 (no engine DOW-numbering dependence); detrended
+    values and seasonal means are quantized to int64 micro-units
+    before any cross-row aggregation, so the remainder is exact
+    integer subtraction.
+
+    Scale (100 TB): corpus collapses map-side to |days|; the MA
+    window, DOW aggregation, and broadcast-size seasonal join all run
+    on tiny frames."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+    )
+    n_w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ma_w = Window.orderBy("rn").rowsBetween(-3, 3)
+    tr = daily.select(
+        "rn",
+        "d",
+        "x",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+         .cast("bigint") % 7).alias("dow"),
+        F.when(
+            (F.col("rn") >= 4)
+            & (F.col("rn") <= F.count(F.lit(1)).over(n_w) - 3),
+            F.sum("x").over(ma_w).cast("bigint"),
+        ).alias("sum7"),
+    )
+    dt = tr.filter(F.col("sum7").isNotNull()).withColumn(
+        "dt_q",
+        F.floor(
+            (F.col("x") - F.col("sum7").cast("double") / F.lit(7.0))
+            * F.lit(1000000.0)
+        ).cast("bigint"),
+    )
+    seas = dt.groupBy("dow").agg(
+        F.floor(
+            F.sum("dt_q").cast("double") / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("s_q")
+    )
+    return dt.join(F.broadcast(seas), "dow").select(
+        "d",
+        F.col("x").alias("cnt"),
+        F.round(F.col("sum7").cast("double") / 7.0, 4).alias("trend"),
+        F.round(F.col("s_q").cast("double") / 1000000.0, 4).alias(
+            "seasonal"
+        ),
+        F.round(
+            (F.col("dt_q") - F.col("s_q")).cast("double") / 1000000.0, 4
+        ).alias("remainder"),
+    )
+
+
+# ----------------------------------------------- acf_lags_profile
+
+@register(
+    "acf_lags_profile",
+    oracle="""
+    WITH"""
+    + _DAILY_CTE
+    + """,
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x AS xa, b.x AS xb
+        FROM daily a
+        JOIN lags l ON TRUE
+        JOIN daily b ON b.rn = a.rn + l.lag
+    ),
+    sums AS (
+        SELECT lag,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(xa) AS BIGINT) AS sa,
+               CAST(SUM(xb) AS BIGINT) AS sb,
+               CAST(SUM(xa * xb) AS BIGINT) AS sab,
+               CAST(SUM(xa * xa) AS BIGINT) AS saa,
+               CAST(SUM(xb * xb) AS BIGINT) AS sbb
+        FROM pairs GROUP BY lag
+    )
+    SELECT lag, np AS n_pairs,
+           ROUND((CAST(np AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                 / SQRT((CAST(np AS DOUBLE) * saa
+                         - CAST(sa AS DOUBLE) * sa)
+                        * (CAST(np AS DOUBLE) * sbb
+                           - CAST(sb AS DOUBLE) * sb)), 4) AS acf
+    FROM sums
+    """,
+)
+def acf_lags_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION PROFILE of daily volume at lags 1..7 — the
+    multi-lag generalization of `daily_autocorr_lag1`: one row per
+    lag, Pearson r over the overlapping (x_t, x_{t+k}) pairs.  The
+    lag-7 spike (weekly rhythm) vs lag-1 decay (momentum) is the
+    standard pre-model seasonality diagnostic, and the empirical
+    basis for `stl_decompose_daily`'s 7-day season choice.
+
+    Determinism: all six sufficient sums per lag are exact int64 over
+    integer counts; the correlation is one fixed-order double formula
+    per lag, rounded once.
+
+    Scale (100 TB): corpus collapses map-side to |days|; the 7-way
+    lag fan (7 literal leads exploded — `F.lead` needs literal
+    offsets) and per-lag sums run on that tiny frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+    )
+    w = Window.orderBy("rn")
+    with_leads = daily.select(
+        "x",
+        *[F.lead("x", k).over(w).alias(f"xl{k}") for k in range(1, 8)],
+    )
+    pairs = with_leads.select(
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"xl{k}").alias("xb")
+                    )
+                    for k in range(1, 8)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.lag").alias("lag"),
+        F.col("x").alias("xa"),
+        F.col("p.xb").alias("xb"),
+    ).filter(F.col("xb").isNotNull())
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum("xb").cast("bigint").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sab"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
+        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
+    )
+    return sums.select(
+        "lag",
+        F.col("np").alias("n_pairs"),
+        F.round(
+            (
+                F.col("np").cast("double") * F.col("sab")
+                - F.col("sa").cast("double") * F.col("sb")
+            )
+            / F.sqrt(
+                (
+                    F.col("np").cast("double") * F.col("saa")
+                    - F.col("sa").cast("double") * F.col("sa")
+                )
+                * (
+                    F.col("np").cast("double") * F.col("sbb")
+                    - F.col("sb").cast("double") * F.col("sb")
+                )
+            ),
+            4,
+        ).alias("acf"),
+    )
+
+
+# ------------------------------------------- spearman_corr_value_ts
+
+#: Daily (count, quantized-revenue) frame shared by the rank/concordance
+#: correlation ops: value is quantized per ROW before the daily sum
+#: (quantize-before-sum), so both daily metrics are exact integers.
+_DAILY2_CTE = """
+    daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS rev_q
+        FROM events GROUP BY 1
+    )"""
+
+
+@register(
+    "spearman_corr_value_ts",
+    oracle="""
+    WITH"""
+    + _DAILY2_CTE
+    + """,
+    ranked AS (
+        SELECT cnt, rev_q,
+               RANK() OVER (ORDER BY cnt)
+                   + (COUNT(*) OVER (PARTITION BY cnt) - 1) / 2.0 AS ra,
+               RANK() OVER (ORDER BY rev_q)
+                   + (COUNT(*) OVER (PARTITION BY rev_q) - 1) / 2.0 AS rb
+        FROM daily
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(ra) AS sa, SUM(rb) AS sb,
+               SUM(ra * rb) AS sab,
+               SUM(ra * ra) AS saa, SUM(rb * rb) AS sbb
+        FROM ranked
+    )
+    SELECT n AS n_days,
+           ROUND((CAST(n AS DOUBLE) * sab - sa * sb)
+                 / SQRT((CAST(n AS DOUBLE) * saa - sa * sa)
+                        * (CAST(n AS DOUBLE) * sbb - sb * sb)),
+                 4) AS spearman_rho
+    FROM sums
+    """,
+)
+def spearman_corr_value_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between daily event count and daily
+    revenue — the robust complement to `corr_moments`' Pearson: rank
+    transform first (average ranks on ties, the textbook treatment),
+    then Pearson over the ranks, so one outlier day can't manufacture
+    or destroy the relationship.
+
+    Determinism: both daily metrics are exact int64 (value quantized
+    to cents per row BEFORE the daily sum); average ranks are exact
+    multiples of 0.5 (rank + (ties-1)/2), so every rank sum/product
+    is an exactly-representable double and order-free; one final
+    fixed-order formula, rounded once.
+
+    Scale (100 TB): corpus collapses map-side to |days| rows; ranks
+    and moment sums run on that tiny frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_q"),
+    )
+    ranked = daily.select(
+        (
+            F.rank().over(Window.orderBy("cnt"))
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy("cnt")) - 1
+            )
+            / F.lit(2.0)
+        ).alias("ra"),
+        (
+            F.rank().over(Window.orderBy("rev_q"))
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy("rev_q")) - 1
+            )
+            / F.lit(2.0)
+        ).alias("rb"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    return sums.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sab")
+                - F.col("sa") * F.col("sb")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("saa")
+                    - F.col("sa") * F.col("sa")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("sbb")
+                    - F.col("sb") * F.col("sb")
+                )
+            ),
+            4,
+        ).alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------- kendall_tau_daily
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH"""
+    + _DAILY2_CTE
+    + """,
+    seq AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, cnt, rev_q
+        FROM daily
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.cnt < b.cnt AND a.rev_q < b.rev_q)
+                      OR (a.cnt > b.cnt AND a.rev_q > b.rev_q)
+                    THEN 1 ELSE 0 END AS c,
+               CASE WHEN (a.cnt < b.cnt AND a.rev_q > b.rev_q)
+                      OR (a.cnt > b.cnt AND a.rev_q < b.rev_q)
+                    THEN 1 ELSE 0 END AS dd,
+               CASE WHEN a.cnt = b.cnt AND a.rev_q <> b.rev_q
+                    THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.rev_q = b.rev_q AND a.cnt <> b.cnt
+                    THEN 1 ELSE 0 END AS ty
+        FROM seq a JOIN seq b ON a.rn < b.rn
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS concordant,
+           CAST(SUM(dd) AS BIGINT) AS discordant,
+           ROUND((CAST(SUM(c) AS DOUBLE) - SUM(dd))
+                 / SQRT((CAST(SUM(c) AS DOUBLE) + SUM(dd) + SUM(tx))
+                        * (CAST(SUM(c) AS DOUBLE) + SUM(dd) + SUM(ty))),
+                 4) AS tau_b
+    FROM pairs
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU-B between daily event count and daily revenue —
+    the concordance-pair alternative to `spearman_corr_value_ts`:
+    counts agreeing vs disagreeing day pairs directly (with the tau-b
+    tie correction), so the statistic has a plain operational reading
+    ("in X% of day pairs, busier ALSO meant richer").
+
+    Determinism: concordant/discordant/tie counts are exact integers
+    over exact int64 daily metrics; one fixed-order final formula.
+
+    Scale (100 TB): the corpus collapses map-side to |days| rows
+    FIRST, so the O(|days|^2) pair join is over the tiny daily frame
+    (a year = ~66k pairs) — the quadratic is in days, never in rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_q"),
+    )
+    seq = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        "cnt",
+        "rev_q",
+    )
+    a = seq.alias("a")
+    b = seq.alias("b")
+    pairs = a.join(b, F.col("a.rn") < F.col("b.rn")).select(
+        F.when(
+            (
+                (F.col("a.cnt") < F.col("b.cnt"))
+                & (F.col("a.rev_q") < F.col("b.rev_q"))
+            )
+            | (
+                (F.col("a.cnt") > F.col("b.cnt"))
+                & (F.col("a.rev_q") > F.col("b.rev_q"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("c"),
+        F.when(
+            (
+                (F.col("a.cnt") < F.col("b.cnt"))
+                & (F.col("a.rev_q") > F.col("b.rev_q"))
+            )
+            | (
+                (F.col("a.cnt") > F.col("b.cnt"))
+                & (F.col("a.rev_q") < F.col("b.rev_q"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("dd"),
+        F.when(
+            (F.col("a.cnt") == F.col("b.cnt"))
+            & (F.col("a.rev_q") != F.col("b.rev_q")),
+            1,
+        )
+        .otherwise(0)
+        .alias("tx"),
+        F.when(
+            (F.col("a.rev_q") == F.col("b.rev_q"))
+            & (F.col("a.cnt") != F.col("b.cnt")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ty"),
+    )
+    return pairs.agg(
+        F.sum("c").cast("bigint").alias("concordant"),
+        F.sum("dd").cast("bigint").alias("discordant"),
+        F.round(
+            (F.sum("c").cast("double") - F.sum("dd"))
+            / F.sqrt(
+                (F.sum("c").cast("double") + F.sum("dd") + F.sum("tx"))
+                * (F.sum("c").cast("double") + F.sum("dd") + F.sum("ty"))
+            ),
+            4,
+        ).alias("tau_b"),
     )
