@@ -184,3 +184,79 @@ def udtf_lateral_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mq_docs_udtf d, LATERAL mq_split_tokens(d.text) t
         """
     )
+
+
+@register(
+    "mapinarrow_batch_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text)
+                - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                AS BIGINT) AS n_letters,
+           CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           CAST(length(text)
+                - length(regexp_replace(text, ' ', '', 'g'))
+                AS BIGINT) AS n_spaces,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                    text, '[A-Za-z]', '', 'g'), '[0-9]', '', 'g'),
+                    ' ', '', 'g')) AS BIGINT) AS n_other
+    FROM documents
+    """,
+)
+def mapinarrow_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the fifth rung of the §2.J function ladder (below
+    it: pandas UDFs pay Arrow→pandas→Arrow conversion per batch; this
+    surface hands the raw `pyarrow.RecordBatch` straight to Python,
+    the right tool when the kernel is itself Arrow-native or, as with
+    the multimodal decode family, operates on large binary buffers
+    that pandas would copy).  The kernel here is a per-document ASCII
+    character-class census (letters / digits / spaces / other) — a
+    deterministic integer transform so the surface itself is
+    hash-checked against a pure-SQL oracle, like the other four rungs.
+
+    Determinism: exact integer counts; ASCII classes only (no locale
+    or unicode-category dependence across engines).
+
+    Scale (100 TB): embarrassingly row-local — batches stream through
+    Python workers with zero shuffle; one Arrow batch in flight per
+    core, memory bounded by batch size."""
+    import pyarrow as pa
+
+    def census(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            out = {"doc_id": ids, "n_letters": [], "n_digits": [],
+                   "n_spaces": [], "n_other": []}
+            for t in texts:
+                t = t or ""
+                nl = nd = ns = 0
+                for ch in t:
+                    if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
+                        nl += 1
+                    elif "0" <= ch <= "9":
+                        nd += 1
+                    elif ch == " ":
+                        ns += 1
+                out["n_letters"].append(nl)
+                out["n_digits"].append(nd)
+                out["n_spaces"].append(ns)
+                out["n_other"].append(len(t) - nl - nd - ns)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": ids,
+                    "n_letters": pa.array(out["n_letters"], pa.int64()),
+                    "n_digits": pa.array(out["n_digits"], pa.int64()),
+                    "n_spaces": pa.array(out["n_spaces"], pa.int64()),
+                    "n_other": pa.array(out["n_other"], pa.int64()),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        census,
+        "doc_id bigint, n_letters bigint, n_digits bigint, "
+        "n_spaces bigint, n_other bigint",
+    )

@@ -490,3 +490,145 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (Order Priority Checking), adapted to this fixture's
+    columns: the spec's `l_commitdate < l_receiptdate` lateness test
+    can't exist here (lineitem carries neither column — FIXTURES.md),
+    so "late" becomes `l_shipdate > o_orderdate + 60 days`, preserving
+    Q4's defining shape: a quarter-scoped EXISTS semi-join from orders
+    into lineitem with a correlated date predicate, counted by
+    priority bucket.
+
+    Scale: the quarter filter pushes into the orders scan; the
+    EXISTS compiles to a LEFT SEMI hash join on l_orderkey (each
+    order keeps at most one match — no fan-out), and the priority
+    rollup collapses map-side to 5 rows.  Deterministic: exact
+    counts, priority sort.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q4]."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DECIMAL(38,4)) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               {_REV_SQL} AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (Volume Shipping): bilateral trade volume between two
+    nations by ship year — supplier's nation on one side, ordering
+    customer's nation on the other, both directions reported.  The
+    fixture's nations are NATION_0..24 (FIXTURES.md), so the spec's
+    FRANCE/GERMANY pair becomes NATION_1/NATION_2; the 1995-1996 ship
+    window is the spec's own and lands inside this fixture's
+    1995-2001 ship-date span.
+
+    Plan at scale: the two nation dims are pinned broadcasts with the
+    disjunctive pair predicate evaluated post-join (25 rows each at
+    any SF); supplier/customer stay unhinted for AQE (same call as
+    `tpch_q5_local_supplier`); the ship-window filter pushes into the
+    lineitem scan, and lineitem⋈orders is the one guaranteed
+    shuffle.  Deterministic: exact decimal volume sums, full key sort.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q7]."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            _revenue().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("volume")
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -5988,3 +5988,183 @@ def knn_graph_rp_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
         F.coalesce("m", F.lit(False)).alias("mutual"),
     )
+
+
+# --------------------------------------- centroid_similarity_matrix
+
+@register(
+    "centroid_similarity_matrix",
+    oracle="""
+    WITH pos AS (
+        SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i - 1 AS dim,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                              * 10000000) AS BIGINT))
+                               AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_q
+        FROM pos GROUP BY label, i
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.c_q * b.c_q) AS BIGINT) AS dot_q,
+               CAST(SUM(a.c_q * a.c_q) AS BIGINT) AS na_q,
+               CAST(SUM(b.c_q * b.c_q) AS BIGINT) AS nb_q
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           ROUND(CAST(dot_q AS DOUBLE)
+                 / SQRT(CAST(na_q AS DOUBLE) * nb_q), 4) AS cosine
+    FROM dots
+    """,
+)
+def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-CENTROID COSINE MATRIX: pairwise similarity between the
+    per-label embedding centroids — the class-confusability report
+    read BEFORE trusting `semdedup_centroid_prune`'s cluster pruning
+    or a label-balanced `mix_weighted_sources` plan (two labels at
+    cosine 0.98 are one concept wearing two names; their clusters
+    will cross-prune).  Extends `embed_label_centroid` (exact
+    centroid sums) with the k x k comparison it stops short of.
+
+    Determinism: centroid components are floor-quantized int64 (exact
+    integer mean-floor of exact scaled sums), so dot products and
+    norms are exact integer arithmetic; one fixed-order cosine per
+    pair, rounded once.  label_a < label_b halves the matrix.
+
+    Scale (100 TB): the corpus collapses to |labels| x dim integer
+    cells map-side (same shuffle as embed_label_centroid); the pair
+    join runs on that broadcast-size frame — k^2 never touches the
+    corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "comp"))
+    scaled = F.floor(F.col("comp").cast("double") * 10000000).cast("bigint")
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.floor(
+                F.sum(scaled).cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("c_q")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("dim").alias("dim"),
+        F.col("c_q").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c_q").alias("cb"),
+    )
+    dots = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot_q"),
+            F.sum(F.col("ca") * F.col("ca")).cast("bigint").alias("na_q"),
+            F.sum(F.col("cb") * F.col("cb")).cast("bigint").alias("nb_q"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot_q").cast("double")
+            / F.sqrt(F.col("na_q").cast("double") * F.col("nb_q")),
+            4,
+        ).alias("cosine"),
+    )
+
+
+# ------------------------------------------- embedding_gram_matrix
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0)
+                             AS BIGINT)) AS qq
+        FROM embeddings
+    ),
+    pi AS (
+        SELECT qq, unnest(generate_series(1, len(qq))) AS i FROM q
+    ),
+    pj AS (
+        SELECT qq, i, unnest(generate_series(i, len(qq))) AS j FROM pi
+    )
+    SELECT CAST(i - 1 AS BIGINT) AS dim_i,
+           CAST(j - 1 AS BIGINT) AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(qq[i] * qq[j]) AS BIGINT) AS gram_q,
+           ROUND(CAST(SUM(qq[i] * qq[j]) AS BIGINT)
+                 / (COUNT(*) * 100000000.0), 6) + 0.0 AS gram_mean
+    FROM pj GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPPER-TRIANGLE GRAM MATRIX X^T X of the embedding corpus — the
+    d x d second-moment audit behind PCA / whitening / feature-
+    decorrelation decisions: a fat off-diagonal band means the
+    embedding spends dimensions redundantly and `matryoshka_prefix_
+    rerank`-style truncation will be lossy; near-diagonal means the
+    space is already decorrelated.  One pass, no centering (the raw
+    second moment; pair with `embed_label_centroid` for means).
+
+    Determinism: components floor-quantized to int64 BEFORE any
+    cross-row sum (quantize-before-sum), so each of the d(d+1)/2
+    cells is an exact integer; the normalized mean derives from the
+    exact sum with one division.
+
+    Scale (100 TB): the d(d+1)/2 pair fan (x2080 at d=64) is
+    row-local JVM HOF work that collapses map-side to d(d+1)/2
+    integer cells — the shuffle carries 2080 accumulators per task
+    regardless of corpus size.  At 1e12 rows the int64 cell budget
+    (1e8 per pair-product) still clears: ~1e8 x 1e12 needs the
+    two-level split only past ~9e10 rows per cell, which the
+    partial-aggregation layer already provides."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
+        ).alias("qq")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(qq) - 1),"
+                " i -> transform(sequence(i, size(qq) - 1),"
+                " j -> struct(i AS di, j AS dj,"
+                " qq[i] * qq[j] AS prod))))"
+            )
+        ).alias("p")
+    ).select("p.di", "p.dj", "p.prod")
+    g = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("prod").cast("bigint").alias("gram_q"),
+    )
+    return g.select(
+        F.col("di").cast("bigint").alias("dim_i"),
+        F.col("dj").cast("bigint").alias("dim_j"),
+        "n_rows",
+        "gram_q",
+        (
+            F.round(
+                F.col("gram_q")
+                / (F.col("n_rows") * F.lit(100000000.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gram_mean"),
+    )

@@ -3869,3 +3869,226 @@ def quantile_normalize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nv_c") / F.lit(100.0), 2).alias("norm_mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------- fim_split_plan
+
+@register(
+    "fim_split_plan",
+    oracle="""
+    WITH elig AS (
+        SELECT doc_id, source, n_chars,
+               CAST(concat('0x', substr(md5('fimc:' || doc_id), 1, 15))
+                    AS BIGINT) % 2 AS fim_coin,
+               CAST(concat('0x', substr(md5('fim1:' || doc_id), 1, 15))
+                    AS BIGINT) % 1000 AS h1,
+               CAST(concat('0x', substr(md5('fim2:' || doc_id), 1, 15))
+                    AS BIGINT) % 1000 AS h2
+        FROM documents WHERE n_chars >= 32
+    ),
+    split AS (
+        SELECT source, fim_coin,
+               CAST(FLOOR(CAST(n_chars * LEAST(h1, h2) AS DOUBLE)
+                          / 1000.0) AS BIGINT) AS p1,
+               CAST(FLOOR(CAST(n_chars * GREATEST(h1, h2) AS DOUBLE)
+                          / 1000.0) AS BIGINT) AS p2,
+               n_chars
+        FROM elig
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fim_coin = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fim,
+           CAST(SUM(CASE WHEN fim_coin = 0 THEN p1 ELSE 0 END) AS BIGINT)
+               AS sum_prefix,
+           CAST(SUM(CASE WHEN fim_coin = 0 THEN p2 - p1 ELSE 0 END)
+                AS BIGINT) AS sum_middle,
+           CAST(SUM(CASE WHEN fim_coin = 0 THEN n_chars - p2 ELSE 0 END)
+                AS BIGINT) AS sum_suffix,
+           ROUND(SUM(CASE WHEN fim_coin = 0 THEN p2 - p1 ELSE 0 END)
+                 * 1.0
+                 / SUM(CASE WHEN fim_coin = 0 THEN n_chars ELSE 0 END),
+                 4) AS middle_share
+    FROM split GROUP BY source
+    """,
+)
+def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE SPLIT PLANNING: for each eligible document
+    (>= 32 chars), a deterministic coin selects ~50% for FIM
+    transformation and two hash fractions place the prefix|middle|
+    suffix cut points — the preprocessing plan behind FIM training
+    objectives (Bayer et al.-style infilling), emitted as per-source
+    length budgets so the tokenizer stage can pre-size its batches.
+    The split is PLANNED (offsets + audit), not materialized — at
+    100 TB you write offsets, not three copies of the corpus.
+
+    Determinism: both the selection coin and the cut fractions come
+    from the salted md5 family (`fimc:`/`fim1:`/`fim2:` — decorrelated
+    from every other md5 use), so the plan is engine-exact and
+    re-runnable; cut points are exact integer floors; all sums exact.
+
+    Scale (100 TB): entirely row-local until the per-source rollup —
+    one map-side-combinable shuffle of |sources| rows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 32)
+
+    def coin(salt: str, mod: int) -> F.Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(mod),
+        )
+
+    elig = d.select(
+        "source",
+        "n_chars",
+        coin("fimc", 2).alias("fim_coin"),
+        coin("fim1", 1000).alias("h1"),
+        coin("fim2", 1000).alias("h2"),
+    )
+    split = elig.select(
+        "source",
+        "fim_coin",
+        "n_chars",
+        F.floor(
+            (F.col("n_chars") * F.least("h1", "h2")).cast("double")
+            / F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("p1"),
+        F.floor(
+            (F.col("n_chars") * F.greatest("h1", "h2")).cast("double")
+            / F.lit(1000.0)
+        )
+        .cast("bigint")
+        .alias("p2"),
+    )
+    is_fim = F.col("fim_coin") == 0
+    return split.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(is_fim, 1).otherwise(0)).cast("bigint").alias("n_fim"),
+        F.sum(F.when(is_fim, F.col("p1")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_prefix"),
+        F.sum(F.when(is_fim, F.col("p2") - F.col("p1")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_middle"),
+        F.sum(F.when(is_fim, F.col("n_chars") - F.col("p2")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_suffix"),
+        F.round(
+            F.sum(F.when(is_fim, F.col("p2") - F.col("p1")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum(F.when(is_fim, F.col("n_chars")).otherwise(0)),
+            4,
+        ).alias("middle_share"),
+    )
+
+
+# ----------------------------------------------- ngram_lm_witten_bell
+
+@register(
+    "ngram_lm_witten_bell",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    pairs AS (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks WHERE len(ts) >= 2)
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY w1, w2
+    ),
+    lhs AS (
+        SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS t1
+        FROM bi GROUP BY w1
+    ),
+    uni AS (
+        SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS c2 FROM bi GROUP BY w2
+    ),
+    tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS nn FROM bi)
+    SELECT bi.w1, bi.w2, bi.n_pair, lhs.t1,
+           ROUND((bi.n_pair + lhs.t1 * (CAST(uni.c2 AS DOUBLE) / tot.nn))
+                 / (lhs.c1 + lhs.t1), 6) AS p_wb
+    FROM bi
+    JOIN lhs ON bi.w1 = lhs.w1
+    JOIN uni ON bi.w2 = uni.w2
+    CROSS JOIN tot
+    WHERE bi.n_pair >= 3
+    """,
+)
+def ngram_lm_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITTEN-BELL INTERPOLATED BIGRAM LM: P(w2|w1) = (c(w1,w2) +
+    T(w1) * P_uni(w2)) / (c(w1) + T(w1)), where T(w1) is the number
+    of distinct continuation types after w1 — the third smoothing
+    family next to `ngram_lm_bigram_probs` (unsmoothed MLE) and
+    `ngram_lm_kneser_ney` (absolute discounting): WB backs off
+    exactly as much probability as the type/token ratio says the
+    context is productive, the standard choice when the corpus is
+    small relative to the vocabulary.  Same tokenization and the same
+    support >= 3 reporting cut as its two siblings, so the three
+    tables are directly comparable per bigram.
+
+    Determinism: all counts exact int64 from one bigram pass (T and
+    c both derive FROM the bigram table); one fixed-order double
+    formula per surviving pair, rounded once.
+
+    Scale (100 TB): bigram extraction is row-local; counts collapse
+    map-side to |bigram vocab|; the w1- and w2-keyed stat joins are
+    on aggregated frames (the bm25 lesson: joins on already-
+    aggregated frames are cheap — don't widen the exploded stream to
+    avoid them), and the scalar total broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pair")
+    )
+    bi = bi.localCheckpoint(eager=True)
+    lhs = bi.groupBy("w1").agg(
+        F.sum("n_pair").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("t1"),
+    )
+    uni = bi.groupBy("w2").agg(F.sum("n_pair").cast("bigint").alias("c2"))
+    tot = bi.agg(F.sum("n_pair").cast("bigint").alias("nn"))
+    return (
+        bi.filter(F.col("n_pair") >= 3)
+        .join(lhs, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "t1",
+            F.round(
+                (
+                    F.col("n_pair")
+                    + F.col("t1")
+                    * (F.col("c2").cast("double") / F.col("nn"))
+                )
+                / (F.col("c1") + F.col("t1")),
+                6,
+            ).alias("p_wb"),
+        )
+    )

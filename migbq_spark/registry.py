@@ -110,7 +110,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: staging.  Every previously-graded id is parity-guarded
 #: continuously since it was first graded.
 R11_WINDOW: tuple[str, ...] = (
-    # r10 additions land here first (new evidence outranks refresh)
+    # r10 additions (never driver-run — new evidence outranks refresh)
+    "holt_linear_daily",
+    "changepoint_binseg_daily",
+    "stl_decompose_daily",
+    "acf_lags_profile",
+    "spearman_corr_value_ts",
+    "kendall_tau_daily",
+    "benjamini_hochberg_fdr",
+    "power_mde_per_arm",
+    "sessionized_funnel_ordered",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "mapinarrow_batch_audit",
+    "centroid_similarity_matrix",
+    "embedding_gram_matrix",
+    "fim_split_plan",
+    "ngram_lm_witten_bell",
     # refresh overflow rolled from the r10 rotation cut
     "dedup_cross_source_cc",
     "contamination_overlap",

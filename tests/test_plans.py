@@ -193,6 +193,14 @@ _PY_ALLOWED = {
     # UDF (single Arrow node over the distinct vocab, plan-asserted in
     # test_pipeline.py) — Python here is the design, not a leak
     "tokenizer_bpe_apply_trie",
+    # r10: sequential DPs de-serialized into ONE applyInPandas task
+    # over the collapsed daily frame (r9 VERDICT "What's wrong" #2 —
+    # the recursive-CTE form cost |days| scheduler round-trips; the
+    # CTE stays as the DuckDB oracle)
+    "burst_detection_twostate",
+    "holt_linear_daily",
+    # r10: the declared §2.J mapInArrow surface itself
+    "mapinarrow_batch_audit",
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
@@ -754,3 +762,39 @@ def test_skip_pmi_marginals_from_pair_table(spark, sf_dir):
     plan = _plan(Q["pmi_skip_bigrams"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q7_broadcasts_nations_and_pushes_ship_filter(spark, sf_dir):
+    """TPC-H Q7 contract: both nation dims broadcast (25 rows at any
+    SF); the ship-window filter reaches the lineitem scan so the
+    two-year slice is pruned at the source."""
+    plan = _plan(Q["tpch_q7_volume_shipping"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1
+    )[1][:400]
+
+
+def test_q4_semi_join_no_fanout(spark, sf_dir):
+    """Q4's EXISTS must compile to a LEFT SEMI join — an inner join
+    would fan out one order per matching lineitem and overcount."""
+    plan = _plan(Q["tpch_q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_burst_dp_is_one_pandas_task_not_recursion(spark, sf_dir):
+    """r10 contract (r9 VERDICT #2): the burst DP must run as a single
+    grouped-pandas task over the collapsed daily frame — not as a
+    recursive-CTE frontier loop paying |days| scheduler round-trips."""
+    plan = _plan(Q["burst_detection_twostate"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "UnionLoop" not in plan
+
+
+def test_gram_matrix_partial_aggregation_jvm_only(spark, sf_dir):
+    """The d(d+1)/2 Gram fan must collapse map-side (two-level hash
+    aggregate) and stay JVM-side — the shuffle carries 2080 integer
+    cells per task, never the exploded stream."""
+    plan = _plan(Q["embedding_gram_matrix"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan and "InPandas" not in plan
