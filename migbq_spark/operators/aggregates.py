@@ -1657,3 +1657,218 @@ def power_mde_per_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------- anova_oneway_value
+
+@register(
+    "anova_oneway_value",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type
+    ),
+    terms AS (
+        SELECT n, s1, s2,
+               CAST(FLOOR(s1 * s1 / n * 1000000.0) AS BIGINT) AS bq,
+               CAST(FLOOR((s2 - s1 * s1 / n) * 1000000.0) AS BIGINT) AS wq
+        FROM stats
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               SUM(s1) AS s1t,
+               CAST(SUM(bq) AS BIGINT) AS bqs,
+               CAST(SUM(wq) AS BIGINT) AS wqs
+        FROM terms
+    )
+    SELECT k, nn AS n_total,
+           ROUND((CAST(bqs AS DOUBLE) / 1000000.0 - s1t * s1t / nn)
+                 / (k - 1)
+                 / (CAST(wqs AS DOUBLE) / 1000000.0 / (nn - k)),
+                 4) AS f_stat,
+           ROUND((CAST(bqs AS DOUBLE) / 1000000.0 - s1t * s1t / nn)
+                 / (CAST(bqs AS DOUBLE) / 1000000.0 - s1t * s1t / nn
+                    + CAST(wqs AS DOUBLE) / 1000000.0),
+                 6) AS eta_squared
+    FROM tot
+    """,
+)
+def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA F across the five event-type arms: does mean
+    value differ across MORE THAN TWO groups at once — the k-group
+    generalization `ab_test_welch` (2 arms) and
+    `benjamini_hochberg_fdr` (k separate pairwise tests) bracket.
+    SSB/SSW come from per-group sufficient statistics alone
+    (sum-of-squares identity), so no second pass and no residual
+    materialization; eta^2 = SSB/SST reports effect size next to the
+    F statistic.
+
+    Determinism: per-group moments are exact DECIMAL sums converted
+    to double once; the per-group terms s1^2/n and (s2 - s1^2/n) are
+    quantized to int64 micro-units BEFORE the cross-group sums (5
+    doubles summed in engine order would be order-sensitive — the
+    quantize-before-sum move), then two fixed-order final formulas.
+
+    Scale (100 TB): one map-side-combinable moments pass; everything
+    after runs on |event_types| rows."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    terms = stats.select(
+        "n",
+        "s1",
+        "s2",
+        F.floor(
+            F.col("s1") * F.col("s1") / F.col("n") * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("bq"),
+        F.floor(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s1").alias("s1t"),
+        F.sum("bq").cast("bigint").alias("bqs"),
+        F.sum("wq").cast("bigint").alias("wqs"),
+    )
+    ssb = (
+        F.col("bqs").cast("double") / F.lit(1000000.0)
+        - F.col("s1t") * F.col("s1t") / F.col("nn")
+    )
+    ssw = F.col("wqs").cast("double") / F.lit(1000000.0)
+    return tot.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("nn") - F.col("k"))), 4
+        ).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_squared"),
+    )
+
+
+# --------------------------------------------- brown_forsythe_test
+
+@register(
+    "brown_forsythe_test",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type,
+               CAST(FLOOR(ABS(e.value - med.m) * 1000.0) AS BIGINT) AS zq
+        FROM events e JOIN med USING (event_type)
+    ),
+    stats AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(zq) AS BIGINT) AS sz,
+               CAST(SUM(zq * zq) AS BIGINT) AS szz
+        FROM z GROUP BY event_type
+    ),
+    terms AS (
+        SELECT n, sz,
+               CAST(FLOOR(CAST(sz AS DOUBLE) * sz / n) AS BIGINT) AS bq,
+               CAST(FLOOR(szz - CAST(sz AS DOUBLE) * sz / n) AS BIGINT)
+                   AS wq
+        FROM stats
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(sz) AS BIGINT) AS szt,
+               CAST(SUM(bq) AS BIGINT) AS bqs,
+               CAST(SUM(wq) AS BIGINT) AS wqs
+        FROM terms
+    )
+    SELECT k, nn AS n_total,
+           ROUND((CAST(bqs AS DOUBLE)
+                  - CAST(szt AS DOUBLE) * szt / nn)
+                 / (k - 1)
+                 / (CAST(wqs AS DOUBLE) / (nn - k)), 4) AS bf_stat
+    FROM tot
+    """,
+)
+def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE HOMOGENEITY-OF-VARIANCE TEST across event-type
+    arms: one-way ANOVA over |x - group median| — the robust Levene
+    variant (median centers, so one heavy tail can't fake a variance
+    difference).  This is the assumption check BEFORE trusting
+    `anova_oneway_value` or pooled-variance sizing in
+    `power_mde_per_arm`: if spreads differ, Welch-style corrections
+    are mandatory.
+
+    Determinism: group medians via exact interpolated percentile
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    robust_median_mad precedent); per-row deviations quantized to
+    int64 milli-units BEFORE any sum, so group moments are exact
+    integers (int64 budget: zq ~ 1e5 → zq^2 ~ 1e10 → safe to ~9e8
+    rows per group; past that, re-quantize coarser); per-group terms
+    floor-quantized before the cross-group sums; one fixed-order F.
+
+    Scale (100 TB): pass 1 collapses to |types| medians (per-group
+    exact percentile — swap for approx_percentile past ~1e9 rows per
+    group); pass 2 is one map-side-combinable moments aggregation
+    over the broadcast-joined deviations."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    z = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.floor(F.abs(F.col("value") - F.col("m")) * F.lit(1000.0))
+        .cast("bigint")
+        .alias("zq"),
+    )
+    stats = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("zq").cast("bigint").alias("sz"),
+        F.sum(F.col("zq") * F.col("zq")).cast("bigint").alias("szz"),
+    )
+    terms = stats.select(
+        "n",
+        "sz",
+        F.floor(F.col("sz").cast("double") * F.col("sz") / F.col("n"))
+        .cast("bigint")
+        .alias("bq"),
+        F.floor(
+            F.col("szz")
+            - F.col("sz").cast("double") * F.col("sz") / F.col("n")
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("sz").cast("bigint").alias("szt"),
+        F.sum("bq").cast("bigint").alias("bqs"),
+        F.sum("wq").cast("bigint").alias("wqs"),
+    )
+    return tot.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        F.round(
+            (
+                F.col("bqs").cast("double")
+                - F.col("szt").cast("double") * F.col("szt") / F.col("nn")
+            )
+            / (F.col("k") - 1)
+            / (F.col("wqs").cast("double") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+    )

@@ -632,3 +632,142 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "tpch_q13_cust_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_cust_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (Customer Distribution), fixture-adapted: how many
+    customers placed 0, 1, 2, ... qualifying orders — the double
+    aggregation over a FILTERED LEFT OUTER join whose whole point is
+    keeping the zero-order customers (an inner join silently deletes
+    the c_count=0 bucket, the classic Q13 trap).  The spec filters on
+    o_comment NOT LIKE '%special%requests%'; this fixture carries no
+    comment column (FIXTURES.md), so the stand-in predicate
+    o_orderpriority <> '5-LOW' preserves the defining shape: the
+    filter must live IN the join condition, not a WHERE (a WHERE
+    would turn the outer join inner).
+
+    Scale: the join shuffles both sides on custkey once; the first
+    aggregation collapses to |customers| rows co-partitioned with the
+    join output (no extra exchange), the second to ~40 count buckets
+    map-side.  Deterministic: exact counts, full sort.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q13]."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH sel AS (
+        SELECT c_custkey, c_nationkey % 10 AS cntry,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer
+        WHERE c_nationkey % 10 IN (1, 3, 5)
+    ),
+    avgbal AS (
+        SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS av
+        FROM sel WHERE bal > 0
+    ),
+    idle AS (
+        SELECT s.cntry, s.bal
+        FROM sel s CROSS JOIN avgbal
+        WHERE CAST(s.bal AS DOUBLE) > avgbal.av
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = s.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    )
+    SELECT cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DECIMAL(38,2)) AS totacctbal
+    FROM idle
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (Global Sales Opportunity), fixture-adapted: wealthy
+    customers (account balance above the average POSITIVE balance of
+    their segment) gone idle — the anti-join + scalar-subquery
+    composition.  Two fixture adaptations (FIXTURES.md): the spec
+    segments on phone country codes, but this fixture has no phone
+    column, so `c_nationkey % 10 IN (1, 3, 5)` stands in; and EVERY
+    fixture customer has at least one order (the spec's "never
+    ordered" is vacuously empty here), so idle = no orders since
+    1999-01-01 — the anti-join now runs against the date-FILTERED
+    orders projection, same shape, non-empty answer.
+
+    Scale: the scalar average is one map-side aggregation broadcast
+    back; the NOT EXISTS compiles to a LEFT ANTI hash join against
+    orders' custkey projection; the rollup collapses to 3 rows.
+    Deterministic: exact DECIMAL balances, cntry sort.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q22]."""
+    sel = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_nationkey") % 10).isin(1, 3, 5))
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 10).alias("cntry"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        )
+    )
+    avgbal = sel.filter(F.col("bal") > 0).agg(
+        (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("av")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    idle = (
+        sel.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("bal").cast("double") > F.col("av"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum("bal")
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

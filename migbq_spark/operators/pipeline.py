@@ -1770,8 +1770,16 @@ def minhash_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
 
     def sig(part: DataFrame) -> DataFrame:
-        return part.repartition("source").groupBy("source").agg(
-            *[F.min(h(i)).alias(f"v{i}") for i in range(_MINHASH_K)]
+        # dedup (source, token) BEFORE hashing: min over duplicate
+        # occurrences is the same min, so the 16-way md5 fan runs once
+        # per distinct token instead of once per occurrence (r10 sweep
+        # -tail fix: 1.59 -> 0.97 s warm at sf0.1), and the partial
+        # distinct collapses map-side before the one shuffle.
+        return (
+            part.select("source", "token")
+            .distinct()
+            .groupBy("source")
+            .agg(*[F.min(h(i)).alias(f"v{i}") for i in range(_MINHASH_K)])
         )
 
     base = sig(toks.filter(F.col("doc_id") % 2 == 0))
@@ -6168,3 +6176,133 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gram_mean"),
     )
+
+
+# ------------------------------------------------------- hll_m_sweep
+
+def _hll_m_oracle() -> str:
+    """One UNION ALL branch per register count m — identical estimator
+    text per branch so the sweep is a pure m comparison."""
+    parts = []
+    for m, k, alpha in (
+        (16, 1, "CAST(0.673 AS DOUBLE)"),
+        (256, 2, "CAST(0.7182725932495458 AS DOUBLE)"),
+        (4096, 3, "CAST(0.7211100396160289 AS DOUBLE)"),
+    ):
+        parts.append(f"""
+    SELECT {m} AS m, x.n_exact,
+           ROUND(CASE WHEN e.est_raw <= {m} * 2.5 AND e.nempty > 0
+                      THEN {m} * 1.0 * ln({m} * 1.0 / e.nempty)
+                      ELSE e.est_raw END, 4) AS est,
+           ROUND((CASE WHEN e.est_raw <= {m} * 2.5 AND e.nempty > 0
+                       THEN {m} * 1.0 * ln({m} * 1.0 / e.nempty)
+                       ELSE e.est_raw END - x.n_exact) * 1.0 / x.n_exact,
+                 4) AS rel_err
+    FROM (
+        SELECT SUM(1::BIGINT << (49 - r))
+               + ({m} - COUNT(*)) * (1::BIGINT << 49) AS s,
+               {m} - COUNT(*) AS nempty,
+               {alpha} * {m} * {m} * 562949953421312.0
+                   / (SUM(1::BIGINT << (49 - r))
+                      + ({m} - COUNT(*)) * (1::BIGINT << 49)) AS est_raw
+        FROM (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, {k}) AS BIGINT) AS bucket,
+                   MAX(CASE WHEN CAST('0x' ||
+                            substr(md5(CAST(user_id AS VARCHAR)),
+                                   {k + 1}, 12) AS BIGINT) = 0 THEN 49
+                        ELSE 49 - length(bin(CAST('0x' ||
+                             substr(md5(CAST(user_id AS VARCHAR)),
+                                    {k + 1}, 12) AS BIGINT))) END) AS r
+            FROM events GROUP BY bucket
+        )
+    ) e
+    CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events) x
+""")
+    return " UNION ALL ".join(parts)
+
+
+@register("hll_m_sweep", oracle=_hll_m_oracle())
+def hll_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL REGISTER-COUNT SWEEP: the corpus-wide distinct-user estimate
+    at m = 16 / 256 / 4096 registers against the exact count — the
+    accuracy-vs-state sizing chart for the portable-HLL family
+    (`hll_portable_merge` fixed m=256, `sliding_distinct_hll` m=4096;
+    this measures what each choice buys: rse ≈ 1.04/sqrt(m) → ~26% /
+    6.5% / 1.6%), the same audit shape `minhash_band_shape_sweep`
+    provides for LSH band geometry.
+
+    Determinism: registers come from the salted-free md5 family
+    (bucket = first k hex chars, rho = 49 − bitlength of the next 48
+    bits), register sums are exact integer 2^(49-rho) terms, and each
+    estimator (with the standard small-range linear-counting branch)
+    is one fixed-order expression — both engines reproduce every
+    register and every estimate bit-for-bit.
+
+    Scale (100 TB): one scan serves all three sweeps (three grouped
+    MAXes, map-side-combinable, ≤ 4368 register rows total out of the
+    shuffle); the exact count is the audit column, not the serving
+    path."""
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    outs = []
+    for m, k, alpha in (
+        (16, 1, 0.673),
+        (256, 2, 0.7182725932495458),
+        (4096, 3, 0.7211100396160289),
+    ):
+        v = F.conv(F.substring(F.md5(uid), k + 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        h = ev.select(
+            F.conv(F.substring(F.md5(uid), 1, k), 16, 10)
+            .cast("bigint")
+            .alias("bucket"),
+            F.when(v == 0, F.lit(49))
+            .otherwise(F.lit(49) - F.length(F.conv(v, 10, 2)))
+            .alias("rho"),
+        )
+        regs = h.groupBy("bucket").agg(F.max("rho").alias("r"))
+        term = F.expr("shiftleft(cast(1 as bigint), 49 - r)")
+        two49 = F.lit(562949953421312).cast("bigint")
+        est = regs.agg(
+            (F.sum(term) + (F.lit(m) - F.count(F.lit(1))) * two49).alias(
+                "s"
+            ),
+            (F.lit(m) - F.count(F.lit(1))).alias("nempty"),
+        ).select(
+            F.lit(m).alias("m"),
+            "s",
+            "nempty",
+            (
+                F.lit(alpha)
+                * F.lit(m)
+                * F.lit(m)
+                * F.lit(562949953421312.0)
+                / F.col("s")
+            ).alias("est_raw"),
+        )
+        fixed = F.when(
+            (F.col("est_raw") <= F.lit(m) * 2.5) & (F.col("nempty") > 0),
+            F.lit(m)
+            * F.lit(1.0)
+            * F.log(F.lit(m) * F.lit(1.0) / F.col("nempty")),
+        ).otherwise(F.col("est_raw"))
+        outs.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                "m",
+                "n_exact",
+                F.round(fixed, 4).alias("est"),
+                F.round(
+                    (fixed - F.col("n_exact"))
+                    * F.lit(1.0)
+                    / F.col("n_exact"),
+                    4,
+                ).alias("rel_err"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4092,3 +4092,370 @@ def ngram_lm_witten_bell(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_wb"),
         )
     )
+
+
+# --------------------------------------------------- rrf_rank_fusion
+
+@register(
+    "rrf_rank_fusion",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, n_chars AS s1,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                    t -> t <> ''))) AS BIGINT) AS s2,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS BIGINT) AS s3
+        FROM documents
+    ),
+    t1 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS r1
+        FROM sig ORDER BY s1 DESC, doc_id LIMIT 100
+    ),
+    t2 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS r2
+        FROM sig ORDER BY s2 DESC, doc_id LIMIT 100
+    ),
+    t3 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s3 DESC, doc_id) AS r3
+        FROM sig ORDER BY s3 DESC, doc_id LIMIT 100
+    ),
+    fused AS (
+        SELECT doc_id, r1, r2, r3,
+               CAST(FLOOR((COALESCE(1.0 / (60 + r1), 0.0)
+                           + COALESCE(1.0 / (60 + r2), 0.0)
+                           + COALESCE(1.0 / (60 + r3), 0.0))
+                          * 1000000000000.0) AS BIGINT) AS score_q
+        FROM t1 FULL JOIN t2 USING (doc_id) FULL JOIN t3 USING (doc_id)
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS fused_rank,
+           doc_id, r1, r2, r3,
+           ROUND(CAST(score_q AS DOUBLE) / 1000000000000.0, 6) AS rrf_score
+    FROM fused
+    ORDER BY score_q DESC, doc_id LIMIT 20
+    """,
+)
+def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (k = 60) over three per-document quality
+    rankings (char length, distinct-token count, token count): each
+    signal nominates its top-100, a document scores
+    sum(1/(60 + rank)) over the lists it appears in, and the fused
+    top-20 is the ensemble — the standard list-fusion method (Cormack
+    et al.'s RRF, the hybrid-retrieval default) applied to quality
+    signals that individually disagree; missing-from-list contributes
+    zero, exactly how RRF fuses bounded retrieval lists in practice.
+
+    Determinism: each list is totally ordered (signal DESC, doc_id);
+    the fused score is a fixed-order 3-term sum quantized to int64
+    pico-units BEFORE the final ranking, so the top-20 cut is an
+    integer comparison in both engines.
+
+    Scale (100 TB): each nomination is a TakeOrderedAndProject top-100
+    (bounded heap per partition, no global sort); everything after
+    runs on <= 300 rows.  Fusing top-K lists — not globally ranking
+    the corpus three times — is what makes RRF viable at scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    sig = d.select(
+        "doc_id",
+        F.col("n_chars").alias("s1"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("s2"),
+        F.size(toks).cast("bigint").alias("s3"),
+    )
+    sig = sig.localCheckpoint(eager=True)
+
+    def top(col: str, rname: str) -> DataFrame:
+        lim = sig.select("doc_id", col).orderBy(
+            F.desc(col), "doc_id"
+        ).limit(100)
+        return lim.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc(col), "doc_id"))
+            .alias(rname),
+        )
+
+    t1, t2, t3 = top("s1", "r1"), top("s2", "r2"), top("s3", "r3")
+    fused = (
+        t1.join(t2, ["doc_id"], "full_outer")
+        .join(t3, ["doc_id"], "full_outer")
+        .select(
+            "doc_id",
+            "r1",
+            "r2",
+            "r3",
+            F.floor(
+                (
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("r1")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("r2")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("r3")), F.lit(0.0)
+                    )
+                )
+                * F.lit(1000000000000.0)
+            )
+            .cast("bigint")
+            .alias("score_q"),
+        )
+    )
+    top20 = fused.orderBy(F.desc("score_q"), "doc_id").limit(20)
+    return top20.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_q"), "doc_id"))
+        .alias("fused_rank"),
+        "doc_id",
+        "r1",
+        "r2",
+        "r3",
+        F.round(
+            F.col("score_q").cast("double") / F.lit(1000000000000.0), 6
+        ).alias("rrf_score"),
+    )
+
+
+# ----------------------------------------------- vocab_coverage_curve
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH vocab AS (
+        SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> ''
+        GROUP BY t
+    ),
+    ranked AS (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS total,
+               COUNT(*) OVER () AS n_types
+        FROM vocab
+    ),
+    sizes AS (SELECT unnest([100, 1000, 10000]) AS vocab_size)
+    SELECT vocab_size,
+           CAST(MAX(rn) AS BIGINT) AS n_types_used,
+           MAX(total) AS total_tokens,
+           MAX(n_types) AS n_types_total,
+           ROUND(MAX(cum) * 1.0 / MAX(total), 4) AS coverage
+    FROM ranked JOIN sizes ON ranked.rn <= sizes.vocab_size
+    GROUP BY vocab_size
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-COVERAGE CURVE: what fraction of all token occurrences a
+    frequency-ranked vocabulary of size 100 / 1k / 10k covers — THE
+    sizing chart for `vocab_top_tokens` / tokenizer vocab budgets
+    (the empirical integral of `zipf_fit_slope`'s power law: s≈1
+    means 10x vocab buys ever-thinner coverage slices), and the
+    direct estimator of `vocab_oov_rate` at candidate sizes.
+
+    Determinism: counts exact; the rank order is total (count DESC,
+    token); coverage is one rounded division per size off exact
+    integer cumulative sums.
+
+    Scale (100 TB): token counts collapse map-side to the
+    Heaps-bounded vocab; the rank/cumsum window sorts the VOCAB
+    (linlog in types, never rows), and the size probe is a 3-row
+    broadcast join."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    nw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vocab.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+        F.sum("cnt").over(nw).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(nw).alias("n_types"),
+    )
+    sizes = spark.createDataFrame(
+        [(100,), (1000,), (10000,)], "vocab_size int"
+    )
+    return (
+        ranked.join(
+            F.broadcast(sizes), F.col("rn") <= F.col("vocab_size")
+        )
+        .groupBy("vocab_size")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_types_used"),
+            F.max("total").alias("total_tokens"),
+            F.max("n_types").alias("n_types_total"),
+            F.round(
+                F.max("cum") * F.lit(1.0) / F.max("total"), 4
+            ).alias("coverage"),
+        )
+    )
+
+
+# ------------------------------------------ tokenizer_maxmatch_segment
+
+@register(
+    "tokenizer_maxmatch_segment",
+    oracle="""
+    WITH RECURSIVE wsc AS (
+        SELECT source, t AS w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY source, t
+    ),
+    wc AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM wsc GROUP BY w),
+    g2 AS (
+        SELECT substr(w, i, 2) AS g, CAST(SUM(cnt) AS BIGINT) AS s
+        FROM (SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wc WHERE length(w) >= 2)
+        GROUP BY g ORDER BY s DESC, g LIMIT 100
+    ),
+    g3 AS (
+        SELECT substr(w, i, 3) AS g, CAST(SUM(cnt) AS BIGINT) AS s
+        FROM (SELECT w, cnt, unnest(generate_series(1, length(w) - 2)) AS i
+              FROM wc WHERE length(w) >= 3)
+        GROUP BY g ORDER BY s DESC, g LIMIT 100
+    ),
+    g4 AS (
+        SELECT substr(w, i, 4) AS g, CAST(SUM(cnt) AS BIGINT) AS s
+        FROM (SELECT w, cnt, unnest(generate_series(1, length(w) - 3)) AS i
+              FROM wc WHERE length(w) >= 4)
+        GROUP BY g ORDER BY s DESC, g LIMIT 100
+    ),
+    voc AS (
+        SELECT (SELECT list(g) FROM g2) AS vl2,
+               (SELECT list(g) FROM g3) AS vl3,
+               (SELECT list(g) FROM g4) AS vl4
+    ),
+    seg(w, pos, n) AS (
+        SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM wc
+        UNION ALL
+        SELECT seg.w,
+               seg.pos + CASE
+                   WHEN list_contains(voc.vl4, substr(seg.w, seg.pos, 4))
+                       THEN 4
+                   WHEN list_contains(voc.vl3, substr(seg.w, seg.pos, 3))
+                       THEN 3
+                   WHEN list_contains(voc.vl2, substr(seg.w, seg.pos, 2))
+                       THEN 2
+                   ELSE 1 END,
+               seg.n + 1
+        FROM seg CROSS JOIN voc WHERE seg.pos <= length(seg.w)
+    ),
+    pieces AS (SELECT w, MAX(n) AS n_pieces FROM seg GROUP BY w)
+    SELECT wsc.source,
+           CAST(SUM(wsc.cnt) AS BIGINT) AS n_word_occ,
+           CAST(SUM(wsc.cnt * p.n_pieces) AS BIGINT) AS n_pieces,
+           ROUND(SUM(wsc.cnt * p.n_pieces) * 1.0 / SUM(wsc.cnt), 4)
+               AS pieces_per_word
+    FROM wsc JOIN pieces p ON wsc.w = p.w
+    GROUP BY wsc.source
+    """,
+)
+def tokenizer_maxmatch_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY LONGEST-MATCH (MaxMatch) SEGMENTATION — the WordPiece
+    INFERENCE rule with a position-free vocabulary: at each position
+    consume the longest matching piece (4 → 3 → 2 → single-char
+    fallback) from a corpus-derived vocab (top-100 character n-grams
+    per length, occurrence-weighted).  Completes the tokenizer family
+    (BPE trains merges, unigram seeds a vocab by likelihood; MaxMatch
+    is how WordPiece-style vocabs are APPLIED), and pieces-per-word is
+    the fertility metric tokenizer evaluations report per source.
+
+    Determinism: vocab lists are totally ordered (weight DESC, gram);
+    the greedy scan is pure string matching — the DuckDB oracle runs
+    the IDENTICAL recurrence as a recursive CTE over the distinct-word
+    table, so the segmentation rule itself is hash-verified.
+
+    Scale (100 TB): segmentation runs on the DISTINCT word vocabulary
+    (Heaps-bounded — the tokenizer_bpe_apply precedent), as a pandas
+    UDF over the broadcast 300-piece vocab; per-source totals come
+    from joining piece counts back to the (source, word) count table —
+    corpus rows are touched exactly once, in the counting pass."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    wsc = (
+        d.select(
+            "source",
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wsc = wsc.localCheckpoint(eager=True)
+    wc = wsc.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+    def top_grams(n: int) -> list:
+        g = (
+            wc.filter(F.length("w") >= n)
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(w) - {n - 1}),"
+                        f" i -> substring(w, i, {n}))"
+                    )
+                ).alias("g"),
+                "cnt",
+            )
+            .groupBy("g")
+            .agg(F.sum("cnt").cast("bigint").alias("s"))
+            .orderBy(F.desc("s"), "g")
+            .limit(100)
+        )
+        # bounded collect: <=100 pieces per length (BPE merge-table
+        # precedent — the vocab is driver-size by construction)
+        return [r.g for r in g.collect()]
+
+    v2, v3, v4 = set(top_grams(2)), set(top_grams(3)), set(top_grams(4))
+
+    @F.pandas_udf("bigint")
+    def n_pieces(ws: pd.Series) -> pd.Series:
+        out = []
+        for w in ws:
+            pos, n, ln = 0, 0, len(w)
+            while pos < ln:
+                if w[pos : pos + 4] in v4:
+                    pos += 4
+                elif w[pos : pos + 3] in v3:
+                    pos += 3
+                elif w[pos : pos + 2] in v2:
+                    pos += 2
+                else:
+                    pos += 1
+                n += 1
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    pieces = wc.select("w", n_pieces("w").alias("n_pieces"))
+    return (
+        wsc.join(pieces, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_word_occ"),
+            F.sum(F.col("cnt") * F.col("n_pieces"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_pieces"))
+                * F.lit(1.0)
+                / F.sum("cnt"),
+                4,
+            ).alias("pieces_per_word"),
+        )
+    )

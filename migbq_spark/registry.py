@@ -127,6 +127,14 @@ R11_WINDOW: tuple[str, ...] = (
     "embedding_gram_matrix",
     "fim_split_plan",
     "ngram_lm_witten_bell",
+    "tpch_q13_cust_order_distribution",
+    "tpch_q22_idle_customers",
+    "rrf_rank_fusion",
+    "vocab_coverage_curve",
+    "anova_oneway_value",
+    "brown_forsythe_test",
+    "tokenizer_maxmatch_segment",
+    "hll_m_sweep",
     # refresh overflow rolled from the r10 rotation cut
     "dedup_cross_source_cc",
     "contamination_overlap",

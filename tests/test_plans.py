@@ -201,6 +201,9 @@ _PY_ALLOWED = {
     "holt_linear_daily",
     # r10: the declared §2.J mapInArrow surface itself
     "mapinarrow_batch_audit",
+    # r10: MaxMatch segments the Heaps-bounded DISTINCT word vocab via
+    # a broadcast-vocab pandas UDF (the tokenizer_bpe_apply precedent)
+    "tokenizer_maxmatch_segment",
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
@@ -798,3 +801,27 @@ def test_gram_matrix_partial_aggregation_jvm_only(spark, sf_dir):
     plan = _plan(Q["embedding_gram_matrix"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_q13_outer_join_preserves_zero_bucket(spark, sf_dir):
+    """Q13's filter must ride IN the join condition so zero-order
+    customers survive: the plan keeps a LeftOuter join (a WHERE on the
+    right side would have turned it inner and deleted the 0 bucket)."""
+    plan = _plan(Q["tpch_q13_cust_order_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan
+
+
+def test_q22_anti_join_and_broadcast_scalar(spark, sf_dir):
+    """Q22's NOT EXISTS must compile to LEFT ANTI; the scalar average
+    arrives by broadcast, never a shuffle."""
+    plan = _plan(Q["tpch_q22_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rrf_nominations_are_bounded_heaps(spark, sf_dir):
+    """Each RRF nomination must be a TakeOrderedAndProject (bounded
+    per-partition heap) — globally sorting the corpus three times is
+    the anti-pattern this op exists to avoid."""
+    plan = _plan(Q["rrf_rank_fusion"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
