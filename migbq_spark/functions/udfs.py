@@ -260,3 +260,40 @@ def mapinarrow_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_letters bigint, n_digits bigint, "
         "n_spaces bigint, n_other bigint",
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) % 97 AS price_mod,
+           length(o_orderpriority) AS prio_len
+    FROM orders
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (`useArrow=True`, Spark 3.5+)
+    — the sixth rung of the §2.J ladder: same row-wise authoring model
+    as `udf_python_scalar` but the engine ships Arrow batches instead
+    of pickled rows, typically 1.5-2x the row-pickled path while
+    keeping per-row Python semantics (vs the pandas_udf rung, which
+    changes the authoring model to Series).  The kernel is integer-
+    exact (floor-of-cents mod 97 — a checksum-style bucketing) so the
+    surface itself is hash-checked like the other five rungs.
+
+    Scale (100 TB): row-local, zero shuffle; Arrow batch transfer per
+    partition — the per-row Python call is still the floor, which is
+    why every OTHER operator stays off this path (test_plans purity)."""
+
+    @F.udf("bigint", useArrow=True)
+    def price_mod(p: float) -> int:
+        import math
+
+        return int(math.floor(p * 100.0)) % 97
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        price_mod("o_totalprice").alias("price_mod"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )

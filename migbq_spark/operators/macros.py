@@ -771,3 +771,183 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "lateral_topk_per_cust",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+    FROM customer c,
+    LATERAL (
+        SELECT o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC,
+                                           o.o_orderkey) AS rk
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 3
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lateral_topk_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL CORRELATED SUBQUERY (Spark 4 `LATERAL` join): top-3
+    orders by price per BUILDING-segment customer — the "top-N per
+    row of the outer table" idiom SQL users reach for before learning
+    the window rewrite.  Spark's Catalyst DECORRELATES the lateral
+    into the rank-filter plan (DecorrelateInnerQuery), so expressing
+    it either way costs the same — which is exactly what this
+    operator documents: the lateral SURFACE is supported, and the
+    physical plan is the window top-k, not a per-customer rescan.
+
+    Determinism: total order (price DESC, orderkey) inside each
+    lateral; exact values.
+
+    Scale (100 TB): after decorrelation this is one shuffle on
+    custkey + a rank window — per-outer-row re-execution (the naive
+    lateral reading) never happens."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("mq_lat_cust")
+    o.createOrReplaceTempView("mq_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+        FROM mq_lat_cust c,
+        LATERAL (
+            SELECT o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC,
+                                               o.o_orderkey) AS rk
+            FROM mq_lat_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (Top Supplier): the supplier(s) with maximum revenue
+    in a quarter — the create-view-then-self-compare query: the
+    revenue rollup is consumed TWICE (once for the max scalar, once
+    for the equality probe), the spec's stand-in for view reuse.
+
+    Scale: the rollup collapses lineitem to |suppliers| map-side and
+    is localCheckpointed so its one shuffle serves both consumers
+    (Catalyst would otherwise re-derive the lineage and rescan the
+    corpus per branch — the r9 audit-family lesson); the max is a
+    1-row broadcast, the supplier join broadcasts the rollup side at
+    fixture scale and AQE decides at 100 TB.  Deterministic: exact
+    decimal revenue, suppkey sort; ties (multiple max suppliers) are
+    all returned, as the spec requires.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q15]."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("decimal(38,4)").alias("total_revenue"))
+        .localCheckpoint(eager=True)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            revenue, F.col("s_suppkey") == F.col("supplier_no")
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q19_brackets",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (Discounted Revenue), fixture-adapted: revenue over a
+    DISJUNCTION of three (brand, size-range, quantity-bracket)
+    conjunctions — the OR-of-ANDs predicate that exercises join
+    implementation quality: the mixed join+filter predicate cannot
+    push fully to either scan, so the optimizer must split it into
+    the single-side conjuncts it CAN push (brand/size to part,
+    nothing from the quantity brackets alone since they're
+    brand-correlated) and evaluate the disjunction post-join.  The
+    spec's container/shipmode legs don't exist in this fixture
+    (FIXTURES.md); brand/size/quantity preserve the shape.
+
+    Scale: part is the broadcast side at any realistic SF (bounded
+    catalog vs fact lineitem); one scalar aggregate, no shuffle after
+    the join.  Deterministic: exact decimal revenue + count.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q19]."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.sum(_revenue())
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )

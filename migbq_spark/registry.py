@@ -135,6 +135,10 @@ R11_WINDOW: tuple[str, ...] = (
     "brown_forsythe_test",
     "tokenizer_maxmatch_segment",
     "hll_m_sweep",
+    "udf_arrow_scalar",
+    "lateral_topk_per_cust",
+    "tpch_q15_top_supplier",
+    "tpch_q19_brackets",
     # refresh overflow rolled from the r10 rotation cut
     "dedup_cross_source_cc",
     "contamination_overlap",

@@ -204,6 +204,8 @@ _PY_ALLOWED = {
     # r10: MaxMatch segments the Heaps-bounded DISTINCT word vocab via
     # a broadcast-vocab pandas UDF (the tokenizer_bpe_apply precedent)
     "tokenizer_maxmatch_segment",
+    # r10: the declared Arrow-optimized scalar UDF surface itself
+    "udf_arrow_scalar",
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
@@ -825,3 +827,21 @@ def test_rrf_nominations_are_bounded_heaps(spark, sf_dir):
     the anti-pattern this op exists to avoid."""
     plan = _plan(Q["rrf_rank_fusion"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lateral_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL subquery must decorrelate: rank-window plan, no
+    cartesian/nested-loop per-outer-row re-execution."""
+    plan = _plan(Q["lateral_topk_per_cust"](spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_part_conjuncts(spark, sf_dir):
+    """Q19's OR-of-ANDs: the part-side disjunction (brand x size) is
+    pushable and must reach the part scan; the quantity brackets are
+    brand-correlated and must be evaluated post-join."""
+    plan = _plan(Q["tpch_q19_brackets"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters: [")
+    assert any("p_brand" in seg.split("]")[0] for seg in pushed[1:])
