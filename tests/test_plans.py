@@ -749,15 +749,17 @@ def test_q14_broadcasts_part_and_pushes_dates(spark, sf_dir):
     assert "l_shipdate" in pushed
 
 
-def test_burst_recursion_on_collapsed_frame(spark, sf_dir):
-    """r9 plan contract for burst_detection_twostate: the DP executes
-    as a REAL recursive loop (UnionLoop node — Spark 4 WITH RECURSIVE
-    execution), and the frame entering the loop is the |days|-row
-    daily view (the corpus collapse happens in the view lineage, so
-    recursion depth is days, never rows)."""
+def test_burst_dp_quantization_stays_sql_side(spark, sf_dir):
+    """r10 plan contract for burst_detection_twostate (supersedes the
+    r9 UnionLoop assertion — the DP moved into one applyInPandas task,
+    r9 VERDICT #2; see test_burst_dp_is_one_pandas_task_not_recursion):
+    the e0/e1/tu quantization must still run as the shared SQL text
+    BELOW the pandas node (window over the daily frame), so the
+    integers entering Python are engine-expression-identical to the
+    oracle's."""
     plan = _plan(Q["burst_detection_twostate"](spark, sf_dir))
-    assert "UnionLoop" in plan, plan[:300]
-    assert "Scan parquet" not in plan  # loop input is the tiny daily frame
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Window" in plan  # the prep's SUM(x) OVER () quantization
 
 
 def test_skip_pmi_marginals_from_pair_table(spark, sf_dir):
