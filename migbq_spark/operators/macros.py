@@ -951,3 +951,259 @@ def tpch_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,4))
+                          END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_REV_SQL} AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (National Market Share): NATION_3's share of PROMO-part
+    revenue sold into ASIA by order year — the 8-table star with TWO
+    independent nation dimension paths (customer's nation gates the
+    region, supplier's nation is the measured share), the query shape
+    that punishes optimizers which collapse the two paths.  Fixture
+    nations are NATION_0..24 so the spec's BRAZIL becomes NATION_3;
+    p_type is this fixture's 5-value category.
+
+    Scale: region/nation dims pinned broadcasts; part's type filter
+    prunes the build side before the fact join; the conditional-sum
+    share needs NO second pass (numerator rides a CASE inside the
+    same rollup).  Deterministic: exact decimal volume sums, one
+    rounded division per year.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q8]."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("nation"),
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier")
+    joined = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(r), F.col("n1_region") == F.col("r_regionkey")
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        joined.select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _revenue().alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH pavg AS (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*))
+                   AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 4) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pavg ON pavg.pk = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < pavg.qty_thresh
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (Small-Quantity-Order Revenue): lost revenue from
+    below-20%-of-average-quantity orders for one brand — the
+    correlated scalar subquery (per-part average) in its DECORRELATED
+    form: aggregate lineitem once per part, join the threshold back,
+    filter.  The spec's p_container leg doesn't exist in this fixture
+    (FIXTURES.md); brand alone keeps the correlated-threshold shape.
+
+    Determinism: quantities are integral doubles (sums exact at any
+    order); the 0.2x threshold and the final /7.0 are fixed-order;
+    extended-price sums exact DECIMAL.
+
+    Scale: the per-part average collapses lineitem map-side to
+    |parts| rows (one shuffle shared by threshold build and probe via
+    the same key); brand filter prunes part before its broadcast
+    join.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q17]."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum("l_quantity").cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                ).cast("double")
+                / F.lit(7.0),
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, s.s_name
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE n.n_name = 'NATION_1' AND o.o_orderstatus = 'F'
+    ),
+    blockers AS (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey, l1.s_name
+        FROM l1
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate >= l1.l_shipdate
+        )
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM blockers
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (Suppliers Who Kept Orders Waiting), fixture-adapted:
+    NATION_1 suppliers who were the STRICTLY LAST to ship in a
+    multi-supplier finalized order — the EXISTS + NOT EXISTS double
+    self-probe on the fact table, Q21's defining shape.  The spec's
+    lateness test (receipt vs commit dates) can't exist here
+    (FIXTURES.md: lineitem has neither), so "kept the order waiting"
+    = this supplier's ship date is strictly after every other
+    supplier's lines (ties exonerate, matching the spec's strict
+    semantics on l3).
+
+    Scale: one shuffle on l_orderkey serves BOTH probes (left-semi
+    for the multi-supplier EXISTS, left-anti for the NOT EXISTS) —
+    the probes join the same co-partitioned projection, not two fresh
+    corpus scans; nation/status filters prune the l1 side first.
+    Deterministic: exact counts; (numwait DESC, s_name) top-20.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q21]."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li = li.localCheckpoint(eager=True)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_suppkey").alias("s2"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    multi = l1.join(
+        l2,
+        (F.col("o2") == F.col("l_orderkey"))
+        & (F.col("s2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    blockers = multi.join(
+        l3,
+        (F.col("o3") == F.col("l_orderkey"))
+        & (F.col("s3") != F.col("l_suppkey"))
+        & (F.col("d3") >= F.col("l_shipdate")),
+        "left_anti",
+    ).select("l_orderkey", "l_suppkey", "s_name").distinct()
+    return (
+        blockers.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -139,6 +139,9 @@ R11_WINDOW: tuple[str, ...] = (
     "lateral_topk_per_cust",
     "tpch_q15_top_supplier",
     "tpch_q19_brackets",
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q21_waiting_suppliers",
     # refresh overflow rolled from the r10 rotation cut
     "dedup_cross_source_cc",
     "contamination_overlap",
