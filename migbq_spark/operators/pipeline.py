@@ -6306,3 +6306,188 @@ def hll_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ------------------------------------------------------ bloom_m_sweep
+
+@register(
+    "bloom_m_sweep",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, doc_id % 10 AS grp,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT grp, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+        FROM (SELECT grp, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM tok WHERE len(t) >= 3)
+    ),
+    test_g AS (SELECT DISTINCT g FROM sh WHERE grp = 9),
+    neg_g AS (
+        SELECT DISTINCT g FROM sh WHERE grp < 8
+        AND g NOT IN (SELECT g FROM test_g)
+    ),
+    ms AS (SELECT unnest([4096, 16384, 65536]) AS m),
+    ks AS (SELECT unnest([1, 2, 3]) AS k),
+    occupied AS (
+        SELECT DISTINCT ms.m,
+               CAST(concat('0x', substr(md5(ks.k || ':' || t.g), 1, 15))
+                    AS BIGINT) % ms.m AS pos
+        FROM test_g t CROSS JOIN ms CROSS JOIN ks
+    ),
+    probes AS (
+        SELECT ms.m, n.g,
+               CAST(concat('0x', substr(md5(ks.k || ':' || n.g), 1, 15))
+                    AS BIGINT) % ms.m AS pos
+        FROM neg_g n CROSS JOIN ms CROSS JOIN ks
+    ),
+    hits AS (
+        SELECT p.m, p.g, COUNT(o.pos) AS nhit
+        FROM probes p
+        LEFT JOIN occupied o ON o.m = p.m AND o.pos = p.pos
+        GROUP BY p.m, p.g
+    ),
+    counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_ins FROM test_g
+    ),
+    negs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_neg FROM neg_g)
+    SELECT h.m,
+           counts.n_ins AS n_inserted,
+           negs.n_neg AS n_probes,
+           CAST(SUM(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS fp_count,
+           ROUND(SUM(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) * 1.0
+                 / negs.n_neg, 6) AS fpr_measured,
+           ROUND(POWER(1 - EXP(-(3.0 * counts.n_ins) / h.m), 3), 6)
+               AS fpr_theoretical
+    FROM hits h CROSS JOIN counts CROSS JOIN negs
+    GROUP BY h.m, counts.n_ins, negs.n_neg
+    ORDER BY h.m
+    """,
+)
+def bloom_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER SIZE SWEEP: measured vs theoretical false-positive
+    rate at m = 4k / 16k / 64k bits (k = 3 portable md5 hashes) for
+    the decontamination bloom — the sizing chart read BEFORE shipping
+    `decontaminate_bloom_portable` at a new corpus scale, exactly the
+    audit `hll_m_sweep` provides for cardinality sketches and
+    `minhash_band_shape_sweep` for LSH geometry.  Probes are TRUE
+    negatives (train shingles exactly anti-joined against the test
+    vocabulary), so every 3-of-3 hit is a genuine false positive, and
+    the (1 - e^(-kn/m))^k curve is validated against ground truth.
+
+    Determinism: shingles and bit positions from the salted md5
+    family (engine-identical); hit counts exact integers; two rounded
+    ratios per m.
+
+    Scale (100 TB): both vocabularies dedup map-side BEFORE the probe
+    join (Heaps-bounded); the probe is one broadcast-size join per m
+    on integer positions — the corpus is touched once, in the shingle
+    pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tok = d.select(
+        (F.col("doc_id") % 10).alias("grp"), toks.alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = tok.select(
+        "grp",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(t[i - 1], ' ', t[i], ' ', t[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    sh = sh.localCheckpoint(eager=True)
+    test_g = sh.filter(F.col("grp") == 9).select("g").distinct()
+    test_g = test_g.localCheckpoint(eager=True)
+    neg_g = (
+        sh.filter(F.col("grp") < 8)
+        .select("g")
+        .distinct()
+        .join(test_g, "g", "left_anti")
+    )
+    neg_g = neg_g.localCheckpoint(eager=True)
+    ms = spark.createDataFrame([(4096,), (16384,), (65536,)], "m int")
+    ks = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+
+    def pos(gcol: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("k").cast("string"),
+                            F.lit(":"),
+                            F.col(gcol),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("m")
+        )
+
+    occupied = (
+        test_g.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(ks))
+        .select("m", pos("g").alias("pos"))
+        .distinct()
+    )
+    probes = (
+        neg_g.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(ks))
+        .select("m", "g", pos("g").alias("pos"))
+    )
+    hits = (
+        probes.alias("p")
+        .join(
+            occupied.alias("o"),
+            (F.col("o.m") == F.col("p.m"))
+            & (F.col("o.pos") == F.col("p.pos")),
+            "left",
+        )
+        .groupBy(F.col("p.m").alias("m"), F.col("p.g").alias("g"))
+        .agg(F.count(F.col("o.pos")).alias("nhit"))
+    )
+    counts = test_g.agg(F.count(F.lit(1)).cast("bigint").alias("n_ins"))
+    negs = neg_g.agg(F.count(F.lit(1)).cast("bigint").alias("n_neg"))
+    return (
+        hits.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(negs))
+        .groupBy("m", "n_ins", "n_neg")
+        .agg(
+            F.sum(F.when(F.col("nhit") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp_count"),
+            F.round(
+                F.sum(F.when(F.col("nhit") == 3, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.first("n_neg"),
+                6,
+            ).alias("fpr_measured"),
+            F.round(
+                F.pow(
+                    F.lit(1)
+                    - F.exp(
+                        -(F.lit(3.0) * F.first("n_ins")) / F.first("m")
+                    ),
+                    3,
+                ),
+                6,
+            ).alias("fpr_theoretical"),
+        )
+        .select(
+            "m",
+            F.col("n_ins").alias("n_inserted"),
+            F.col("n_neg").alias("n_probes"),
+            "fp_count",
+            "fpr_measured",
+            "fpr_theoretical",
+        )
+        .orderBy("m")
+    )

@@ -4459,3 +4459,126 @@ def tokenizer_maxmatch_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pieces_per_word"),
         )
     )
+
+
+# ------------------------------------------- kfold_assignment_balance
+
+@register(
+    "kfold_assignment_balance",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(concat('0x', substr(md5('fold:' || doc_id), 1, 15))
+                    AS BIGINT) % 5 AS fold,
+               lang
+        FROM documents
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+    lshare AS (
+        SELECT lang, COUNT(*) * 1.0 / tot.n AS share_overall
+        FROM f CROSS JOIN tot GROUP BY lang, tot.n
+    ),
+    folds AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs FROM f
+        GROUP BY fold
+    ),
+    fl AS (
+        SELECT f.fold, f.lang, COUNT(*) AS n_fl
+        FROM f GROUP BY f.fold, f.lang
+    ),
+    dev AS (
+        SELECT fl.fold,
+               MAX(CAST(FLOOR(ABS(fl.n_fl * 1.0 / folds.n_docs
+                                  - lshare.share_overall)
+                              * 1000000.0) AS BIGINT)) AS dev_q
+        FROM fl
+        JOIN folds ON folds.fold = fl.fold
+        JOIN lshare ON lshare.lang = fl.lang
+        GROUP BY fl.fold
+    )
+    SELECT folds.fold, folds.n_docs,
+           ROUND(folds.n_docs * 1.0 / tot.n, 4) AS fold_share,
+           ROUND(CAST(dev.dev_q AS DOUBLE) / 1000000.0, 4)
+               AS max_lang_dev
+    FROM folds JOIN dev ON dev.fold = folds.fold CROSS JOIN tot
+    ORDER BY folds.fold
+    """,
+)
+def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-FOLD ASSIGNMENT + BALANCE AUDIT (k = 5): deterministic
+    hash-fold assignment (the salted md5 family — reproducible,
+    id-pattern-proof, the `train_test_split` coin generalized to k
+    folds) plus the audit that the folds are actually exchangeable:
+    per-fold size share and the worst per-language composition
+    deviation from the corpus-wide language mix.  A fold whose lang
+    mix drifts is a biased validation set — this is the check
+    cross-validation pipelines run before trusting fold variance.
+
+    Determinism: fold coins engine-exact; shares are fixed-order
+    ratios of exact counts; the language deviation is quantized to
+    int64 micro-units BEFORE the per-fold MAX.
+
+    Scale (100 TB): the assignment is row-local; all three aggregates
+    are map-side-combinable collapses to (<=5 x |langs|) rows; the
+    stitches are broadcast-size joins."""
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold:"), F.col("doc_id"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(5),
+        ).alias("fold"),
+        "lang",
+    )
+    f = f.localCheckpoint(eager=True)
+    tot = f.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    lshare = (
+        f.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            (F.col("n_l") * F.lit(1.0) / F.col("n")).alias(
+                "share_overall"
+            ),
+        )
+    )
+    folds = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    fl = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_fl"))
+    dev = (
+        fl.join(folds, "fold")
+        .join(F.broadcast(lshare), "lang")
+        .groupBy("fold")
+        .agg(
+            F.max(
+                F.floor(
+                    F.abs(
+                        F.col("n_fl") * F.lit(1.0) / F.col("n_docs")
+                        - F.col("share_overall")
+                    )
+                    * F.lit(1000000.0)
+                ).cast("bigint")
+            ).alias("dev_q")
+        )
+    )
+    return (
+        folds.join(dev, "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_docs",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("n"), 4).alias(
+                "fold_share"
+            ),
+            F.round(
+                F.col("dev_q").cast("double") / 1000000.0, 4
+            ).alias("max_lang_dev"),
+        )
+        .orderBy("fold")
+    )

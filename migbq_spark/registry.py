@@ -142,6 +142,8 @@ R11_WINDOW: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q17_small_qty_revenue",
     "tpch_q21_waiting_suppliers",
+    "bloom_m_sweep",
+    "kfold_assignment_balance",
     # refresh overflow rolled from the r10 rotation cut
     "dedup_cross_source_cc",
     "contamination_overlap",
