@@ -15,11 +15,11 @@ every ORDER BY feeding a LIMIT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
-from migbq_spark.common import dec
+from migbq_spark.common import cents, dec
 from migbq_spark.registry import register
 
 #: Exact decimal revenue: DECIMAL(18,2) price × (1 − DECIMAL(18,2)
@@ -1206,4 +1206,483 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+# ------------------------------------------------ derived partsupp (r11)
+#
+# The fixture ships no `partsupp` table (FIXTURES.md), but TPC-H Q2 /
+# Q9 / Q11 / Q16 / Q20 are DEFINED over it.  Per the Q17/Q21/Q22
+# fixture-adaptation precedent, the part-supplier relation is DERIVED
+# deterministically from the fact table: one row per observed
+# (l_partkey, l_suppkey) pair with
+#   ps_cost_c   — the pair's cheapest observed line price, as an exact
+#                 scaled-int64 (cents; DECIMAL(18,2)-rounded then x100,
+#                 the repo's `cents()` idiom) so MIN / equality / x
+#                 arithmetic is order-independent on both engines;
+#   ps_availqty — the pair's total shipped quantity as BIGINT
+#                 (quantities are integral doubles, FIXTURES.md).
+# Both measures are exact integers, so every downstream comparison
+# (Q2's cost == min-cost, Q11's value > fraction-of-total, Q20's
+# 2*year-qty > total-qty) is bit-identical across Spark and DuckDB.
+#
+# Scale (100 TB): the derivation is ONE partial+final hash aggregation
+# on (l_partkey, l_suppkey) — map-side combine collapses the fact
+# table to |pairs| rows before the shuffle, and the same derived frame
+# serves each query's build AND probe side so the corpus is scanned
+# once per query, not once per subquery.
+
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS ps_cost_c,
+               SUM(CAST(l_quantity AS BIGINT)) AS ps_availqty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    """Derived part-supplier relation (see module comment above)."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(cents("l_extendedprice")).alias("ps_cost_c"),
+        F.sum(F.col("l_quantity").cast("long")).alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name,
+               ps.ps_cost_c
+        FROM part p
+        JOIN ps ON ps.ps_partkey = p.p_partkey
+        JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+        WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+    ),
+    mincost AS (
+        SELECT p_partkey AS mk, MIN(ps_cost_c) AS min_c
+        FROM cand GROUP BY p_partkey
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey,
+           CAST(c.ps_cost_c AS DOUBLE) / 100.0 AS supplycost
+    FROM cand c
+    JOIN mincost m ON m.mk = c.p_partkey AND c.ps_cost_c = m.min_c
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (Minimum Cost Supplier): for every size-15 SMALL part,
+    the EUROPE supplier(s) offering it at the minimum cost — the
+    correlated scalar subquery (per-part min over a filtered dim
+    chain) in its DECORRELATED form, exactly the Q17 precedent:
+    aggregate the candidate set once per part, join the minimum back,
+    keep the rows that attain it.  Fixture adaptations (FIXTURES.md):
+    `partsupp` is derived from lineitem (module comment above); the
+    spec's `p_type LIKE '%BRASS'` becomes this fixture's 5-value
+    category equality.
+
+    Determinism: cost is an exact scaled-int64, so MIN and the
+    attains-the-minimum equality are bit-identical on both engines;
+    the top-100 order (acctbal DESC, n_name, s_name, p_partkey)
+    contains the candidate key, so ties cannot reorder.
+
+    Scale (100 TB): part's size/type filter prunes BEFORE the ps
+    probe (broadcast — filtered part is tiny); the EUROPE supplier
+    chain is two broadcast dims; the per-part MIN is a WINDOW over
+    the already-candidate rows (`MIN() OVER (PARTITION BY
+    p_partkey)`), so the fact table is scanned ONCE — the join-back
+    formulation re-derives the candidate subtree (a second corpus
+    scan) unless checkpointed, and the window needs neither.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q2]."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(li)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "ps_cost_c")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_c", F.min("ps_cost_c").over(w))
+        .filter(F.col("ps_cost_c") == F.col("min_c"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("ps_cost_c").cast("double") / F.lit(100.0)).alias(
+                "supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT nation, o_year,
+           CAST(SUM(amount_c4) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)
+               * (100 - CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100
+                             AS BIGINT))
+               - ps.ps_cost_c * CAST(l.l_quantity AS BIGINT) * 100
+                   AS amount_c4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN ps ON ps.ps_partkey = l.l_partkey
+               AND ps.ps_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%bolt%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (Product Type Profit Measure): profit on 'bolt' parts
+    by supplier nation and order year, where per-line profit =
+    discounted revenue minus (unit cost x quantity) — the
+    fact-self-enrichment join (lineitem joins the partsupp aggregate
+    of ITSELF) plus the supplier-nation dimension path reused from
+    Q8.  Fixture adaptations: derived partsupp (module comment);
+    the spec's `p_name LIKE '%green%'` becomes this fixture's
+    splittable part-name token 'bolt'.
+
+    Determinism: the ENTIRE per-line amount is one scaled-int64 at
+    scale 4 (cents x cents for revenue, cents x integral-qty x 100
+    for cost) summed as DECIMAL(38,0) — exact and order-independent
+    on both engines; one IEEE double division renders it.
+
+    Scale (100 TB): the part filter broadcasts into the fact scan;
+    the ps aggregate shares the fact's (partkey, suppkey) grouping
+    and joins back co-partitioned; supplier/nation are broadcast
+    dims; the final rollup is |nations| x |years| rows.  One wide
+    shuffle (orders join), everything else map-side.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q9]."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(li)
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    amount_c4 = cents("l_extendedprice") * (
+        F.lit(100).cast("long") - cents("l_discount")
+    ) - F.col("ps_cost_c") * F.col("l_quantity").cast("long") * F.lit(
+        100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount_c4.alias("amount_c4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (
+                F.sum(F.col("amount_c4").cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / F.lit(10000.0)
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    natps AS (
+        SELECT ps.ps_partkey, ps.ps_cost_c * ps.ps_availqty AS value_c
+        FROM ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+    ),
+    bypart AS (
+        SELECT ps_partkey, SUM(value_c) AS part_value_c
+        FROM natps GROUP BY ps_partkey
+    ),
+    total AS (SELECT SUM(value_c) AS total_c FROM natps)
+    SELECT b.ps_partkey,
+           CAST(b.part_value_c AS DOUBLE) / 100.0 AS part_value
+    FROM bypart b CROSS JOIN total t
+    WHERE CAST(b.part_value_c AS DOUBLE)
+          > 0.0005 * CAST(t.total_c AS DOUBLE)
+    ORDER BY part_value DESC, b.ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (Important Stock Identification): parts whose
+    NATION_3-supplied inventory value exceeds a fraction of the
+    nation's total — the group-HAVING-vs-scalar-subquery shape.  The
+    scalar total is computed ONCE and broadcast back (the Q22
+    precedent), never recomputed per group.  Fixture adaptations:
+    derived partsupp (module comment); the spec's GERMANY becomes
+    NATION_3 (present at every sf); the spec's 0.0001/SF fraction is
+    pinned at 0.0005.
+
+    Determinism: per-pair value is an exact int64 (cents x integral
+    qty), summed as DECIMAL(38,0); the threshold compare and the
+    rendered value are single IEEE double ops on identical exact
+    integers.
+
+    Scale (100 TB): the per-part rollup is computed ONCE and
+    localCheckpoint-ed (tiny — <=|parts| rows); the grand total is
+    the exact integer sum OF the part sums, so the scalar branch
+    reads the checkpoint instead of re-deriving natps (no second
+    corpus scan — the naive correlated reading); the 1-row total
+    broadcasts back via the cross join; the nation filter broadcasts
+    into the ps build.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q11]."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(li)
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    natps = (
+        ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_cost_c") * F.col("ps_availqty")).alias("value_c"),
+        )
+    )
+    byPart = natps.groupBy("ps_partkey").agg(
+        F.sum(F.col("value_c").cast("decimal(38,0)")).alias("part_value_c")
+    )
+    # Materialize the (tiny, <=|parts|) per-part rollup once: the grand
+    # total is the exact sum of the part sums (integer decimals —
+    # order-independent), so the corpus is scanned ONCE; without the
+    # checkpoint Spark re-derives the whole natps subtree for the
+    # scalar branch (Q21's localCheckpoint precedent).
+    byPart = byPart.localCheckpoint(eager=True)
+    total = byPart.agg(
+        F.sum("part_value_c").cast("decimal(38,0)").alias("total_c")
+    )
+    return (
+        byPart.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value_c").cast("double")
+            > F.lit(0.0005) * F.col("total_c").cast("double")
+        )
+        .select(
+            "ps_partkey",
+            (F.col("part_value_c").cast("double") / F.lit(100.0)).alias(
+                "part_value"
+            ),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (Parts/Supplier Relationship): how many suppliers can
+    supply each (brand, type, size) combination, excluding one
+    brand/type and a supplier blocklist — COUNT(DISTINCT) over a
+    NOT-IN anti-join.  Fixture adaptations: derived partsupp (module
+    comment); the spec's complaint-comment blocklist has no comment
+    column here (FIXTURES.md), so negative account balance stands in
+    (same NOT-IN-subquery shape; empty at sf0.001, non-empty from
+    sf0.01).
+
+    Determinism: exact distinct counts over integer keys; the full
+    group key appears in the ORDER BY after the count.
+
+    Scale (100 TB): the brand/type/size filter prunes part BEFORE its
+    broadcast into ps; the blocklist is a broadcast LEFT ANTI (safe
+    here because s_suppkey is never NULL — true NOT IN needs the
+    null-aware variant); the distinct-count shuffles once on the
+    group key with partial distinct aggregation map-side.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q16]."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(li)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    )
+    blocked = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            F.broadcast(blocked),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("ps_suppkey").cast("bigint").alias(
+                "supplier_cnt"
+            )
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_excess_inventory",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    promo_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    qty97 AS (
+        SELECT l_partkey AS q_partkey, l_suppkey AS q_suppkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS year_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+        SELECT DISTINCT ps.ps_suppkey
+        FROM ps
+        JOIN promo_parts pp ON pp.p_partkey = ps.ps_partkey
+        JOIN qty97 q ON q.q_partkey = ps.ps_partkey
+                    AND q.q_suppkey = ps.ps_suppkey
+        WHERE 2 * q.year_qty > ps.ps_availqty
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (Potential Part Promotion): NATION_3 suppliers whose
+    1997 shipments of 'small'-named parts exceeded HALF their
+    all-time volume of that part — the nested-semi-join chain
+    (supplier IN (pairs WHERE part IN (names) AND qty > 0.5 x
+    correlated-aggregate)).  Fixture adaptations: derived partsupp
+    (module comment) makes availqty the pair's all-time quantity, so
+    the spec's `availqty > 0.5 x year-shipments` (vacuous under this
+    derivation) inverts to `year-shipments > 0.5 x all-time` — the
+    identical correlated-threshold shape, selective instead of
+    trivially true; CANADA becomes NATION_3.
+
+    Determinism: both quantities are exact BIGINTs, compared as
+    `2 x year > total` with no division or doubles anywhere;
+    s_name is unique so the final sort is total.
+
+    Scale (100 TB): the name-filtered part set broadcasts; qty97 and
+    ps share the (partkey, suppkey) grouping key, so the threshold
+    join is co-partitioned on the SAME shuffle layout Catalyst
+    reuses; the supplier probe is a broadcast LEFT SEMI on the tiny
+    qualifying-supplier set.
+
+    Reference parity: SURVEY.md §2 [pub: TPC-H spec Q20]."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = _partsupp(li)
+    pp = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qty97 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("q_partkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("year_qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(pp), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            qty97,
+            (F.col("q_partkey") == F.col("ps_partkey"))
+            & (F.col("q_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.lit(2) * F.col("year_qty") > F.col("ps_availqty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
     )

@@ -116,6 +116,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 R12_WINDOW: tuple[str, ...] = (
     # r11 additions land HERE (inserted at the head as they are
     # implemented this round — new evidence outranks refresh)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_inventory",
     "mix_weighted_sources",
     "ngram_jaccard",
     "dedup_keep_canonical",

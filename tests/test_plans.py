@@ -847,3 +847,73 @@ def test_q19_pushes_part_conjuncts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     pushed = plan.split("PushedFilters: [")
     assert any("p_brand" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_q2_single_corpus_scan_window_min(spark, sf_dir):
+    """Q2's per-part minimum must be a WINDOW over the candidate set —
+    the join-back formulation re-derives the whole candidate subtree
+    and scans lineitem twice; the part size/type filter must reach
+    the part scan."""
+    plan = _plan(Q["tpch_q2_min_cost_supplier"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 5  # each table exactly once
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = plan.split("PushedFilters: [")
+    assert any("EqualTo(p_size,15)" in seg.split("]")[0] for seg in pushed[1:])
+
+
+def test_q9_scaled_int_agg_jvm_only_pushed_name(spark, sf_dir):
+    """Q9's profit must aggregate as a scaled-int64 partial+final hash
+    agg with zero Python, and the part-name LIKE must push down as a
+    StringContains at the part scan."""
+    plan = _plan(Q["tpch_q9_product_profit"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    pushed = plan.split("PushedFilters: [")
+    assert any(
+        "StringContains(p_name,bolt)" in seg.split("]")[0]
+        for seg in pushed[1:]
+    )
+
+
+def test_q11_scalar_broadcast_single_rollup(spark, sf_dir):
+    """Q11's fraction-of-total scalar must arrive by broadcast cross
+    join over the SAME materialized per-part rollup (localCheckpoint
+    — visible as reused ExistingRDD scans), never a second corpus
+    derivation or a shuffle."""
+    plan = _plan(Q["tpch_q11_important_stock"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("ExistingRDD") >= 2  # rollup reused on both sides
+    assert "Scan parquet" not in plan  # corpus touched only at checkpoint
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_anti_join_pushed_blocklist(spark, sf_dir):
+    """Q16's NOT IN must compile to LEFT ANTI (keys are non-null); the
+    blocklist predicate must reach the supplier scan and the distinct
+    count must have a partial phase."""
+    plan = _plan(Q["tpch_q16_supplier_cnt"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert plan.count("HashAggregate") >= 2
+    pushed = plan.split("PushedFilters: [")
+    assert any(
+        "LessThan(s_acctbal,0.0)" in seg.split("]")[0] for seg in pushed[1:]
+    )
+
+
+def test_q20_semi_chain_pushed_prefix_and_daterange(spark, sf_dir):
+    """Q20's nested-IN chain must end in a LEFT SEMI supplier probe;
+    the part-name prefix and the 1997 ship window must both push to
+    their scans; no Python anywhere."""
+    plan = _plan(Q["tpch_q20_excess_inventory"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    pushed = plan.split("PushedFilters: [")
+    assert any(
+        "StringStartsWith(p_name,small)" in seg.split("]")[0]
+        for seg in pushed[1:]
+    )
+    assert any(
+        "GreaterThanOrEqual(l_shipdate,1997-01-01" in seg.split("]")[0]
+        for seg in pushed[1:]
+    )
