@@ -231,7 +231,15 @@ def mapinarrow_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": ids, "n_letters": [], "n_digits": [],
                    "n_spaces": [], "n_other": []}
             for t in texts:
-                t = t or ""
+                if t is None:
+                    # NULL text yields NULL counts (matches the SQL
+                    # oracle's NULL propagation, r10 ADVICE) — a ''
+                    # fallback would emit spurious 0 rows.
+                    out["n_letters"].append(None)
+                    out["n_digits"].append(None)
+                    out["n_spaces"].append(None)
+                    out["n_other"].append(None)
+                    continue
                 nl = nd = ns = 0
                 for ch in t:
                     if ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
@@ -289,6 +297,10 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     def price_mod(p: float) -> int:
         import math
 
+        if p is None:
+            # NULL propagates (matches the SQL oracle; r10 ADVICE —
+            # floor(None * 100.0) would raise TypeError).
+            return None
         return int(math.floor(p * 100.0)) % 97
 
     o = load(spark, sf_dir, "orders")

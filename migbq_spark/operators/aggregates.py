@@ -1667,12 +1667,14 @@ def power_mde_per_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stats AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS s1_c,
                CAST(SUM(CAST(value AS DECIMAL(18,2))
                         * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
         FROM events GROUP BY event_type
     ),
     terms AS (
-        SELECT n, s1, s2,
+        SELECT n, s1, s1_c, s2,
                CAST(FLOOR(s1 * s1 / n * 1000000.0) AS BIGINT) AS bq,
                CAST(FLOOR((s2 - s1 * s1 / n) * 1000000.0) AS BIGINT) AS wq
         FROM stats
@@ -1680,18 +1682,24 @@ def power_mde_per_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n) AS BIGINT) AS nn,
-               SUM(s1) AS s1t,
+               CAST(SUM(s1_c) AS BIGINT) AS s1ct,
                CAST(SUM(bq) AS BIGINT) AS bqs,
                CAST(SUM(wq) AS BIGINT) AS wqs
         FROM terms
     )
     SELECT k, nn AS n_total,
-           ROUND((CAST(bqs AS DOUBLE) / 1000000.0 - s1t * s1t / nn)
+           ROUND((CAST(bqs AS DOUBLE) / 1000000.0
+                  - (CAST(s1ct AS DOUBLE) / 100.0)
+                    * (CAST(s1ct AS DOUBLE) / 100.0) / nn)
                  / (k - 1)
                  / (CAST(wqs AS DOUBLE) / 1000000.0 / (nn - k)),
                  4) AS f_stat,
-           ROUND((CAST(bqs AS DOUBLE) / 1000000.0 - s1t * s1t / nn)
-                 / (CAST(bqs AS DOUBLE) / 1000000.0 - s1t * s1t / nn
+           ROUND((CAST(bqs AS DOUBLE) / 1000000.0
+                  - (CAST(s1ct AS DOUBLE) / 100.0)
+                    * (CAST(s1ct AS DOUBLE) / 100.0) / nn)
+                 / (CAST(bqs AS DOUBLE) / 1000000.0
+                    - (CAST(s1ct AS DOUBLE) / 100.0)
+                      * (CAST(s1ct AS DOUBLE) / 100.0) / nn
                     + CAST(wqs AS DOUBLE) / 1000000.0),
                  6) AS eta_squared
     FROM tot
@@ -1711,7 +1719,9 @@ def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     to double once; the per-group terms s1^2/n and (s2 - s1^2/n) are
     quantized to int64 micro-units BEFORE the cross-group sums (5
     doubles summed in engine order would be order-sensitive — the
-    quantize-before-sum move), then two fixed-order final formulas.
+    quantize-before-sum move), and the grand total s1t ALSO crosses
+    groups as an exact cents int64 (the decimal sum x100), never as a
+    double sum (r10 ADVICE), then two fixed-order final formulas.
 
     Scale (100 TB): one map-side-combinable moments pass; everything
     after runs on |event_types| rows."""
@@ -1720,11 +1730,13 @@ def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(v).cast("double").alias("s1"),
+        (F.sum(v) * 100).cast("bigint").alias("s1_c"),
         F.sum(v * v).cast("double").alias("s2"),
     )
     terms = stats.select(
         "n",
         "s1",
+        "s1_c",
         "s2",
         F.floor(
             F.col("s1") * F.col("s1") / F.col("n") * F.lit(1000000.0)
@@ -1741,13 +1753,14 @@ def anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("nn"),
-        F.sum("s1").alias("s1t"),
+        F.sum("s1_c").cast("bigint").alias("s1ct"),
         F.sum("bq").cast("bigint").alias("bqs"),
         F.sum("wq").cast("bigint").alias("wqs"),
     )
+    s1t = F.col("s1ct").cast("double") / F.lit(100.0)
     ssb = (
         F.col("bqs").cast("double") / F.lit(1000000.0)
-        - F.col("s1t") * F.col("s1t") / F.col("nn")
+        - s1t * s1t / F.col("nn")
     )
     ssw = F.col("wqs").cast("double") / F.lit(1000000.0)
     return tot.select(
@@ -1871,4 +1884,57 @@ def brown_forsythe_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("wqs").cast("double") / (F.col("nn") - F.col("k"))),
             4,
         ).alias("bf_stat"),
+    )
+
+
+# ------------------------------------------------ agg_filter_clause (r11)
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+               AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_quantity >= 25)
+                AS DECIMAL(38,2)) AS bulk_revenue,
+           CAST(MAX(l_quantity) FILTER (WHERE l_linestatus = 'F')
+                AS BIGINT) AS max_final_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI `FILTER (WHERE ...)` aggregate clause (SQL:2003 T612,
+    Spark 3.0+ / DuckDB): per-aggregate predicates WITHOUT the
+    CASE-WHEN contortion — three differently-filtered aggregates
+    over one scan, the shape `cond_case_coalesce` expresses the
+    pre-standard way.  The oracle runs the identical FILTER text on
+    DuckDB.
+
+    Determinism: exact counts, exact decimal sums, integral max.
+
+    Scale (100 TB): all FILTER aggregates evaluate in the SAME
+    partial+final hash agg over ONE pass — the predicate gates the
+    accumulator update, it never forks the scan (vs the naive
+    self-join-per-filter rewrite)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("mq_fc_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+                   AS n_discounted,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        FILTER (WHERE l_quantity >= 25)
+                    AS DECIMAL(38,2)) AS bulk_revenue,
+               CAST(MAX(l_quantity) FILTER (WHERE l_linestatus = 'F')
+                    AS BIGINT) AS max_final_qty
+        FROM mq_fc_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
     )

@@ -1964,3 +1964,236 @@ def sessionized_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+# -------------------------------------------- mann_whitney_u_value (r11)
+
+@register(
+    "mann_whitney_u_value",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    freq AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(is_a) AS BIGINT) AS ca
+        FROM s GROUP BY v
+    ),
+    ranked AS (
+        SELECT v, c, ca,
+               COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_less
+        FROM freq
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(c - ca) AS BIGINT) AS nb,
+               CAST(SUM(ca * (2 * n_less + c + 1)) AS BIGINT) AS r2a
+        FROM ranked
+    )
+    SELECT na, nb,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+           ROUND(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u_a,
+           ROUND(1.0 - CAST(r2a - na * (na + 1) AS DOUBLE)
+                       / CAST(na AS DOUBLE) / nb, 6) AS rank_biserial,
+           ROUND((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+                  - CAST(na AS DOUBLE) * nb / 2.0)
+                 / SQRT(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12.0),
+                 4) AS z_approx
+    FROM tot
+    """,
+)
+def mann_whitney_u_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U (Wilcoxon rank-sum) between the click and
+    purchase arms' values — the NON-parametric two-sample test next
+    to `ab_test_welch`'s parametric one: compares RANKS, so it holds
+    under the heavy-tailed value distributions where Welch's
+    normality assumption breaks.  Mid-ranks come from the value
+    FREQUENCY table (rank arithmetic on counts, never a per-row sort
+    of the corpus): for tied value v, 2·midrank = 2·|{x<v}| + c_v +
+    1, so 2·R_A accumulates exactly in int64 and U follows from
+    2U_A = 2R_A − n_A(n_A+1).
+
+    Determinism: values quantize to cents first; every rank term is
+    an exact integer; z (no tie correction — documented) and the
+    rank-biserial effect size are fixed-order double formulas behind
+    ROUND.
+
+    Scale (100 TB): one groupBy(v) collapse (Heaps-bounded distinct
+    values), one window cumsum over the |distinct| frequency rows,
+    one scalar rollup — the corpus is scanned once and never
+    globally sorted."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    freq = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("is_a").cast("bigint").alias("ca"),
+    )
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = freq.select(
+        "v",
+        "c",
+        "ca",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n_less"),
+    )
+    tot = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("nb"),
+        F.sum(
+            F.col("ca")
+            * (F.lit(2) * F.col("n_less") + F.col("c") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("r2a"),
+    )
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    u2d = u2.cast("double")
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    return tot.select(
+        "na",
+        "nb",
+        u2.cast("bigint").alias("u2_a"),
+        F.round(u2d / F.lit(2.0), 1).alias("u_a"),
+        F.round(F.lit(1.0) - u2d / nad / F.col("nb"), 6).alias(
+            "rank_biserial"
+        ),
+        F.round(
+            (u2d / F.lit(2.0) - nad * nbd / F.lit(2.0))
+            / F.sqrt(nad * nbd * (nad + nbd + 1) / F.lit(12.0)),
+            4,
+        ).alias("z_approx"),
+    )
+
+
+# ----------------------------------------- chi_square_independence (r11)
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, user_id % 4 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, user_id % 4
+    ),
+    rows_t AS (
+        SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        FROM cells GROUP BY event_type
+    ),
+    cols_t AS (
+        SELECT bucket, CAST(SUM(o) AS BIGINT) AS col_n
+        FROM cells GROUP BY bucket
+    ),
+    n_t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT CAST(FLOOR(
+                   POWER(CAST(n_t.n * c.o - rows_t.r * cols_t.col_n
+                              AS DOUBLE), 2)
+                   / (CAST(n_t.n AS DOUBLE) * rows_t.r * cols_t.col_n)
+                   * 1000000.0) AS BIGINT) AS tq
+        FROM cells c
+        JOIN rows_t USING (event_type)
+        JOIN cols_t USING (bucket)
+        CROSS JOIN n_t
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rows_t) AS BIGINT) AS n_rows_dim,
+           CAST((SELECT COUNT(*) FROM cols_t) AS BIGINT) AS n_cols_dim,
+           (SELECT n FROM n_t) AS n,
+           ROUND(CAST(SUM(tq) AS DOUBLE) / 1000000.0, 4) AS chi2,
+           ROUND(SQRT(CAST(SUM(tq) AS DOUBLE) / 1000000.0
+                      / (SELECT n FROM n_t)
+                      / LEAST((SELECT COUNT(*) FROM rows_t) - 1,
+                              (SELECT COUNT(*) FROM cols_t) - 1)),
+                 6) AS cramers_v
+    FROM terms
+    """,
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE TEST OF INDEPENDENCE (event_type x user-cohort
+    contingency table) with Cramér's V effect size — the categorical
+    counterpart of `anova_oneway_value`: does event mix differ across
+    user cohorts.  The per-cell term uses the all-integer identity
+    (n·o − r·c)²/(n·r·c) (o, r, c, n are exact counts), quantized to
+    int64 micro-units BEFORE the cross-cell sum — the
+    quantize-before-sum move, since 20 double terms summed in engine
+    order would be order-sensitive.
+
+    Determinism: exact counts; each term is a fixed sequence of IEEE
+    ops on identical integers; floor-quantized; integer-summed.
+
+    Scale (100 TB): the contingency collapse is one map-side-
+    combinable groupBy to |types|x|cohorts| (= 20) rows; margins and
+    the grand total derive FROM the cells (no second corpus scan);
+    everything after runs on 20 rows."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    cells = cells.localCheckpoint(eager=True)
+    rows_t = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    cols_t = cells.groupBy("bucket").agg(
+        F.sum("o").cast("bigint").alias("col_n")
+    )
+    n_t = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "bucket")
+        .crossJoin(F.broadcast(n_t))
+    )
+    term = (
+        F.pow(
+            (
+                F.col("n") * F.col("o") - F.col("r") * F.col("col_n")
+            ).cast("double"),
+            2,
+        )
+        / (
+            F.col("n").cast("double")
+            * F.col("r")
+            * F.col("col_n")
+        )
+    )
+    terms = joined.select(
+        F.floor(term * F.lit(1000000.0)).cast("bigint").alias("tq"),
+        "n",
+    )
+    k_rows = rows_t.agg(F.count(F.lit(1)).cast("bigint").alias("kr"))
+    k_cols = cols_t.agg(F.count(F.lit(1)).cast("bigint").alias("kc"))
+    chi2q = terms.groupBy("n").agg(
+        F.sum("tq").cast("bigint").alias("tqs")
+    )
+    out = chi2q.crossJoin(F.broadcast(k_rows)).crossJoin(
+        F.broadcast(k_cols)
+    )
+    chi2 = F.col("tqs").cast("double") / F.lit(1000000.0)
+    return out.select(
+        F.col("kr").alias("n_rows_dim"),
+        F.col("kc").alias("n_cols_dim"),
+        "n",
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / F.col("n")
+                / F.least(F.col("kr") - 1, F.col("kc") - 1)
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

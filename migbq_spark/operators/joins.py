@@ -722,3 +722,60 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fp_rate"),
     )
+
+
+# -------------------------------------------- join_anti_null_aware (r11)
+
+@register(
+    "join_anti_null_aware",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM customer c
+    WHERE c.c_custkey NOT IN (
+        SELECT CASE WHEN o.o_totalprice < 0 THEN NULL
+                    ELSE o.o_custkey END
+        FROM orders o
+        WHERE o.o_orderstatus = 'F'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-AWARE ANTI JOIN — the `NOT IN (subquery)` three-valued-
+    logic trap as a first-class operator: when the subquery column is
+    NULLABLE, `NOT IN` must return NO rows if ANY null appears (x <>
+    NULL is unknown), so Spark compiles a BroadcastHashJoin marked
+    NullAwareAntiJoin (a plain LeftAnti, which `join_anti` covers,
+    would WRONGLY keep rows).  The probe column here is nullable BY
+    TYPE (the CASE arm) but never null IN FACT, so the answer is
+    non-trivial while the plan still must take the null-aware path —
+    exactly the shape that silently corrupts migrations when an
+    engine rewrites NOT IN as anti-join without the null check.
+
+    Determinism: exact counts over integer keys; segment sort.
+
+    Scale (100 TB): Spark ONLY supports null-aware anti as a
+    broadcast (the null check needs the whole build side per task) —
+    at scale you rewrite to NOT EXISTS (left anti) once the column
+    is provably non-null, which is the guidance this operator's
+    docstring encodes; the build side here is the filtered orders
+    key projection."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("mq_naaj_cust")
+    o.createOrReplaceTempView("mq_naaj_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs
+        FROM mq_naaj_cust c
+        WHERE c.c_custkey NOT IN (
+            SELECT CASE WHEN o.o_totalprice < 0 THEN NULL
+                        ELSE o.o_custkey END
+            FROM mq_naaj_orders o
+            WHERE o.o_orderstatus = 'F'
+        )
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )

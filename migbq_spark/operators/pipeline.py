@@ -6381,11 +6381,28 @@ def bloom_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (engine-identical); hit counts exact integers; two rounded
     ratios per m.
 
-    Scale (100 TB): both vocabularies dedup map-side BEFORE the probe
-    join (Heaps-bounded); the probe is one broadcast-size join per m
-    on integer positions — the corpus is touched once, in the shingle
-    pass."""
-    d = load(spark, sf_dir, "documents")
+    Scale (100 TB): the corpus is touched once (shingle pass) and
+    shuffled once — BOTH vocabularies come from a single group-by
+    with boolean membership flags (the r10 shape checkpointed the
+    RAW shingle stream and paid two distinct shuffles + an anti-join
+    on top), and the excluded holdout decile (grp 8) is dropped
+    BEFORE the explode.  The explicit
+    repartition-by-key SKIPS the map-side partial aggregate: shingle
+    keys are near-unique, so a partial phase builds per-task hash
+    maps that never collapse anything (measured +5 s at sf10).  The
+    vocabulary is hashed ONCE, after dedup — the three k-salted md5
+    int64s are COLUMNS of the checkpointed Heaps-bounded frame
+    (measured ~1 s / 45 M hashes: md5 is not the cost; the corpus
+    pass and the distinct exchange are the irreducible terms).
+    Downstream there are ZERO wide shuffles: every m-size derives
+    its bit positions by modulo from the same checkpointed hashes
+    (r10 recomputed md5 per (k, m) and shuffled 9x|neg| rows through
+    a (m, g) groupBy), membership is three broadcast joins against
+    the <=86k-row occupied set, and the final rollup is a 3-row
+    map-side collapse."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 8
+    )
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     tok = d.select(
         (F.col("doc_id") % 10).alias("grp"), toks.alias("t")
@@ -6399,95 +6416,95 @@ def bloom_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    sh = sh.localCheckpoint(eager=True)
-    test_g = sh.filter(F.col("grp") == 9).select("g").distinct()
-    test_g = test_g.localCheckpoint(eager=True)
-    neg_g = (
-        sh.filter(F.col("grp") < 8)
-        .select("g")
-        .distinct()
-        .join(test_g, "g", "left_anti")
-    )
-    neg_g = neg_g.localCheckpoint(eager=True)
-    ms = spark.createDataFrame([(4096,), (16384,), (65536,)], "m int")
-    ks = spark.createDataFrame([(1,), (2,), (3,)], "k int")
 
-    def pos(gcol: str) -> F.Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("k").cast("string"),
-                            F.lit(":"),
-                            F.col(gcol),
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % F.col("m")
+    def khash(k: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{k}:"), F.col("g"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    vocab = (
+        sh.repartition("g")
+        .groupBy("g")
+        .agg(
+            F.max((F.col("grp") == 9).cast("int")).alias("in_test"),
+            F.max((F.col("grp") < 8).cast("int")).alias("in_train"),
         )
-
+        .select(
+            "in_test",
+            "in_train",
+            *[khash(k).alias(f"h{k}") for k in (1, 2, 3)],
+        )
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    test_g = vocab.filter(F.col("in_test") == 1)
+    neg_g = vocab.filter(
+        (F.col("in_train") == 1) & (F.col("in_test") == 0)
+    )
+    ms = spark.createDataFrame([(4096,), (16384,), (65536,)], "m int")
     occupied = (
         test_g.crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(ks))
-        .select("m", pos("g").alias("pos"))
+        .select(
+            "m",
+            F.explode(
+                F.array(
+                    F.col("h1") % F.col("m"),
+                    F.col("h2") % F.col("m"),
+                    F.col("h3") % F.col("m"),
+                )
+            ).alias("pos"),
+        )
         .distinct()
     )
-    probes = (
-        neg_g.crossJoin(F.broadcast(ms))
-        .crossJoin(F.broadcast(ks))
-        .select("m", "g", pos("g").alias("pos"))
+    probe = neg_g.crossJoin(F.broadcast(ms)).select(
+        "m",
+        (F.col("h1") % F.col("m")).alias("p1"),
+        (F.col("h2") % F.col("m")).alias("p2"),
+        (F.col("h3") % F.col("m")).alias("p3"),
     )
-    hits = (
-        probes.alias("p")
-        .join(
-            occupied.alias("o"),
-            (F.col("o.m") == F.col("p.m"))
-            & (F.col("o.pos") == F.col("p.pos")),
+    for i in (1, 2, 3):
+        o = F.broadcast(
+            occupied.select(
+                F.col("m").alias(f"om{i}"), F.col("pos").alias(f"op{i}")
+            )
+        )
+        probe = probe.join(
+            o,
+            (F.col(f"om{i}") == F.col("m"))
+            & (F.col(f"op{i}") == F.col(f"p{i}")),
             "left",
         )
-        .groupBy(F.col("p.m").alias("m"), F.col("p.g").alias("g"))
-        .agg(F.count(F.col("o.pos")).alias("nhit"))
+    fp = (
+        F.col("op1").isNotNull()
+        & F.col("op2").isNotNull()
+        & F.col("op3").isNotNull()
+    )
+    per_m = probe.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neg"),
+        F.sum(fp.cast("int")).cast("bigint").alias("fp_count"),
     )
     counts = test_g.agg(F.count(F.lit(1)).cast("bigint").alias("n_ins"))
-    negs = neg_g.agg(F.count(F.lit(1)).cast("bigint").alias("n_neg"))
     return (
-        hits.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(negs))
-        .groupBy("m", "n_ins", "n_neg")
-        .agg(
-            F.sum(F.when(F.col("nhit") == 3, 1).otherwise(0))
-            .cast("bigint")
-            .alias("fp_count"),
-            F.round(
-                F.sum(F.when(F.col("nhit") == 3, 1).otherwise(0))
-                * F.lit(1.0)
-                / F.first("n_neg"),
-                6,
-            ).alias("fpr_measured"),
-            F.round(
-                F.pow(
-                    F.lit(1)
-                    - F.exp(
-                        -(F.lit(3.0) * F.first("n_ins")) / F.first("m")
-                    ),
-                    3,
-                ),
-                6,
-            ).alias("fpr_theoretical"),
-        )
+        per_m.crossJoin(F.broadcast(counts))
         .select(
             "m",
             F.col("n_ins").alias("n_inserted"),
             F.col("n_neg").alias("n_probes"),
             "fp_count",
-            "fpr_measured",
-            "fpr_theoretical",
+            F.round(
+                F.col("fp_count") * F.lit(1.0) / F.col("n_neg"), 6
+            ).alias("fpr_measured"),
+            F.round(
+                F.pow(
+                    F.lit(1)
+                    - F.exp(-(F.lit(3.0) * F.col("n_ins")) / F.col("m")),
+                    3,
+                ),
+                6,
+            ).alias("fpr_theoretical"),
         )
         .orderBy("m")
     )

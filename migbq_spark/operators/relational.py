@@ -384,3 +384,100 @@ def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_over_50"),
     )
+
+
+# --------------------------------------------- group_by_all_syntax (r11)
+
+@register(
+    "group_by_all_syntax",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DECIMAL(38,2)) AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def group_by_all_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+ / DuckDB dialect
+    convergence): the analyst shorthand that groups by every
+    non-aggregate select item and orders by the full output row —
+    the oracle runs the IDENTICAL text on DuckDB, which originated
+    the syntax, so this row pins that both engines resolve ALL to
+    the same column set.
+
+    Determinism: exact decimal totals; ORDER BY ALL is a total order
+    over the whole row.
+
+    Scale (100 TB): resolves at ANALYSIS time to the ordinary
+    grouped plan — partial+final hash agg, one exchange on the two
+    status columns; the sugar costs nothing physical."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("mq_gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(38,2)) AS DOUBLE) AS total
+        FROM mq_gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+# ------------------------------------------ values_inline_dim_join (r11)
+
+@register(
+    "values_inline_dim_join",
+    oracle="""
+    SELECT w.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * w.weight)
+                AS DECIMAL(38,2)) AS weighted_total
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 3, 'hot'),
+                 ('2-HIGH', 2, 'hot'),
+                 ('3-MEDIUM', 1, 'warm'),
+                 ('4-NOT SPECIFIED', 1, 'warm'),
+                 ('5-LOW', 0, 'cold')) AS w(prio, weight, tier)
+      ON o.o_orderpriority = w.prio
+    GROUP BY w.tier
+    ORDER BY w.tier
+    """,
+)
+def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table constructor as a JOINED dimension — the
+    "lookup table in the query text" idiom (priority → weight/tier)
+    every migration script uses before the dim table exists.  The
+    oracle runs the identical VALUES text on DuckDB.
+
+    Determinism: the inline dim is literal; weighted totals are
+    exact decimal x integer products.
+
+    Scale (100 TB): a VALUES relation is a LocalRelation — Catalyst
+    folds it into a broadcast build side automatically (5 rows), so
+    the fact scan joins map-side with no exchange."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("mq_vals_orders")
+    return spark.sql(
+        """
+        SELECT w.tier,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))
+                             * w.weight)
+                         AS DECIMAL(38,2)) AS DOUBLE) AS weighted_total
+        FROM mq_vals_orders o
+        JOIN (VALUES ('1-URGENT', 3, 'hot'),
+                     ('2-HIGH', 2, 'hot'),
+                     ('3-MEDIUM', 1, 'warm'),
+                     ('4-NOT SPECIFIED', 1, 'warm'),
+                     ('5-LOW', 0, 'cold')) AS w(prio, weight, tier)
+          ON o.o_orderpriority = w.prio
+        GROUP BY w.tier
+        ORDER BY w.tier
+        """
+    )

@@ -2259,3 +2259,111 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------- page_hinkley_drift_daily (r11)
+
+@register(
+    "page_hinkley_drift_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    cum AS (
+        SELECT event_type, d, x,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY d) AS s,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   AS i
+        FROM daily
+    ),
+    q AS (
+        SELECT event_type, d,
+               CAST(FLOOR((CAST(x AS DOUBLE)
+                           - CAST(s AS DOUBLE) / i) * 1000000.0)
+                    AS BIGINT) AS tq
+        FROM cum
+    ),
+    m AS (
+        SELECT event_type, d,
+               SUM(tq) OVER (PARTITION BY event_type ORDER BY d) AS mt
+        FROM q
+    ),
+    ph AS (
+        SELECT event_type, d, mt,
+               mt - MIN(mt) OVER (PARTITION BY event_type ORDER BY d)
+                   AS ph_t
+        FROM m
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(MAX(ph_t) AS DOUBLE) / 1000000.0, 4) AS ph_max,
+           CAST(MAX(ph_t) > 50000000 AS BOOLEAN) AS drift_detected
+    FROM ph
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE–HINKLEY DRIFT DETECTOR on daily event volume per type —
+    the sequential change-point monitor next to `cusum_drift_daily`
+    (CUSUM tracks deviation from a FIXED baseline mean; Page–Hinkley
+    tracks deviation from the RUNNING mean, so it adapts to slow
+    level shifts and fires only on abrupt ones): m_t = Σ(x_i −
+    mean_i), PH_t = m_t − min_{i≤t} m_i, alert when PH exceeds λ
+    (pinned at 50).
+
+    Determinism: daily counts and cumulative sums are exact ints;
+    the per-day term (x_i − S_i/i) is ONE IEEE division + subtraction
+    on identical integers, floor-quantized to micro-units BEFORE the
+    cumulative sum (the anova/chi-square quantize-before-sum move);
+    the running min/max are order-fixed by the date window.
+
+    Scale (100 TB): collapses to |types|x|days| rows map-side; the
+    three windows share ONE (event_type, d) sort; at a billion days
+    per key the same plan holds with range-partitioned windows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        "x",
+        F.sum("x").over(wo).alias("s"),
+        F.row_number().over(wo).alias("i"),
+    )
+    q = cum.select(
+        "event_type",
+        "d",
+        F.floor(
+            (
+                F.col("x").cast("double")
+                - F.col("s").cast("double") / F.col("i")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("tq"),
+    )
+    m = q.select(
+        "event_type", "d", F.sum("tq").over(wo).alias("mt")
+    )
+    ph = m.select(
+        "event_type",
+        "d",
+        (F.col("mt") - F.min("mt").over(wo)).alias("ph_t"),
+    )
+    return (
+        ph.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.max("ph_t").cast("double") / F.lit(1000000.0), 4
+            ).alias("ph_max"),
+            (F.max("ph_t") > 50000000).alias("drift_detected"),
+        )
+        .orderBy("event_type")
+    )

@@ -4582,3 +4582,49 @@ def kfold_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ------------------------------------------- sample_fixed_k_hash (r11)
+
+@register(
+    "sample_fixed_k_hash",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           md5(CAST(o_orderkey AS VARCHAR)) AS hkey
+    FROM orders
+    ORDER BY hkey
+    LIMIT 100
+    """,
+)
+def sample_fixed_k_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k DETERMINISTIC SAMPLE via hash ranking: the 100 orders
+    with the smallest md5(key) — the fixed-SIZE counterpart of
+    `sample_hash_bernoulli` (fixed RATE): training pipelines that
+    need "exactly 100k eval rows, stable across reruns and engines"
+    order by a salted key hash and cut at k, which is uniform (md5
+    is equidistributed), reproducible (no RNG state), and
+    incremental (adding rows can only displace the largest hashes —
+    the sample is a consistent bottom-k sketch, mergeable across
+    partitions and days).
+
+    Determinism: md5 hex strings compare identically on both
+    engines; o_orderkey is unique so the order is total.
+
+    Scale (100 TB): compiles to TakeOrderedAndProject — each task
+    keeps a 100-row bounded heap over its partition and the driver
+    merges per-partition heaps; NO global sort, NO full shuffle
+    (plan-asserted in tests/test_plans.py)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("price"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("hkey"),
+        )
+        .orderBy("hkey")
+        .limit(100)
+    )

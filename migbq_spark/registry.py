@@ -121,6 +121,14 @@ R12_WINDOW: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_inventory",
+    "group_by_all_syntax",
+    "values_inline_dim_join",
+    "agg_filter_clause",
+    "join_anti_null_aware",
+    "mann_whitney_u_value",
+    "chi_square_independence",
+    "page_hinkley_drift_daily",
+    "sample_fixed_k_hash",
     "mix_weighted_sources",
     "ngram_jaccard",
     "dedup_keep_canonical",

@@ -499,14 +499,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("kafka_source_adapter")  # rows-only: kafka connector jar absent offline
+@register(
+    "kafka_source_adapter",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events GROUP BY event_type
+    """,
+)
 def kafka_source_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production Kafka ingestion surface — the modern counterpart of
-    migbq's RDBMS polling loop: the reader plan is configured exactly as
-    production would, and the post-source transformation (JSON value →
-    typed columns via from_json with an explicit schema) is applied to a
-    structurally identical in-memory frame so the parsing path really
-    executes offline.
+    migbq's RDBMS polling loop.  Two layers, both exercised (r10
+    VERDICT "Next round" #4 — the Derby-JDBC precedent applied to the
+    stream source):
+
+    1. The PRODUCTION reader plan is built exactly as a cluster with
+       the spark-sql-kafka package would configure it (brokers /
+       subscribe / startingOffsets / maxOffsetsPerTrigger); only
+       `.load()` needs the connector jar, so the builder is asserted
+       and set aside offline.
+    2. The SAME downstream pipeline — JSON `value` bytes → typed
+       columns via from_json with an explicit schema → stateful
+       aggregation — runs as a REAL Structured Streaming query over a
+       file-backed stand-in for the topic log: the events table is
+       serialized to JSON-lines "messages" across 4 log files
+       (partitions), streamed with maxFilesPerTrigger=1 (the
+       maxOffsetsPerTrigger backpressure analogue — 4 real
+       micro-batches), drained availableNow into a memory sink, and
+       HASH-CHECKED against the batch oracle (upgraded from rows-only
+       in r11: the exercised path is deterministic end-to-end).
 
     Production call (requires the spark-sql-kafka package):
         spark.readStream.format("kafka")
@@ -531,16 +552,32 @@ def kafka_source_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert reader is not None  # plan builds; .load() needs the kafka jar
     schema = "event_id bigint, user_id bigint, event_type string"
-    raw = load(spark, sf_dir, "events").select(
-        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("value")
+    topic_log = str(
+        _STAGE_ROOT / f"kafka_topic_log_{Path(sf_dir).name}"
+    )
+    (
+        load(spark, sf_dir, "events")
+        .select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type")
+            ).alias("value")
+        )
+        .repartition(4)  # 4 "topic partitions"
+        .write.mode("overwrite")
+        .text(topic_log)
+    )
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1).text(topic_log)
     )
     parsed = raw.select(
         F.from_json(F.col("value"), schema).alias("r")
     ).select("r.*")
-    return parsed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.max("event_id").alias("max_event_id"),
+    agg = parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+    name = _drain(agg, f"kafka_adapter_{sf_dir}", mode="complete")
+    return spark.table(name)
 
 
 @register(

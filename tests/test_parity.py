@@ -76,12 +76,10 @@ ROWS_ONLY_EVIDENCE = {
         "survives the driver canonicalizer (no BigQuery in sandbox)",
         "pinned_in": ("tests.test_parity", "test_rows_only_runs"),
     },
-    "kafka_source_adapter": {
-        "twins": [],
-        "bound": "adapter reader path executes end-to-end and survives "
-        "the driver canonicalizer (no Kafka in sandbox)",
-        "pinned_in": ("tests.test_parity", "test_rows_only_runs"),
-    },
+    # kafka_source_adapter LEFT this table in r11: its exercised path
+    # (file-backed topic-log stream through the same from_json parse,
+    # drained availableNow) is deterministic, so it carries a full
+    # hash oracle now (tests/test_streaming.py pins the roundtrip).
     # Spark-native sketches: estimates are engine-specific; each is
     # bounded against its exact counterpart
     "agg_approx_distinct": {

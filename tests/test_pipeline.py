@@ -2004,3 +2004,55 @@ def test_quantile_normalization_aligns_sources(spark, sf_dir):
         .collect()
     }
     assert by_src == totals
+
+
+def test_arrow_udf_kernels_propagate_null(spark, tmp_path, sf_dir):
+    """r11 (r10 ADVICE): NULL inputs must yield NULL outputs from both
+    Arrow-path kernels — the SQL oracles propagate NULL, so a ''
+    fallback (0 counts) or a TypeError on None would be a latent
+    parity divergence the non-null fixtures never exercise.  Pin it
+    by running each op over a COPY of its input table with a NULL row
+    appended."""
+    import pyspark.sql.functions as F
+
+    from migbq_spark import registry
+
+    Q = registry.queries()
+
+    # documents with one NULL-text row -> mapinarrow_batch_audit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    null_row = docs.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *[
+            F.lit(None).cast(dict(docs.dtypes)[c]).alias(c)
+            for c in docs.columns
+            if c != "doc_id"
+        ],
+    )
+    docs_dir = tmp_path / "docs_null"
+    docs.unionByName(null_row).write.parquet(str(docs_dir / "documents.parquet"))
+    out = Q["mapinarrow_batch_audit"](spark, str(docs_dir))
+    nulls = out.filter(F.col("doc_id") == 1_000_000).collect()
+    assert len(nulls) == 1
+    assert all(
+        nulls[0][c] is None
+        for c in ("n_letters", "n_digits", "n_spaces", "n_other")
+    )
+
+    # orders with one NULL-totalprice row -> udf_arrow_scalar
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    null_o = orders.limit(1).select(
+        (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+        *[
+            F.lit(None).cast(dict(orders.dtypes)[c]).alias(c)
+            for c in orders.columns
+            if c != "o_orderkey"
+        ],
+    )
+    orders_dir = tmp_path / "orders_null"
+    orders.unionByName(null_o).write.parquet(
+        str(orders_dir / "orders.parquet")
+    )
+    out = Q["udf_arrow_scalar"](spark, str(orders_dir))
+    row = out.filter(F.col("o_orderkey") == 1_000_000).collect()
+    assert len(row) == 1 and row[0]["price_mod"] is None

@@ -917,3 +917,51 @@ def test_q20_semi_chain_pushed_prefix_and_daterange(spark, sf_dir):
         "GreaterThanOrEqual(l_shipdate,1997-01-01" in seg.split("]")[0]
         for seg in pushed[1:]
     )
+
+
+def test_null_aware_anti_join_flag_set(spark, sf_dir):
+    """NOT IN over a nullable subquery column must compile to a
+    BroadcastHashJoin with the isNullAwareAntiJoin flag (the trailing
+    `true` on the node) — a plain LeftAnti would silently keep rows
+    under three-valued logic."""
+    plan = _plan(Q["join_anti_null_aware"](spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "SortMergeJoin" not in plan  # NAAJ is broadcast-only
+
+
+def test_fixed_k_sample_is_bounded_heap(spark, sf_dir):
+    """The exactly-k hash sample must be a TakeOrderedAndProject
+    (bounded per-partition heap) — a global Sort before the LIMIT is
+    the anti-pattern this op exists to avoid."""
+    plan = _plan(Q["sample_fixed_k_hash"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_values_dim_folds_to_broadcast(spark, sf_dir):
+    """The VALUES inline dimension must fold to a LocalTableScan on
+    the build side of a BroadcastHashJoin — never a shuffle against
+    a 5-row literal relation."""
+    plan = _plan(Q["values_inline_dim_join"](spark, sf_dir))
+    assert "LocalTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_clause_single_agg_pass(spark, sf_dir):
+    """All three FILTER (WHERE) aggregates must evaluate inside ONE
+    partial+final hash-agg pair over a single scan — the clause gates
+    accumulator updates, it must not fork the scan per predicate."""
+    plan = _plan(Q["agg_filter_clause"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "EvalPython" not in plan
+
+
+def test_page_hinkley_windows_share_sort(spark, sf_dir):
+    """Page-Hinkley's three cumulative windows all order by the same
+    (event_type, d) key — the plan must not re-sort per window (at
+    most the agg sort + one window sort chain)."""
+    plan = _plan(Q["page_hinkley_drift_daily"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "EvalPython" not in plan
