@@ -2367,3 +2367,120 @@ def page_hinkley_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------- dow_seasonal_backtest (r11)
+
+@register(
+    "dow_seasonal_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT d, x,
+               ROW_NUMBER() OVER (ORDER BY d) AS i,
+               CAST((d - DATE '1970-01-01') AS BIGINT) % 7 AS dow
+        FROM daily
+    ),
+    model AS (
+        SELECT dow, CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM idx WHERE i <= 21 GROUP BY dow
+    ),
+    test AS (
+        SELECT t.d, t.x,
+               CAST(m.sx AS DOUBLE) / m.nd AS yhat
+        FROM idx t JOIN model m ON m.dow = t.dow
+        WHERE t.i > 21
+    ),
+    naive AS (
+        SELECT CAST(SUM(x) AS BIGINT) * 1.0 / COUNT(*) AS mu
+        FROM idx WHERE i <= 21
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_days,
+           ROUND(SUM(CAST(FLOOR(ABS(t.x - t.yhat) * 1000000.0)
+                          AS BIGINT)) / 1000000.0 / COUNT(*), 4)
+               AS mae_dow,
+           ROUND(SUM(CAST(FLOOR(ABS(t.x - naive.mu) * 1000000.0)
+                          AS BIGINT)) / 1000000.0 / COUNT(*), 4)
+               AS mae_naive,
+           ROUND(1.0 - SUM(CAST(FLOOR(ABS(t.x - t.yhat) * 1000000.0)
+                                AS BIGINT)) * 1.0
+                       / SUM(CAST(FLOOR(ABS(t.x - naive.mu)
+                                        * 1000000.0) AS BIGINT)),
+                 4) AS skill_vs_naive
+    FROM test t CROSS JOIN naive
+    """,
+)
+def dow_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONAL FORECAST BACKTEST: fit per-weekday mean
+    volume on the first 21 days, forecast the remaining days, score
+    MAE out-of-sample against the flat-mean naive baseline (skill =
+    1 − MAE_dow/MAE_naive) — the EVALUATION half `holt_linear_daily`
+    and `seasonality_dow_hour` don't cover: those FIT models; this
+    op holds data out and asks whether the seasonal structure
+    actually predicts.
+
+    Determinism: day-of-week via epoch-day % 7 (Spark's dayofweek()
+    and DuckDB's disagree on week start — modulo arithmetic
+    sidesteps the dialect); means are exact-integer ratios; each
+    |error| is a fixed IEEE chain floor-quantized to micro-units
+    BEFORE the sum (quantize-before-sum).
+
+    Scale (100 TB): collapses to |days| rows map-side; the model is
+    a 7-row broadcast; the backtest join is map-side against it."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    idx = daily.select(
+        "d",
+        "x",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            % 7
+        ).alias("dow"),
+    )
+    idx = idx.localCheckpoint(eager=True)  # tiny: |days| rows
+    train = idx.filter(F.col("i") <= 21)
+    model = train.groupBy("dow").agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    naive = train.agg(
+        (F.sum("x").cast("bigint") * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "mu"
+        )
+    )
+    test = (
+        idx.filter(F.col("i") > 21)
+        .join(F.broadcast(model), "dow")
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "x",
+            (F.col("sx").cast("double") / F.col("nd")).alias("yhat"),
+            "mu",
+        )
+    )
+    e_dow = F.floor(
+        F.abs(F.col("x") - F.col("yhat")) * F.lit(1000000.0)
+    ).cast("bigint")
+    e_naive = F.floor(
+        F.abs(F.col("x") - F.col("mu")) * F.lit(1000000.0)
+    ).cast("bigint")
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        F.round(
+            F.sum(e_dow) / F.lit(1000000.0) / F.count(F.lit(1)), 4
+        ).alias("mae_dow"),
+        F.round(
+            F.sum(e_naive) / F.lit(1000000.0) / F.count(F.lit(1)), 4
+        ).alias("mae_naive"),
+        F.round(
+            F.lit(1.0) - F.sum(e_dow) * F.lit(1.0) / F.sum(e_naive), 4
+        ).alias("skill_vs_naive"),
+    )

@@ -129,6 +129,7 @@ R12_WINDOW: tuple[str, ...] = (
     "chi_square_independence",
     "page_hinkley_drift_daily",
     "sample_fixed_k_hash",
+    "dow_seasonal_backtest",
     "mix_weighted_sources",
     "ngram_jaccard",
     "dedup_keep_canonical",
