@@ -2197,3 +2197,284 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ------------------------------------------ triangle_count_copurchase (r11)
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pair_occ AS (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+        FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    edges AS (SELECT u, v FROM pair_occ WHERE w >= 2),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges
+        FROM deg
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT stats.n_nodes, ne.n_edges, tri.t AS n_triangles,
+           ROUND(CASE WHEN stats.wedges = 0 THEN 0.0
+                      ELSE 3.0 * tri.t / stats.wedges END, 6)
+               AS clustering_coeff
+    FROM stats CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNT + global clustering coefficient on the part
+    CO-PURCHASE graph (parts co-occurring in >= 2 orders) — the
+    distributed-graph primitive missing between `pagerank_event_graph`
+    (centrality) and `dup_cc_twostar` (connectivity): triangles
+    measure local cohesion, the signal behind community detection and
+    recommend-together.  Edges use the market-basket SUPPORT PRUNE
+    (co-occurrence >= 2): raw co-occurrence pairs grow ~quadratic in
+    basket size x orders, but REPEATED pairs stay sparse at any scale
+    (random pairs rarely repeat), which is what bounds the triangle
+    join — the same support-threshold bound every frequent-itemset
+    miner applies before pair expansion.
+
+    Counting uses the ordered-triple identity (u < v < w via the
+    canonical u < v edge orientation): each triangle counted exactly
+    once, no /6 correction, no direction duplicates.
+
+    Determinism: exact integer counts end-to-end; one rounded ratio.
+
+    Scale (100 TB): pairs are generated ROW-LOCALLY from each
+    order's collected part set (C(basket, 2) per order,
+    basket-bounded — the corpus self-join alternative pays a 2x
+    sort-merge join that measured minutes at sf1); the support
+    filter collapses the edge set BEFORE the triangle join; the
+    wedge-closing join is edges-join-edges on node keys — the
+    standard vertex-partitioned triangle algorithm, with the heaviest
+    node's d^2 wedge fan bounded by the support prune."""
+    li = load(spark, sf_dir, "lineitem")
+    # Row-local pair generation (SCALE.md "row-local pre-aggregation
+    # before the explode"): collect each order's distinct-part set
+    # once and emit the C(basket, 2) ordered pairs INSIDE the row —
+    # a lineitem self-join on orderkey computes the same pairs but
+    # pays a 2x corpus sort-merge join that measured minutes at sf1;
+    # this shape is one collect_set exchange + a basket-bounded
+    # explode.
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    # The support count groups ~|occurrences| NEAR-UNIQUE pair keys
+    # (Heaps-linear distinct pairs).  Two measured choices at sf10:
+    # pack the ordered pair into ONE int64 (u << 32 | v — partkeys
+    # are far below 2^32 at any shipped sf; swap to the struct key if
+    # the part keyspace ever outgrows it) so the aggregation runs on
+    # fixed-width single-long rows (struct keys measured 260 s,
+    # packed 24 s), and repartition-by-key FIRST so no map-side
+    # partial agg builds hash maps that collapse nothing (the
+    # bloom_m_sweep r11 lesson).
+    pair_occ = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> x * 4294967296 + y)))"
+                )
+            ).alias("k")
+        )
+        .repartition("k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .select(
+            F.expr("CAST(k div 4294967296 AS BIGINT)").alias("u"),
+            F.expr("CAST(k % 4294967296 AS BIGINT)").alias("v"),
+            "w",
+        )
+    )
+    edges = pair_occ.filter(F.col("w") >= 2).select("u", "v")
+    edges = edges.localCheckpoint(eager=True)  # reused 5x below
+    e1 = edges.alias("e1")
+    e2 = edges.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2")
+    )
+    e3 = edges.select(
+        F.col("u").alias("u3"), F.col("v").alias("v3")
+    )
+    tri = (
+        e1.join(e2, F.col("u2") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("u3") == F.col("e1.u"))
+            & (F.col("v3") == F.col("v2")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("wedges"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(
+                F.when(F.col("wedges") == 0, F.lit(0.0)).otherwise(
+                    F.lit(3.0) * F.col("t") / F.col("wedges")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# --------------------------------------------- ols_closed_form (r11)
+
+#: Shared Cramer's-rule formula text for the 2-feature OLS normal
+#: equations — ONE source string rendered into BOTH the Spark
+#: expression and the DuckDB oracle, so the IEEE evaluation tree is
+#: identical by construction (all inputs are exact integer sums cast
+#: to double once).
+_OLS_DETS = """
+    det0 AS (SELECT *,
+        (n  * (sx11 * sx22 - sx12 * sx12)
+       - sx1 * (sx1  * sx22 - sx12 * sx2)
+       + sx2 * (sx1  * sx12 - sx11 * sx2)) AS det,
+        (sy  * (sx11 * sx22 - sx12 * sx12)
+       - sx1 * (sx1y * sx22 - sx12 * sx2y)
+       + sx2 * (sx1y * sx12 - sx11 * sx2y)) AS det_b0,
+        (n   * (sx1y * sx22 - sx12 * sx2y)
+       - sy  * (sx1  * sx22 - sx12 * sx2)
+       + sx2 * (sx1  * sx2y - sx1y * sx2)) AS det_b1,
+        (n   * (sx11 * sx2y - sx1y * sx12)
+       - sx1 * (sx1  * sx2y - sx1y * sx2)
+       + sy  * (sx1  * sx12 - sx11 * sx2)) AS det_b2
+    FROM sums)
+"""
+
+
+@register(
+    "ols_closed_form",
+    oracle=f"""
+    WITH raw AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS x2,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS sx1,
+               CAST(SUM(x2) AS DOUBLE) AS sx2,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS sx11,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS sx12,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS sx22,
+               CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS sx2y,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM raw
+    ),
+    {_OLS_DETS}
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(det_b0 / det / 100.0, 4) AS intercept,
+           ROUND(det_b1 / det / 100.0, 4) AS beta_quantity,
+           ROUND(det_b2 / det, 4) AS beta_discount,
+           ROUND(1.0 - (syy - (det_b0 / det) * sy
+                            - (det_b1 / det) * sx1y
+                            - (det_b2 / det) * sx2y)
+                       / (syy - sy * sy / n), 6) AS r_squared
+    FROM det0
+    """,
+)
+def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDINARY LEAST SQUARES by the closed-form normal equations:
+    extendedprice ~ quantity + discount over lineitem, solved with
+    Cramer's rule on the 3x3 Gram matrix — regression as ONE
+    aggregation, the way it distributes (the sufficient statistics
+    n, Σx, Σx², Σxy are map-side-combinable; no gradient loop, no
+    driver iteration, no MLlib dependency).
+
+    Determinism: every sufficient statistic is an exact integer sum
+    (quantities integral, discount/price as cents; Σy² via
+    DECIMAL(38,0) — it overflows int64 at sf0.1); the determinant
+    arithmetic is ONE shared formula string rendered into both
+    engines, so the IEEE tree is identical by construction; four
+    rounded outputs.
+
+    Scale (100 TB): one partial+final aggregation pass, 10 numeric
+    accumulators; everything after runs on a single row.  K features
+    mean K(K+3)/2 accumulators and a driver-side k x k solve — the
+    standard big-data OLS decomposition."""
+    li = load(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = raw.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.sum(
+            F.col("y").cast("decimal(38,0)")
+            * F.col("y").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    sums.createOrReplaceTempView("mq_ols_sums")
+    return spark.sql(
+        f"""
+        WITH sums AS (SELECT * FROM mq_ols_sums),
+        {_OLS_DETS}
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ROUND(det_b0 / det / 100.0, 4) AS intercept,
+               ROUND(det_b1 / det / 100.0, 4) AS beta_quantity,
+               ROUND(det_b2 / det, 4) AS beta_discount,
+               ROUND(1.0 - (syy - (det_b0 / det) * sy
+                                - (det_b1 / det) * sx1y
+                                - (det_b2 / det) * sx2y)
+                           / (syy - sy * sy / n), 6) AS r_squared
+        FROM det0
+        """
+    )

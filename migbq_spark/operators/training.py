@@ -4628,3 +4628,147 @@ def sample_fixed_k_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hkey")
         .limit(100)
     )
+
+
+# -------------------------------------- decision_stump_exact_split (r11)
+
+@register(
+    "decision_stump_exact_split",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS pos
+        FROM events
+    ),
+    freq AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(SUM(pos) AS BIGINT) AS pos_v
+        FROM pts GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               SUM(n_v) OVER (ORDER BY v) AS n_l,
+               SUM(pos_v) OVER (ORDER BY v) AS pos_l,
+               SUM(n_v) OVER () AS nn,
+               SUM(pos_v) OVER () AS pp
+        FROM freq
+    ),
+    gain AS (
+        SELECT v,
+               CAST(n_l AS BIGINT) AS n_l,
+               CAST(pos_l AS BIGINT) AS pos_l,
+               CAST(nn - n_l AS BIGINT) AS n_r,
+               CAST(pp - pos_l AS BIGINT) AS pos_r,
+               CAST(FLOOR((
+                 (1.0 - (CAST(pp AS DOUBLE)/nn)*(CAST(pp AS DOUBLE)/nn)
+                      - (1.0*(nn-pp)/nn)*(1.0*(nn-pp)/nn))
+                 - (CAST(n_l AS DOUBLE)/nn)
+                   * (1.0 - (CAST(pos_l AS DOUBLE)/n_l)
+                            *(CAST(pos_l AS DOUBLE)/n_l)
+                        - (1.0*(n_l-pos_l)/n_l)*(1.0*(n_l-pos_l)/n_l))
+                 - (CAST(nn-n_l AS DOUBLE)/nn)
+                   * (1.0 - (1.0*(pp-pos_l)/(nn-n_l))
+                            *(1.0*(pp-pos_l)/(nn-n_l))
+                        - (1.0*((nn-n_l)-(pp-pos_l))/(nn-n_l))
+                            *(1.0*((nn-n_l)-(pp-pos_l))/(nn-n_l)))
+               ) * 1000000000.0) AS BIGINT) AS gain_q
+        FROM cum WHERE n_l < nn
+    )
+    SELECT ROUND(v / 100.0, 2) AS threshold,
+           ROUND(gain_q / 1000000000.0, 6) AS gini_gain,
+           n_l AS n_left, pos_l AS pos_left,
+           n_r AS n_right, pos_r AS pos_right
+    FROM gain
+    ORDER BY gain_q DESC, v
+    LIMIT 1
+    """,
+)
+def decision_stump_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION STUMP, EXACT BEST SPLIT: the single-feature tree node
+    (predict purchase from event value) evaluated at EVERY possible
+    threshold — the histogram-split primitive inside every gradient-
+    boosting/random-forest trainer, distributed the way XGBoost's
+    exact mode does it: one frequency collapse per feature value, one
+    cumulative-sum window, gain arithmetic per candidate, global
+    argmax.  No row ever sees a candidate it doesn't define.
+
+    Determinism: counts are exact integers; each candidate's Gini
+    gain is a fixed IEEE tree on identical integers, floor-quantized
+    to nano-units so the ARGMAX (gain DESC, then smallest threshold)
+    is an integer comparison — two near-tied candidates cannot flip
+    across engines.
+
+    Scale (100 TB): the value-frequency table is Heaps/domain-bounded
+    (cents domain), the window is one cumsum over |distinct| rows,
+    and the argmax is a TakeOrderedAndProject — the corpus is
+    touched once.  K features run K independent copies of the same
+    collapse (one pass with a feature-id explode)."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    freq = pts.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("pos").cast("bigint").alias("pos_v"),
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wa = Window.partitionBy()
+    cum = freq.select(
+        "v",
+        F.sum("n_v").over(wc).alias("n_l"),
+        F.sum("pos_v").over(wc).alias("pos_l"),
+        F.sum("n_v").over(wa).alias("nn"),
+        F.sum("pos_v").over(wa).alias("pp"),
+    )
+    nn = F.col("nn").cast("double")
+    pp = F.col("pp").cast("double")
+    n_l = F.col("n_l").cast("double")
+    pos_l = F.col("pos_l").cast("double")
+    n_r = nn - n_l
+    pos_r = pp - pos_l
+    parent = (
+        F.lit(1.0) - (pp / nn) * (pp / nn)
+        - ((nn - pp) / nn) * ((nn - pp) / nn)
+    )
+    g_l = (
+        F.lit(1.0) - (pos_l / n_l) * (pos_l / n_l)
+        - ((n_l - pos_l) / n_l) * ((n_l - pos_l) / n_l)
+    )
+    g_r = (
+        F.lit(1.0) - (pos_r / n_r) * (pos_r / n_r)
+        - ((n_r - pos_r) / n_r) * ((n_r - pos_r) / n_r)
+    )
+    gain_q = F.floor(
+        (parent - (n_l / nn) * g_l - (n_r / nn) * g_r)
+        * F.lit(1000000000.0)
+    ).cast("bigint")
+    gain = cum.filter(F.col("n_l") < F.col("nn")).select(
+        "v",
+        F.col("n_l").cast("bigint").alias("n_left"),
+        F.col("pos_l").cast("bigint").alias("pos_left"),
+        (F.col("nn") - F.col("n_l")).cast("bigint").alias("n_right"),
+        (F.col("pp") - F.col("pos_l")).cast("bigint").alias("pos_right"),
+        gain_q.alias("gain_q"),
+    )
+    return (
+        gain.orderBy(F.desc("gain_q"), "v")
+        .limit(1)
+        .select(
+            F.round(F.col("v") / 100.0, 2).alias("threshold"),
+            F.round(F.col("gain_q") / F.lit(1000000000.0), 6).alias(
+                "gini_gain"
+            ),
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+        )
+    )

@@ -130,6 +130,9 @@ R12_WINDOW: tuple[str, ...] = (
     "page_hinkley_drift_daily",
     "sample_fixed_k_hash",
     "dow_seasonal_backtest",
+    "triangle_count_copurchase",
+    "ols_closed_form",
+    "decision_stump_exact_split",
     "mix_weighted_sources",
     "ngram_jaccard",
     "dedup_keep_canonical",

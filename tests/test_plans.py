@@ -965,3 +965,38 @@ def test_page_hinkley_windows_share_sort(spark, sf_dir):
     plan = _plan(Q["page_hinkley_drift_daily"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "EvalPython" not in plan
+
+
+def test_triangle_edges_checkpoint_reused_no_smj(spark, sf_dir):
+    """The co-purchase triangle count must reuse ONE materialized edge
+    set (checkpoint → ExistingRDD scans) across the wedge-closing
+    join, degree rollup and edge count — and never sort-merge-join
+    the corpus (the self-join formulation measured minutes at sf1;
+    pairs are generated row-locally from collected baskets)."""
+    plan = _plan(Q["triangle_count_copurchase"](spark, sf_dir))
+    assert "Scan parquet" not in plan  # corpus touched only at checkpoint
+    assert plan.count("ExistingRDD") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ols_single_pass_no_join(spark, sf_dir):
+    """Closed-form OLS must be ONE partial+final aggregation over one
+    scan — no join, no iteration, no Python; the Cramer solve runs on
+    a single row."""
+    plan = _plan(Q["ols_closed_form"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stump_argmax_is_bounded_heap(spark, sf_dir):
+    """The exact-split stump's argmax must be a TakeOrderedAndProject
+    over the frequency-table gains — one corpus scan, one frequency
+    exchange, no global sort of candidates."""
+    plan = _plan(Q["decision_stump_exact_split"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
