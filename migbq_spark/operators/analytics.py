@@ -2478,3 +2478,339 @@ def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM det0
         """
     )
+
+
+# ------------------------------------------------ knn_eval_metrics (r11)
+
+@register(
+    "knn_eval_metrics",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id AS q_id, label AS ql,
+               CAST(FLOOR(CAST(u.v AS DOUBLE) * 10000000) AS BIGINT)
+                   AS qq,
+               u.p AS pos
+        FROM embeddings, LATERAL (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS p) u
+        WHERE vec_id < 10
+    ),
+    cv AS (
+        SELECT vec_id AS n_id, label AS nl,
+               CAST(FLOOR(CAST(u.v AS DOUBLE) * 10000000) AS BIGINT)
+                   AS cq,
+               u.p AS pos
+        FROM embeddings, LATERAL (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS p) u
+    ),
+    sims AS (
+        SELECT qv.q_id, qv.ql, cv.n_id, cv.nl,
+               CAST(SUM(qv.qq * cv.cq) AS BIGINT) AS dq
+        FROM qv JOIN cv ON qv.pos = cv.pos
+        WHERE qv.q_id <> cv.n_id
+        GROUP BY qv.q_id, qv.ql, cv.n_id, cv.nl
+    ),
+    ranked AS (
+        SELECT q_id, ql,
+               CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY dq DESC, n_id) AS i
+        FROM sims
+    ),
+    w AS (SELECT i, CAST(FLOOR(wt * 1000000000.0) AS BIGINT) AS wq
+          FROM (VALUES (1, 1.0),
+                       (2, 1.0 / LOG2(3.0)),
+                       (3, 1.0 / LOG2(4.0)),
+                       (4, 1.0 / LOG2(5.0)),
+                       (5, 1.0 / LOG2(6.0))) AS w(i, wt)),
+    rcount AS (
+        SELECT e.vec_id AS q_id,
+               CAST(COUNT(*) AS BIGINT) AS r
+        FROM embeddings e JOIN embeddings o
+          ON o.label = e.label AND o.vec_id <> e.vec_id
+        WHERE e.vec_id < 10
+        GROUP BY e.vec_id
+    ),
+    ks AS (SELECT unnest([1, 3, 5]) AS k),
+    perq AS (
+        SELECT ks.k, r.q_id,
+               CAST(SUM(r.rel) AS BIGINT) AS hits,
+               CAST(SUM(r.rel * w.wq) AS BIGINT) * 1000000
+                   // (SELECT CAST(SUM(w2.wq) AS BIGINT) FROM w w2
+                       WHERE w2.i <= LEAST(ks.k, rcount.r)) AS ndcg_q
+        FROM ranked r
+        JOIN w ON w.i = r.i
+        JOIN rcount ON rcount.q_id = r.q_id
+        CROSS JOIN ks
+        WHERE r.i <= ks.k
+        GROUP BY ks.k, r.q_id, rcount.r
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * k), 6)
+               AS precision_at_k,
+           ROUND(CAST(SUM(ndcg_q) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS ndcg_at_k
+    FROM perq GROUP BY k ORDER BY k
+    """,
+)
+def knn_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION METRICS — precision@k and NDCG@k of exact
+    cosine retrieval with label-match relevance, k in {1, 3, 5}: the
+    measurement half of the similarity-search family (`cosine_topk`
+    retrieves, `ann_*` approximate; THIS op scores whether neighbors
+    are semantically right).  Relevance = the neighbor shares the
+    query's label; IDCG uses the ideal ranking of the query's FULL
+    relevant set truncated at k (the textbook definition, not the
+    within-top-k shortcut that inflates scores).
+
+    Determinism: dot products are exact int64 sums of 1e7-floored
+    component products (no float accumulation order); ranks tiebreak
+    on n_id; the 5 discount weights are nano-quantized int64s from
+    one shared table, so per-query DCG and IDCG are EXACT integer
+    sums and NDCG is one integer division — no double accumulation
+    anywhere before the final rounded means.
+
+    Scale (100 TB): the candidate side streams once through a
+    pos-join against the 10-query broadcast; ranks are one window
+    per query partition; everything after runs on |queries| x k
+    rows.  More queries -> same plan, larger broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    def expl(df, idp, lblp, valp):
+        return df.select(
+            F.col("vec_id").alias(idp),
+            F.col("label").alias(lblp),
+            F.posexplode("embedding").alias("pos", "v"),
+        ).select(
+            idp, lblp, "pos",
+            F.floor(F.col("v").cast("double") * 10000000)
+            .cast("bigint")
+            .alias(valp),
+        )
+    qv = expl(emb.filter(F.col("vec_id") < 10), "q_id", "ql", "qq")
+    cv = expl(emb, "n_id", "nl", "cq")
+    sims = (
+        cv.join(F.broadcast(qv), "pos")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "ql", "n_id", "nl")
+        .agg(F.sum(F.col("qq") * F.col("cq")).cast("bigint").alias("dq"))
+    )
+    ranked = sims.select(
+        "q_id",
+        "ql",
+        F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        F.row_number()
+        .over(Window.partitionBy("q_id").orderBy(F.desc("dq"), "n_id"))
+        .alias("i"),
+    )
+    w = spark.range(1, 6).select(
+        F.col("id").cast("int").alias("i"),
+        F.floor(
+            F.when(F.col("id") == 1, F.lit(1.0))
+            .otherwise(F.lit(1.0) / F.log2(F.col("id") + F.lit(1.0)))
+            * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("wq"),
+    )
+    e2 = emb.select(F.col("vec_id").alias("o_id"), F.col("label").alias("ol"))
+    rcount = (
+        emb.filter(F.col("vec_id") < 10)
+        .join(
+            e2,
+            (F.col("ol") == F.col("label"))
+            & (F.col("o_id") != F.col("vec_id")),
+        )
+        .groupBy(F.col("vec_id").alias("rq_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+    ks = spark.createDataFrame([(1,), (3,), (5,)], "k int")
+    perq = (
+        ranked.join(F.broadcast(w), "i")
+        .join(F.broadcast(rcount), F.col("rq_id") == F.col("q_id"))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("i") <= F.col("k"))
+        .groupBy("k", "q_id", "r")
+        .agg(
+            F.sum("rel").cast("bigint").alias("hits"),
+            F.sum(F.col("rel") * F.col("wq")).cast("bigint").alias("dcg_q"),
+        )
+    )
+    # idcg = sum of nano-quantized weights for i <= least(k, r) —
+    # truncated at r exactly as the oracle's scalar subquery (r >= 5
+    # in this fixture so least(k, r) == k, but the guard stays exact);
+    # dcg/idcg are exact ints, so ndcg_q is one integer division
+    w2 = w.select(F.col("i").alias("wi"), F.col("wq").alias("wwq"))
+    idcg = (
+        perq.select("k", "r")
+        .distinct()
+        .join(
+            F.broadcast(w2),
+            F.col("wi") <= F.least(F.col("k"), F.col("r")),
+        )
+        .groupBy(F.col("k").alias("ik"), F.col("r").alias("ir"))
+        .agg(F.sum("wwq").cast("bigint").alias("idcg_q"))
+    )
+    perq2 = perq.join(
+        F.broadcast(idcg),
+        (F.col("ik") == F.col("k")) & (F.col("ir") == F.col("r")),
+    ).select(
+        "k",
+        "q_id",
+        F.expr("CAST((dcg_q * 1000000) div idcg_q AS BIGINT)").alias(
+            "ndcg_q"
+        ),
+        "hits",
+    )
+    return (
+        perq2.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum("hits").cast("double")
+                / (F.count(F.lit(1)) * F.col("k")),
+                6,
+            ).alias("precision_at_k"),
+            F.round(
+                F.sum("ndcg_q").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("ndcg_at_k"),
+        )
+        .orderBy("k")
+    )
+
+
+# ------------------------------------- centroid_classifier_confusion (r11)
+
+@register(
+    "centroid_classifier_confusion",
+    oracle="""
+    WITH train AS (
+        SELECT label, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    cent AS (
+        SELECT label, u.p AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(u.v AS DOUBLE) * 10000000)
+                             AS BIGINT)) AS BIGINT) AS s
+        FROM train, LATERAL (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS p) u
+        GROUP BY label, u.p
+    ),
+    nl AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM train GROUP BY label
+    ),
+    test AS (
+        SELECT vec_id, label AS true_label,
+               CAST(FLOOR(CAST(u.v AS DOUBLE) * 10000000) AS BIGINT)
+                   AS xq,
+               u.p AS dim
+        FROM embeddings, LATERAL (SELECT unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS p) u
+        WHERE vec_id % 5 = 0
+    ),
+    scores AS (
+        SELECT t.vec_id, t.true_label, c.label AS cand,
+               CAST(SUM(CAST(t.xq AS DECIMAL(38,0)) * c.s) AS DOUBLE)
+                   / nl.n AS score
+        FROM test t
+        JOIN cent c ON c.dim = t.dim
+        JOIN nl ON nl.label = c.label
+        GROUP BY t.vec_id, t.true_label, c.label, nl.n
+    ),
+    pred AS (
+        SELECT vec_id, true_label, cand AS pred_label
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, cand) AS rn FROM scores)
+        WHERE rn = 1
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-CENTROID CLASSIFIER with a held-out CONFUSION MATRIX:
+    fit per-label mean embeddings on the 80% train split (vec_id % 5
+    <> 0), classify the held-out 20% by highest centroid dot product,
+    report the (true, predicted) cell counts — the evaluation loop
+    every embedding pipeline runs before trusting labels, expressed
+    as joins and aggregations (fit = ONE groupBy, predict = ONE
+    broadcast join, evaluate = ONE count rollup; compare
+    `embed_label_centroid`, which fits the same centroids but never
+    scores them).
+
+    Determinism: components quantize to 1e7-floored ints; each
+    (vector, label) dot is an exact DECIMAL(38,0) integer sum; the
+    only double is the per-candidate score (one IEEE division by the
+    label count), and the argmax tiebreaks on label.
+
+    Scale (100 TB): centroid sums are |labels| x |dims| rows
+    (broadcastable at any corpus size); the test stream joins them
+    map-side and never shuffles the corpus; the confusion rollup is
+    |labels|^2 cells.  The train/test hash split is row-local."""
+    emb = load(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    cent = (
+        train.select(
+            "label", F.posexplode("embedding").alias("dim0", "v")
+        )
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.sum(
+                F.floor(F.col("v").cast("double") * 10000000).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nl = train.groupBy(F.col("label").alias("nlab")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    test = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.posexplode("embedding").alias("dim0", "v"),
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 10000000)
+            .cast("bigint")
+            .alias("xq"),
+        )
+    )
+    scores = (
+        test.join(F.broadcast(cent), "dim")
+        .join(F.broadcast(nl), F.col("nlab") == F.col("label"))
+        .groupBy("vec_id", "true_label", F.col("label").alias("cand"), "n")
+        .agg(
+            (
+                F.sum(F.col("xq").cast("decimal(38,0)") * F.col("s"))
+                .cast("double")
+                / F.col("n")
+            ).alias("score")
+        )
+    )
+    pred = (
+        scores.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("score"), "cand"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("cand").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -111,8 +111,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: ``parquet_sink``), which becomes the oldest driver evidence once
 #: r11 grades (r10 VERDICT "Next round" #5 names this span for r12).
 #: The r12 rotation trims to EXACTLY 50 at rotation time, rolling any
-#: overflow to r13 staging.  Every previously-graded id is
-#: parity-guarded continuously since it was first graded.
+#: overflow to r13 staging.  (End-of-r11 state: the 19 r11 additions
+#: + the 31-id r5-block overflow land the staging at exactly 50 — no
+#: trim needed; the r6-graded aggregates/sources refresh span rolls
+#: to r13.)  Every previously-graded id is parity-guarded
+#: continuously since it was first graded.
 R12_WINDOW: tuple[str, ...] = (
     # r11 additions land HERE (inserted at the head as they are
     # implemented this round — new evidence outranks refresh)
@@ -133,6 +136,8 @@ R12_WINDOW: tuple[str, ...] = (
     "triangle_count_copurchase",
     "ols_closed_form",
     "decision_stump_exact_split",
+    "knn_eval_metrics",
+    "centroid_classifier_confusion",
     "mix_weighted_sources",
     "ngram_jaccard",
     "dedup_keep_canonical",
