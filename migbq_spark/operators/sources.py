@@ -174,14 +174,23 @@ def parquet_sink_day_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
-@register("jdbc_source")  # rows-only: no live RDBMS; Derby is in-process
+@register(
+    "jdbc_source",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
 def jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MSSQL/MySQL connector path, exercised for real against embedded
     Derby: load nation → JDBC table, then `spark.read.jdbc` with
     partitionColumn/lowerBound/upperBound/numPartitions — Spark emits one
     stride query per partition, which IS migbq's PK-range sweep run in
     parallel.  Production swaps the URL/driver for MSSQL (TDS) or MySQL;
-    nothing else changes."""
+    nothing else changes.  r11 upgrade: the Derby roundtrip is
+    content-deterministic (it IS the nation table), so the op carries
+    a full hash oracle — the JDBC stride-read must return exactly the
+    source rows (type mapping included: Derby INTEGER ≡ parquet
+    int32)."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     url = f"jdbc:derby:memory:migbq_{tag};create=true"
     src = load(spark, sf_dir, "nation")
@@ -206,7 +215,17 @@ def jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bq_sink_adapter")  # rows-only: connector jar absent offline
+@register(
+    "bq_sink_adapter",
+    oracle="""
+    SELECT 'bigquery' AS format,
+           'project.dataset.region' AS "table",
+           'indirect' AS write_method,
+           'parquet' AS intermediate_format,
+           'append' AS mode,
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS n_rows
+    """,
+)
 def bq_sink_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production BigQuery sink (spark-bigquery-connector) — the writer
     plan is built exactly as production would
@@ -220,6 +239,12 @@ def bq_sink_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("temporaryGcsBucket", bucket)
           .option("intermediateFormat", "parquet")
           .mode("append").save()
+
+    r11 upgrade: the offline RESULT (the resolved load-job config +
+    the source row count) is fully deterministic, so it is pinned by
+    a literal hash oracle — the strongest offline check available;
+    the save() path itself still needs the connector jar (rows-only
+    residue documents the boundary).
     """
     src = load(spark, sf_dir, "region")
     writer = (

@@ -62,20 +62,11 @@ def test_every_query_has_contract_entry():
 #: the table: complete over ROWS_ONLY_IDS, twins actually hash-checked,
 #: pin locations actually existing tests.
 ROWS_ONLY_EVIDENCE = {
-    # live connectors: no offline hash possible by design; the plan /
-    # roundtrip paths are what CAN be tested in this sandbox
-    "jdbc_source": {
-        "twins": [],
-        "bound": "embedded-Derby JDBC roundtrip equals the parquet "
-        "source slice",
-        "pinned_in": ("tests.test_app", "test_cli_jdbc_roundtrip"),
-    },
-    "bq_sink_adapter": {
-        "twins": [],
-        "bound": "staged-export writer path executes end-to-end and "
-        "survives the driver canonicalizer (no BigQuery in sandbox)",
-        "pinned_in": ("tests.test_parity", "test_rows_only_runs"),
-    },
+    # jdbc_source and bq_sink_adapter LEFT this table in r11: the
+    # Derby roundtrip is content-deterministic (hash oracle = the
+    # nation table) and the bq adapter's offline result (resolved
+    # load-job config + source count) is pinned by a literal oracle;
+    # kafka_source_adapter left the same way earlier in r11.
     # kafka_source_adapter LEFT this table in r11: its exercised path
     # (file-backed topic-log stream through the same from_json parse,
     # drained availableNow) is deterministic, so it carries a full
