@@ -205,13 +205,22 @@ def test_bench_final_line_parses_small():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
     )
-    proc = subprocess.run(
-        [sys.executable, str(repo / "bench.py")],
-        capture_output=True,
-        text=True,
-        timeout=900,
-        env=env,
-    )
+    # bench.py unconditionally rewrites the repo-root BENCH_DETAIL.json
+    # — snapshot and restore it so this smallest-SF smoke run cannot
+    # clobber the committed sf0.1 round artifact.
+    detail = repo / "BENCH_DETAIL.json"
+    saved = detail.read_text() if detail.exists() else None
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(repo / "bench.py")],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            env=env,
+        )
+    finally:
+        if saved is not None:
+            detail.write_text(saved)
     assert proc.returncode == 0, proc.stderr[-2000:]
     last = proc.stdout.strip().splitlines()[-1]
     assert len(last) < 4096, f"final line {len(last)} bytes"
