@@ -96,6 +96,45 @@ R8_FAMILY = [
 ]
 
 
+#: Calibration anchor (r11 VERDICT "Next round" #2): the r11 judge
+#: measured ~2x wall-clock on IDENTICAL code vs the r10 box, so raw
+#: cross-round seconds are not comparable without a same-code probe.
+#: `_calibration_probe` is FROZEN code with NO table input (range ->
+#: xxhash64 -> shuffle agg), so its runtime moves only with the box.
+#: CAL_REF_SEC pins the probe's min-of-3 on the r12 builder box (the
+#: anchor box, box_factor = 1.0); every bench emission reports
+#: box_factor = probe_sec / CAL_REF_SEC, and BASELINE.md's band is
+#: read as band x box_factor.
+CAL_REF_SEC = 0.57
+
+
+def _calibration_probe(spark) -> float:
+    """Min-of-3 runtime of a fixed shuffle-agg plan over spark.range
+    (no parquet, no repo operators — must NEVER change, or box_factor
+    loses cross-round meaning)."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 40_000_000)
+            .select((F.xxhash64("id") % 4096).alias("k"))
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                # pmod bounds the summand so the fold can never hit the
+                # ANSI int64-overflow error on any session defaults
+                F.sum(F.pmod(F.xxhash64("k"), F.lit(1000000))).alias("s"),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from migbq_spark import registry
@@ -106,6 +145,9 @@ def main() -> None:
 
     # warm-up: JVM, codegen, parquet footer caches
     queries["agg_pk_bounds"](spark, sf_dir).collect()
+
+    cal_sec = _calibration_probe(spark)
+    box_factor = round(cal_sec / CAL_REF_SEC, 3)
 
     # Three runs per query, min reported (r2 VERDICT item 8: n=2 left
     # ±15-25% run-to-run spread that produced a phantom regression): the
@@ -139,6 +181,8 @@ def main() -> None:
         "r8_family_sec": round(sum(timings[q] for q in R8_FAMILY), 4),
         "queries": timings,
         "spread_pct": spread,
+        "calibration_sec": round(cal_sec, 4),
+        "box_factor": box_factor,
         "sf": sf_val,
     }
     # Full per-query + spread dump: side file + an EARLY stdout line.
@@ -162,6 +206,7 @@ def main() -> None:
         "r6_family_sec": detail["r6_family_sec"],
         "r8_family_sec": detail["r8_family_sec"],
         "queries": {q: timings[q] for q in HEADLINE},
+        "box_factor": box_factor,
         "sf": sf_val,
     }
     line = json.dumps(summary)

@@ -1914,7 +1914,12 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-standard way.  The oracle runs the identical FILTER text on
     DuckDB.
 
-    Determinism: exact counts, exact decimal sums, integral max.
+    Determinism: exact counts, integral max; bulk_revenue sums as
+    exact DECIMAL then casts to DOUBLE on the Spark side (r11 ADVICE
+    medium) because DuckDB's .df() renders DECIMAL(38,2) as float64 —
+    a Spark Decimal would stringify "x.10" vs float64 "x.1" whenever
+    a group's cents digit is 0.  Both engines take nearest-double of
+    the SAME exact decimal, so the rendering is identical.
 
     Scale (100 TB): all FILTER aggregates evaluate in the SAME
     partial+final hash agg over ONE pass — the predicate gates the
@@ -1928,9 +1933,9 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT)
                    AS n_discounted,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                        FILTER (WHERE l_quantity >= 25)
-                    AS DECIMAL(38,2)) AS bulk_revenue,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             FILTER (WHERE l_quantity >= 25)
+                         AS DECIMAL(38,2)) AS DOUBLE) AS bulk_revenue,
                CAST(MAX(l_quantity) FILTER (WHERE l_linestatus = 'F')
                     AS BIGINT) AS max_final_qty
         FROM mq_fc_lineitem

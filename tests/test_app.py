@@ -221,10 +221,18 @@ def test_bench_final_line_parses_small():
     finally:
         if saved is not None:
             detail.write_text(saved)
+        else:
+            # No pre-existing artifact: remove the smoke run's output so
+            # a fresh checkout is left clean (r11 ADVICE low).
+            detail.unlink(missing_ok=True)
     assert proc.returncode == 0, proc.stderr[-2000:]
     last = proc.stdout.strip().splitlines()[-1]
     assert len(last) < 4096, f"final line {len(last)} bytes"
     parsed = json.loads(last)
-    for key in ("metric", "value", "unit", "queries", "sf"):
+    for key in ("metric", "value", "unit", "queries", "sf", "box_factor"):
         assert key in parsed, f"missing {key}"
     assert parsed["unit"] == "sec" and parsed["value"] > 0
+    # r12 (r11 VERDICT "Next round" #2): the same-code calibration
+    # anchor must ride every emission so cross-round wall-clock is
+    # box-normalizable; a zero/negative factor means the probe broke.
+    assert parsed["box_factor"] > 0
