@@ -2870,3 +2870,149 @@ def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------- hits_hub_authority (r12)
+
+@register(
+    "hits_hub_authority",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    h1 AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS h FROM e GROUP BY c),
+    a1 AS (
+        SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS a
+        FROM e JOIN h1 USING (c) GROUP BY e.p
+    ),
+    h2 AS (
+        SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+        FROM e JOIN a1 USING (p) GROUP BY e.c
+    ),
+    a2 AS (
+        SELECT e.p, CAST(SUM(h2.h) AS BIGINT) AS a
+        FROM e JOIN h2 USING (c) GROUP BY e.p
+    ),
+    mx AS (SELECT CAST(MAX(a) AS BIGINT) AS m FROM a2)
+    SELECT a2.p AS l_partkey, a2.a AS auth2,
+           ROUND(CAST(a2.a AS DOUBLE) / mx.m, 6) AS auth_norm
+    FROM a2 CROSS JOIN mx
+    ORDER BY a2.a DESC, a2.p LIMIT 10
+    """,
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs-and-authorities, 2 unrolled
+    iterations over the bipartite customer->part purchase graph
+    (edges = DISTINCT (custkey, partkey) from orders x lineitem):
+    authority(part) accumulates hub mass from every buying customer,
+    hub(customer) accumulates authority mass back — the mutual-
+    reinforcement ranking `pagerank_event_graph` can't express (it
+    needs the bipartite double update).  Top-10 authorities reported.
+
+    Determinism: with a_0 = 1 the UNNORMALIZED iterates stay exact
+    int64 (a2 = sum over paths of degree products; budget ~ E *
+    deg_max^2 — safe to ~1e6-degree graphs at 1e9 edges; normalize
+    per-iteration in doubles past that); ties broken by partkey in
+    the ORDER BY; the only double is the final max-normalized score.
+
+    Scale (100 TB): edges distinct-collapse once (the only
+    corpus-wide shuffle) and are localCheckpointed because FOUR
+    downstream aggregations reuse them (the r11 triangle-count
+    precedent); each iteration is a map-side-combinable groupBy after
+    an equi-join keyed on the reused edge partitioning."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    h1 = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    a1 = (
+        e.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        e.join(h2, "c")
+        .groupBy("p")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    mx = a2.agg(F.max("a").cast("bigint").alias("m"))
+    return (
+        a2.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p").alias("l_partkey"),
+            F.col("a").alias("auth2"),
+            F.round(F.col("a").cast("double") / F.col("m"), 6).alias(
+                "auth_norm"
+            ),
+        )
+        .orderBy(F.col("auth2").desc(), "l_partkey")
+        .limit(10)
+    )
+
+
+# ------------------------------------------ degree_distribution_log2 (r12)
+
+@register(
+    "degree_distribution_log2",
+    oracle="""
+    WITH d AS (
+        SELECT l.l_partkey AS p,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS deg
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_partkey
+    )
+    SELECT CAST(LENGTH(printf('%b', deg)) - 1 AS BIGINT)
+               AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM d GROUP BY LENGTH(printf('%b', deg)) - 1
+    ORDER BY log2_bucket
+    """,
+)
+def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE DISTRIBUTION of the customer->part purchase graph in
+    log2 buckets — the power-law sanity check run before any graph
+    algorithm (a heavy-tailed degree histogram predicts skew in
+    `hits_hub_authority` / `pagerank_event_graph` shuffles and tells
+    you which keys need salting).
+
+    Determinism: floor(log2(deg)) is computed WITHOUT floating log —
+    Spark `length(bin(deg)) - 1` vs DuckDB `length(printf('%b',
+    deg)) - 1`, both exact bit-length arithmetic (Math.log-based log2
+    returns 2.9999... for exact powers of two on some libm, flipping
+    the bucket; the string length cannot).
+
+    Scale (100 TB): one distinct-collapse groupBy (partial
+    aggregation pushes the distinct map-side), then a <= 40-bucket
+    rollup."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    d = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("deg"))
+    )
+    return (
+        d.groupBy(
+            (F.length(F.expr("bin(deg)")) - 1)
+            .cast("bigint")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+        .orderBy("log2_bucket")
+    )

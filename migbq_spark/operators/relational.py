@@ -13,12 +13,15 @@ and stay inside whole-stage codegen (no Python UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
 from migbq_spark.common import DEC
 from migbq_spark.registry import register
+
+#: events.value dollars -> exact int64 cents (r12 SQL-surface batch).
+_CENTS_EV = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 
 @register(
@@ -480,4 +483,199 @@ def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w.tier
         ORDER BY w.tier
         """
+    )
+
+
+# --------------------------------------------- listagg_sorted_groups (r12)
+
+@register(
+    "listagg_sorted_groups",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rich,
+           STRING_AGG(c.c_name, ',' ORDER BY c.c_name) AS names_csv
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9900
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def listagg_sorted_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED STRING AGGREGATION (SQL:2023 LISTAGG / DuckDB
+    STRING_AGG ... ORDER BY): the names of each nation's richest
+    customers (acctbal > 9900) as one deterministic comma-joined
+    string.  Spark expresses the ordered aggregate as
+    array_join(array_sort(collect_list(...))) — collect_list order is
+    partition-nondeterministic, so the EXPLICIT array_sort is what
+    makes the result well-defined (and hash-stable), the exact pitfall
+    this operator documents.
+
+    Determinism: group sets are exact; the join order inside the
+    string is lexicographic by construction on both engines.
+
+    Scale (100 TB): the acctbal filter pushes to the scan; the nation
+    dim broadcasts; per-group lists are selectivity-bounded (document
+    the bound when reusing — an unfiltered listagg over a fact table
+    is a driver-killer, not an operator)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rich"),
+            F.array_join(
+                F.array_sort(F.collect_list("c_name")), ","
+            ).alias("names_csv"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------- win_first_last_ignore_nulls (r12)
+
+@register(
+    "win_first_last_ignore_nulls",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN NULL
+                    ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100
+                              AS BIGINT) END AS nv
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               FIRST_VALUE(nv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS first_nn,
+               LAST_VALUE(nv IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS last_nn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM s
+    )
+    SELECT DISTINCT user_id, first_nn, last_nn,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM w ORDER BY user_id
+    """,
+)
+def win_first_last_ignore_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE with IGNORE NULLS (SQL:2008 T618) over
+    each user's event timeline: the first and last non-null cents
+    value (views carry NULL) — the null-skipping window surface that
+    LOCF/carry-forward pipelines build on (`locf_impute` is the
+    bounded-frame cousin).  Spark spells it F.first/F.last(...,
+    ignorenulls=True) over an unbounded frame; DuckDB spells it
+    FIRST_VALUE(x IGNORE NULLS).
+
+    Determinism: (ts, event_id) is a unique order key, so first/last
+    are well-defined; all outputs exact int64.
+
+    Scale (100 TB): ONE user-partitioned window (both functions +
+    the count share the same partitioning — one shuffle) followed by
+    a distinct that collapses user-locally."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(
+            F.expr(_CENTS_EV)
+        ).alias("nv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        s.select(
+            "user_id",
+            F.first("nv", ignorenulls=True).over(w).alias("first_nn"),
+            F.last("nv", ignorenulls=True).over(w).alias("last_nn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_events"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------- try_arith_null_safety (r12)
+
+@register(
+    "try_arith_null_safety",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               o_custkey % 7 AS k,
+               TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                             THEN CAST(o_orderkey AS VARCHAR)
+                             ELSE o_orderstatus END AS INT) AS tc
+        FROM orders
+    ),
+    q AS (
+        SELECT CAST(cents AS DOUBLE) / NULLIF(k, 0) AS qd, tc FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN qd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_null,
+           CAST(SUM(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cast_null,
+           CAST(SUM(CAST(FLOOR(qd * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_q2
+    FROM q
+    """,
+)
+def try_arith_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SAFE ARITHMETIC surface: Spark 3.2+ `try_divide` (NULL on
+    division by zero instead of the ANSI error) and `TRY_CAST` (NULL
+    on malformed input), mirrored in the oracle by the portable
+    x / NULLIF(d, 0) and DuckDB TRY_CAST idioms — the null-safety
+    contract an ingestion engine needs when ANSI mode is ON (this
+    engine's sessions run Spark 4 defaults, ansi=true; `mcnemar_test`
+    hit exactly this error class before its NULLIF guard).
+
+    Determinism: quotients floor-quantized to int64 centi-units per
+    row before the sum (budget: |q|*100 <= 6e9 per row -> sum safe to
+    ~1e9 rows; re-quantize coarser past that); NULL counters exact.
+
+    Scale (100 TB): narrow projection + one aggregation, no shuffle
+    beyond the final rollup; stays in whole-stage codegen (try_*
+    are JVM expressions, not UDFs)."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        (F.col("o_custkey") % 7).alias("k"),
+        F.expr(
+            "TRY_CAST(CASE WHEN o_orderkey % 3 = 0"
+            " THEN CAST(o_orderkey AS STRING)"
+            " ELSE o_orderstatus END AS INT)"
+        ).alias("tc"),
+    )
+    q = s.select(
+        F.try_divide(
+            F.col("cents").cast("double"), F.nullif(F.col("k"), F.lit(0))
+        ).alias("qd"),
+        "tc",
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("qd").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.sum(F.when(F.col("tc").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cast_null"),
+        F.sum(F.floor(F.col("qd") * F.lit(100.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_q2"),
     )

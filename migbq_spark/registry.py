@@ -117,8 +117,33 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: aggregates ids (``corr_moments`` onward).  Every previously-graded
 #: id is parity-guarded continuously since it was first graded.
 R13_WINDOW: tuple[str, ...] = (
-    # r12 additions land HERE (inserted at the head as they are
-    # implemented this round — new evidence outranks refresh)
+    # r12 additions (never driver-run — new evidence outranks refresh):
+    # the eval-metrics batch (evalstats.py), the nonparametric-tests
+    # batch (evalstats.py), and the graph + SQL-surface batch
+    # (analytics.py / relational.py)
+    "roc_auc_exact",
+    "pr_auc_trapezoid",
+    "calibration_bins_report",
+    "brier_score_decomposition",
+    "cohens_kappa_agreement",
+    "mcc_binary_confusion",
+    "kruskal_wallis_value",
+    "mcnemar_test",
+    "cochran_q_usertype",
+    "wilcoxon_signed_rank_paired",
+    "mood_median_test",
+    "sign_test_paired",
+    "hits_hub_authority",
+    "degree_distribution_log2",
+    "listagg_sorted_groups",
+    "win_first_last_ignore_nulls",
+    "try_arith_null_safety",
+    "welch_anova_value",
+    "jackknife_loo_ratio",
+    "cooks_distance_daily",
+    "grubbs_outlier_daily",
+    "runs_test_updown_daily",
+    "durbin_watson_daily",
     # r6-graded aggregates refresh span (hash-oracle ids only)
     "agg_pk_bounds",
     "agg_groupby_sum",
@@ -178,6 +203,7 @@ def _load_all() -> None:
         aggregates,
         analytics,
         control,
+        evalstats,
         joins,
         macros,
         multimodal,

@@ -1000,3 +1000,93 @@ def test_stump_argmax_is_bounded_heap(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------------- r12 plan contracts
+
+
+def _no_single_partition_window(plan: str) -> bool:
+    """True iff no WindowExec runs with an empty partition spec.
+
+    A single-partition window shows as `Window [...windowspecdefinition(
+    <order> ASC...` with NO partition columns before the order column —
+    detectable via the executedPlan's `SinglePartition` distribution
+    requirement feeding a Window node.  We assert the cheap sufficient
+    condition: every `windowspecdefinition(` carries at least two
+    comma-separated leading args (partition col + order col).
+    """
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # partitioned specs look like "col1#1L, col2#2L ASC ..."; an
+        # unpartitioned one starts directly with the order expression
+        # ("col#1L ASC NULLS FIRST, specifiedwindowframe...")
+        first = args.split(",")[0]
+        if "ASC" in first or "DESC" in first:
+            return False
+    return True
+
+
+def test_rank_prefix_ops_have_no_global_window(spark, sf_dir):
+    """r12 (r11 VERDICT #4): every rank-statistic op built on the
+    hierarchical prefix — including the rewritten mann_whitney — must
+    plan ZERO unpartitioned WindowExec nodes."""
+    for qid in (
+        "mann_whitney_u_value",
+        "roc_auc_exact",
+        "pr_auc_trapezoid",
+        "kruskal_wallis_value",
+        "wilcoxon_signed_rank_paired",
+        "mood_median_test",
+    ):
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert _no_single_partition_window(plan), qid
+
+
+def test_rank_prefix_super_totals_broadcast(spark, sf_dir):
+    """The theta-join prefix over super-bucket totals must broadcast
+    (nested-loop on a bounded table), never sort-merge."""
+    plan = _plan(Q["roc_auc_exact"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_eval_counter_ops_single_agg_pass(spark, sf_dir):
+    """mcnemar/cochran/sign collapse per user then roll up counters —
+    no joins, no windows, no Python should appear."""
+    for qid in ("mcnemar_test", "cochran_q_usertype", "sign_test_paired"):
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert "Join" not in plan, qid
+        assert "Window" not in plan, qid
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, qid
+
+
+def test_hits_reuses_checkpointed_edges(spark, sf_dir):
+    """The 4 HITS aggregations must reuse the checkpointed edge RDD
+    (Scan ExistingRDD), not re-derive the orders x lineitem join."""
+    plan = _plan(Q["hits_hub_authority"](spark, sf_dir))
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_listagg_broadcasts_nation_and_pushes_filter(spark, sf_dir):
+    plan = _plan(Q["listagg_sorted_groups"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "c_acctbal" in pushed
+
+
+def test_ignore_nulls_single_user_shuffle(spark, sf_dir):
+    """first/last IGNORE NULLS + count share ONE user-partitioned
+    window: exactly one Exchange hashpartitioning(user_id...) below
+    the window stage (AQE may add a final distinct exchange)."""
+    plan = _plan(Q["win_first_last_ignore_nulls"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert _no_single_partition_window(plan)
+
+
+def test_try_arith_stays_jvm(spark, sf_dir):
+    plan = _plan(Q["try_arith_null_safety"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
