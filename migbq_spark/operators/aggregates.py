@@ -1943,3 +1943,159 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+# ----------------------------------------------- pivot_multi_agg_wide (r12)
+
+@register(
+    "pivot_multi_agg_wide",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click_n,
+           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT))
+                         FILTER (WHERE event_type = 'click'), 0)
+                AS BIGINT) AS click_cents,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS purchase_n,
+           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT))
+                         FILTER (WHERE event_type = 'purchase'), 0)
+                AS BIGINT) AS purchase_cents,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS view_n,
+           CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT))
+                         FILTER (WHERE event_type = 'view'), 0)
+                AS BIGINT) AS view_cents
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_multi_agg_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-AGGREGATE PIVOT (r12): per-user wide feature row carrying
+    BOTH a count and a cents sum per pivoted event type — the
+    two-measures-per-column surface `pivot_event_counts` (one measure)
+    doesn't cover; this is the feature-matrix assembly shape of a
+    training pipeline.  Spark's .pivot(col, values).agg(n, cents)
+    suffixes each value with each aggregate alias; the explicit
+    values list keeps the schema static (no extra distinct pass) and
+    the COALESCE-to-0 matches the SQL FILTER semantics for absent
+    combinations.
+
+    Determinism: exact counts and cents sums; column names pinned on
+    both sides.
+
+    Scale (100 TB): one map-side-combinable groupBy(user) — the pivot
+    is a projection over the combined accumulator, NOT one shuffle
+    per pivot value."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+    )
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_{m}"), F.lit(0))
+            .cast("bigint")
+            .alias(f"{t}_{m}")
+            for t in ("click", "purchase", "view")
+            for m in ("n", "cents")
+        ],
+    ).orderBy("user_id")
+
+
+# ------------------------------------------- percentile_disc_vs_cont (r12)
+
+@register(
+    "percentile_disc_vs_cont",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_disc,
+           ROUND(quantile_cont(v, 0.5), 4) AS p50_cont,
+           CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_disc,
+           ROUND(quantile_cont(v, 0.9), 4) AS p90_cont
+    FROM s GROUP BY g ORDER BY g
+    """,
+)
+def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE vs CONTINUOUS PERCENTILE semantics side by side
+    (SQL:2008 PERCENTILE_DISC/_CONT) per event-type arm: DISC returns
+    an ACTUAL cents value from the group (the smallest whose
+    cumulative share reaches p — reportable, joinable back to rows),
+    CONT interpolates between neighbors (smooth, but a value no event
+    ever had).  Spark has exact CONT (`percentile`) but no built-in
+    exact DISC — it is DERIVED from the value frequency table: the
+    smallest v with cum >= ceil(p*n), the `mood_median_test`
+    filter-then-MIN move, generalized to any p.
+
+    Determinism: DISC is exact integer selection (ceil via integer
+    arithmetic: cum*1 >= (n*p_num + p_den - 1) DIV p_den with
+    rational p); CONT matches because Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition (the
+    robust_median_mad precedent), ROUND(.,4).
+
+    Scale (100 TB): one groupBy(g,v) collapse; per-group cumsums ride
+    windows PARTITIONED by g over the value-domain-bounded frequency
+    table; CONT is one exact-percentile agg over the same collapse."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    freq = s.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.withColumn("cum", F.sum("c").over(w))
+    nt = freq.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    j = cum.join(F.broadcast(nt), "g")
+    # ceil(p*n) in exact integer arithmetic: (n*num + den - 1) DIV den
+    disc = j.groupBy("g").agg(
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr("CAST((n * 1 + 2 - 1) DIV 2 AS BIGINT)"),
+                F.col("v"),
+            )
+        )
+        .cast("bigint")
+        .alias("p50_disc"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr("CAST((n * 9 + 10 - 1) DIV 10 AS BIGINT)"),
+                F.col("v"),
+            )
+        )
+        .cast("bigint")
+        .alias("p90_disc"),
+    )
+    cont = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50_cont"),
+        F.round(F.expr("percentile(v, 0.9)"), 4).alias("p90_cont"),
+    )
+    return (
+        cont.join(F.broadcast(disc), "g")
+        .select("g", "n", "p50_disc", "p50_cont", "p90_disc", "p90_cont")
+        .orderBy("g")
+    )

@@ -2916,11 +2916,15 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration in doubles past that); ties broken by partkey in
     the ORDER BY; the only double is the final max-normalized score.
 
-    Scale (100 TB): edges distinct-collapse once (the only
-    corpus-wide shuffle) and are localCheckpointed because FOUR
-    downstream aggregations reuse them (the r11 triangle-count
-    precedent); each iteration is a map-side-combinable groupBy after
-    an equi-join keyed on the reused edge partitioning."""
+    Scale (100 TB): edges distinct-collapse once; the four downstream
+    aggregations reference the IDENTICAL subplan, so Spark reuses one
+    shuffle materialization (ReusedExchange, disk-backed) — NOT
+    localCheckpoint, which materializes the edge set on the heap and
+    OOMed a 128 GiB JVM at sf10 (~50M edges; measured this round —
+    the "keep localCheckpoint small" rule from the r11 triangle
+    precedent, which checkpointed only 357k rows); each iteration is
+    a map-side-combinable groupBy after an equi-join on the reused
+    edge partitioning."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     e = (
@@ -2928,7 +2932,6 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
     h1 = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("h"))
     a1 = (
         e.join(h1, "c")

@@ -2225,3 +2225,637 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dw_stat"),
     )
+
+
+# ---------------------------------------------- friedman_test_types (r12)
+
+@register(
+    "friedman_test_types",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS sv,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nv,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS sc,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT) AS sp,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS BIGINT) AS np
+        FROM events GROUP BY user_id
+    ),
+    b AS (SELECT * FROM u WHERE nv > 0 AND nc > 0 AND np > 0),
+    rk AS (
+        SELECT
+            2 + 2 * (CASE WHEN sc * nv < sv * nc THEN 1 ELSE 0 END
+                     + CASE WHEN sp * nv < sv * np THEN 1 ELSE 0 END)
+              + (CASE WHEN sc * nv = sv * nc THEN 1 ELSE 0 END
+                 + CASE WHEN sp * nv = sv * np THEN 1 ELSE 0 END) AS r2v,
+            2 + 2 * (CASE WHEN sv * nc < sc * nv THEN 1 ELSE 0 END
+                     + CASE WHEN sp * nc < sc * np THEN 1 ELSE 0 END)
+              + (CASE WHEN sv * nc = sc * nv THEN 1 ELSE 0 END
+                 + CASE WHEN sp * nc = sc * np THEN 1 ELSE 0 END) AS r2c,
+            2 + 2 * (CASE WHEN sv * np < sp * nv THEN 1 ELSE 0 END
+                     + CASE WHEN sc * np < sp * nc THEN 1 ELSE 0 END)
+              + (CASE WHEN sv * np = sp * nv THEN 1 ELSE 0 END
+                 + CASE WHEN sc * np = sp * nc THEN 1 ELSE 0 END) AS r2p
+        FROM b
+    ),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2v) AS BIGINT) AS rv,
+               CAST(SUM(r2c) AS BIGINT) AS rc,
+               CAST(SUM(r2p) AS BIGINT) AS rp
+        FROM rk
+    )
+    SELECT n AS n_blocks, rv AS r2_view, rc AS r2_click,
+           rp AS r2_purchase,
+           ROUND(12.0 * ((CAST(rv AS DOUBLE) / 2.0)
+                           * (CAST(rv AS DOUBLE) / 2.0)
+                         + (CAST(rc AS DOUBLE) / 2.0)
+                           * (CAST(rc AS DOUBLE) / 2.0)
+                         + (CAST(rp AS DOUBLE) / 2.0)
+                           * (CAST(rp AS DOUBLE) / 2.0))
+                 / (CAST(n AS DOUBLE) * 3.0 * 4.0)
+                 - 3.0 * CAST(n AS DOUBLE) * 4.0, 4) AS chi2_f
+    FROM t
+    """,
+)
+def friedman_test_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN TEST (1937) across k=3 within-user conditions (mean
+    view/click/purchase cents), blocks = users with all three arms:
+    per-block ranks of the three condition means, chi2_F =
+    12/(nk(k+1)) * sum R_j^2 - 3n(k+1) — the within-subject
+    counterpart of `kruskal_wallis_value` (which ranks the pooled
+    corpus; this ranks WITHIN each user, killing between-user
+    variance).
+
+    Determinism: per-block mean comparisons are EXACT rational
+    cross-products (s_a*n_b vs s_b*n_a — no division ever happens),
+    midranks via doubled-rank integers (r2 = 2*rank); the three
+    column sums are exact int64; chi2 through one fixed tree whose
+    3-term sum has a literal textual order on both engines.
+
+    Scale (100 TB): one user-keyed collapse with six counters; ranks
+    are row-local CASE arithmetic; one 4-counter rollup."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr(_CENTS)
+    u = ev.groupBy("user_id").agg(
+        *[
+            x
+            for t, tag in (("view", "v"), ("click", "c"), ("purchase", "p"))
+            for x in (
+                F.sum(F.when(F.col("event_type") == t, cents).otherwise(0))
+                .cast("bigint")
+                .alias(f"s{tag}"),
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n{tag}"),
+            )
+        ]
+    )
+    b = u.filter((F.col("nv") > 0) & (F.col("nc") > 0) & (F.col("np") > 0))
+
+    def lt(a, na, o, no):
+        return F.when(F.col(o) * F.col(na) < F.col(a) * F.col(no), 1).otherwise(0)
+
+    def eq(a, na, o, no):
+        return F.when(F.col(o) * F.col(na) == F.col(a) * F.col(no), 1).otherwise(0)
+
+    rk = b.select(
+        (
+            F.lit(2)
+            + F.lit(2) * (lt("sv", "nv", "sc", "nc") + lt("sv", "nv", "sp", "np"))
+            + (eq("sv", "nv", "sc", "nc") + eq("sv", "nv", "sp", "np"))
+        ).alias("r2v"),
+        (
+            F.lit(2)
+            + F.lit(2) * (lt("sc", "nc", "sv", "nv") + lt("sc", "nc", "sp", "np"))
+            + (eq("sc", "nc", "sv", "nv") + eq("sc", "nc", "sp", "np"))
+        ).alias("r2c"),
+        (
+            F.lit(2)
+            + F.lit(2) * (lt("sp", "np", "sv", "nv") + lt("sp", "np", "sc", "nc"))
+            + (eq("sp", "np", "sv", "nv") + eq("sp", "np", "sc", "nc"))
+        ).alias("r2p"),
+    )
+    t = rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r2v").cast("bigint").alias("rv"),
+        F.sum("r2c").cast("bigint").alias("rc"),
+        F.sum("r2p").cast("bigint").alias("rp"),
+    )
+    nd = F.col("n").cast("double")
+
+    def half_sq(c):
+        h = F.col(c).cast("double") / F.lit(2.0)
+        return h * h
+
+    return t.select(
+        F.col("n").alias("n_blocks"),
+        F.col("rv").alias("r2_view"),
+        F.col("rc").alias("r2_click"),
+        F.col("rp").alias("r2_purchase"),
+        F.round(
+            F.lit(12.0)
+            * (half_sq("rv") + half_sq("rc") + half_sq("rp"))
+            / (nd * F.lit(3.0) * F.lit(4.0))
+            - F.lit(3.0) * nd * F.lit(4.0),
+            4,
+        ).alias("chi2_f"),
+    )
+
+
+# ------------------------------------------- goodman_kruskal_gamma (r12)
+
+@register(
+    "goodman_kruskal_gamma",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) < 5000 THEN 1
+                    WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) < 15000 THEN 2
+                    ELSE 3 END AS i,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    ELSE 3 END AS j
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    cells AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s GROUP BY i, j
+    ),
+    cd AS (
+        SELECT CAST(SUM(CASE WHEN b.i > a.i AND b.j > a.j
+                        THEN a.n * b.n ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN b.i > a.i AND b.j < a.j
+                        THEN a.n * b.n ELSE 0 END) AS BIGINT) AS disc
+        FROM cells a CROSS JOIN cells b
+    )
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS n,
+           conc, disc,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / NULLIF(CAST(conc + disc AS DOUBLE), 0.0), 6)
+               AS gamma
+    FROM cd
+    """,
+)
+def goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOODMAN-KRUSKAL GAMMA (1954) ordinal association between the
+    value tier (1..3 by cents thresholds) and the funnel depth
+    (view=1 < click=2 < purchase=3): gamma = (C-D)/(C+D) over
+    concordant/discordant pairs — the ordinal-ordinal measure where
+    `cohens_kappa_agreement` is nominal-nominal and
+    `kendall_tau_daily` is continuous-continuous.
+
+    Determinism: pair counts from the 3x3 CELL table (C = sum over
+    cell pairs of n_a*n_b, never a corpus self-join — the
+    chi2-machinery move); products exact int64 (budget N^2 -> safe to
+    N ~ 3e9); NULLIF guards the all-tied edge.
+
+    Scale (100 TB): one corpus collapse to <= 9 cells; the pair
+    enumeration is a 9x9 broadcast cross join."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    v = F.expr(_CENTS)
+    s = ev.select(
+        F.when(v < 5000, 1).when(v < 15000, 2).otherwise(3).alias("i"),
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .otherwise(3)
+        .alias("j"),
+    )
+    cells = s.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cells = cells.localCheckpoint(eager=True)
+    a = cells.select(
+        F.col("i").alias("ai"), F.col("j").alias("aj"), F.col("n").alias("an")
+    )
+    cd = a.crossJoin(F.broadcast(cells)).agg(
+        F.sum(
+            F.when(
+                (F.col("i") > F.col("ai")) & (F.col("j") > F.col("aj")),
+                F.col("an") * F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("i") > F.col("ai")) & (F.col("j") < F.col("aj")),
+                F.col("an") * F.col("n"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    nt = cells.agg(F.sum("n").cast("bigint").alias("n"))
+    out = nt.crossJoin(F.broadcast(cd))
+    return out.select(
+        "n",
+        "conc",
+        "disc",
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.nullif(
+                (F.col("conc") + F.col("disc")).cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("gamma"),
+    )
+
+
+# ------------------------------------------------ cramers_v_matrix (r12)
+
+@register(
+    "cramers_v_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS t1,
+               CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) < 5000 THEN 1
+                    WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT) < 15000 THEN 2
+                    ELSE 3 END AS t2,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+                   AS t3
+        FROM events
+    ),
+    cube3 AS (
+        SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s GROUP BY t1, t2, t3
+    ),
+    pairs AS (
+        SELECT 'type_x_tier' AS pair, CAST(t1 AS VARCHAR) AS a,
+               CAST(t2 AS VARCHAR) AS b, n FROM cube3
+        UNION ALL
+        SELECT 'type_x_dow', CAST(t1 AS VARCHAR), CAST(t3 AS VARCHAR), n
+        FROM cube3
+        UNION ALL
+        SELECT 'tier_x_dow', CAST(t2 AS VARCHAR), CAST(t3 AS VARCHAR), n
+        FROM cube3
+    ),
+    cells AS (
+        SELECT pair, a, b, CAST(SUM(n) AS BIGINT) AS o
+        FROM pairs GROUP BY pair, a, b
+    ),
+    ra AS (SELECT pair, a, CAST(SUM(o) AS BIGINT) AS r
+           FROM cells GROUP BY pair, a),
+    cb AS (SELECT pair, b, CAST(SUM(o) AS BIGINT) AS c
+           FROM cells GROUP BY pair, b),
+    nt AS (SELECT pair, CAST(SUM(o) AS BIGINT) AS nn
+           FROM cells GROUP BY pair),
+    terms AS (
+        SELECT cells.pair, CAST(FLOOR(
+                   (CAST(nt.nn * cells.o - ra.r * cb.c AS DOUBLE)
+                    * CAST(nt.nn * cells.o - ra.r * cb.c AS DOUBLE))
+                   / (CAST(nt.nn AS DOUBLE) * ra.r * cb.c)
+                   * 1000000.0) AS BIGINT) AS tq
+        FROM cells
+        JOIN ra ON ra.pair = cells.pair AND ra.a = cells.a
+        JOIN cb ON cb.pair = cells.pair AND cb.b = cells.b
+        JOIN nt ON nt.pair = cells.pair
+    ),
+    dims AS (
+        SELECT pair,
+               (SELECT COUNT(*) FROM ra WHERE ra.pair = d.pair) AS ka,
+               (SELECT COUNT(*) FROM cb WHERE cb.pair = d.pair) AS kb
+        FROM (SELECT DISTINCT pair FROM cells) d
+    )
+    SELECT t.pair,
+           ROUND(CAST(SUM(t.tq) AS DOUBLE) / 1000000.0, 4) AS chi2,
+           ROUND(SQRT(CAST(SUM(t.tq) AS DOUBLE) / 1000000.0
+                      / MAX(nt.nn)
+                      / LEAST(MAX(dims.ka) - 1, MAX(dims.kb) - 1)), 6)
+               AS cramers_v
+    FROM terms t
+    JOIN nt ON nt.pair = t.pair
+    JOIN dims ON dims.pair = t.pair
+    GROUP BY t.pair
+    ORDER BY t.pair
+    """,
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE CRAMER'S V across three categorical encodings of every
+    event (type x value-tier x day-of-week): the association matrix a
+    feature-selection pass computes before model training (public:
+    Cramér 1946) — generalizes `chi_square_independence` (one pair,
+    registry.py) to all C(3,2) pairs from ONE corpus collapse.
+
+    Determinism: the 5x3x7 cube is collapsed once; every pair table,
+    margin, and chi2 term derives from those <= 105 exact int64 cells
+    (micro-quantized per cell before the per-pair sums); dow via
+    epoch-day % 7 (dialect-free).
+
+    Scale (100 TB): one map-side groupBy to <= 105 rows; the three
+    pair analyses are arithmetic on the collapsed cube (checkpointed,
+    3 reuses)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.expr(_CENTS)
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.when(v < 5000, 1).when(v < 15000, 2).otherwise(3).alias("t2"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint")
+            % 7
+        ).alias("t3"),
+    )
+    cube3 = s.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cube3 = cube3.localCheckpoint(eager=True)
+    pairs = None
+    for name, ca, cb_ in (
+        ("type_x_tier", "t1", "t2"),
+        ("type_x_dow", "t1", "t3"),
+        ("tier_x_dow", "t2", "t3"),
+    ):
+        p = cube3.select(
+            F.lit(name).alias("pair"),
+            F.col(ca).cast("string").alias("a"),
+            F.col(cb_).cast("string").alias("b"),
+            "n",
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cells = pairs.groupBy("pair", "a", "b").agg(
+        F.sum("n").cast("bigint").alias("o")
+    )
+    ra = cells.groupBy("pair", "a").agg(F.sum("o").cast("bigint").alias("r"))
+    cb = cells.groupBy("pair", "b").agg(F.sum("o").cast("bigint").alias("c"))
+    nt = cells.groupBy("pair").agg(F.sum("o").cast("bigint").alias("nn"))
+    dims = (
+        ra.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ka"))
+        .join(
+            cb.groupBy("pair").agg(
+                F.count(F.lit(1)).cast("bigint").alias("kb")
+            ),
+            "pair",
+        )
+    )
+    j = (
+        cells.join(F.broadcast(ra), ["pair", "a"])
+        .join(F.broadcast(cb), ["pair", "b"])
+        .join(F.broadcast(nt), "pair")
+    )
+    diff = (
+        F.col("nn") * F.col("o") - F.col("r") * F.col("c")
+    ).cast("double")
+    tq = F.floor(
+        (diff * diff)
+        / (F.col("nn").cast("double") * F.col("r") * F.col("c"))
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    per_pair = j.groupBy("pair").agg(F.sum(tq).cast("bigint").alias("tqs"))
+    out = per_pair.join(F.broadcast(nt), "pair").join(
+        F.broadcast(dims), "pair"
+    )
+    chi2 = F.col("tqs").cast("double") / F.lit(1000000.0)
+    return out.select(
+        "pair",
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / F.col("nn")
+                / F.least(F.col("ka") - 1, F.col("kb") - 1)
+            ),
+            6,
+        ).alias("cramers_v"),
+    ).orderBy("pair")
+
+
+# ------------------------------------------------ theil_u_uncertainty (r12)
+
+@register(
+    "theil_u_uncertainty",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS t,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+                   AS d
+        FROM events
+    ),
+    cells AS (
+        SELECT t, d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s GROUP BY t, d
+    ),
+    nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+    rt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY t),
+    cd AS (SELECT d, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY d),
+    ht AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -(CAST(r AS DOUBLE) / nt.nn)
+                   * ln(CAST(r AS DOUBLE) / nt.nn)
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS hq
+        FROM rt CROSS JOIN nt
+    ),
+    hcond AS (
+        SELECT CAST(SUM(CAST(FLOOR(
+                   -(CAST(cells.n AS DOUBLE) / nt.nn)
+                   * ln(CAST(cells.n AS DOUBLE) / cd.c)
+                   * 1000000000.0) AS BIGINT)) AS BIGINT) AS hq
+        FROM cells JOIN cd USING (d) CROSS JOIN nt
+    )
+    SELECT nt.nn AS n,
+           ROUND(CAST(ht.hq AS DOUBLE) / 1000000000.0, 6) AS h_type,
+           ROUND(CAST(hcond.hq AS DOUBLE) / 1000000000.0, 6)
+               AS h_type_given_dow,
+           ROUND((CAST(ht.hq AS DOUBLE) / 1000000000.0
+                  - CAST(hcond.hq AS DOUBLE) / 1000000000.0)
+                 / (CAST(ht.hq AS DOUBLE) / 1000000000.0), 6)
+               AS theil_u
+    FROM nt CROSS JOIN ht CROSS JOIN hcond
+    """,
+)
+def theil_u_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL'S UNCERTAINTY COEFFICIENT U(type|dow) (Theil 1970): the
+    ASYMMETRIC categorical association — what fraction of event-type
+    entropy the day-of-week explains — complementing the symmetric
+    `cramers_v_matrix` (U distinguishes X->Y from Y->X; V cannot).
+
+    Determinism: both entropies accumulate floor-quantized nano terms
+    (each term is one fixed chain ending in ln — ln is the only libm
+    call, and a 1-ulp divergence moves a nano-quantized term only
+    when the product sits within 1e-9 of an integer boundary; the
+    entropy_by_source precedent runs the same exposure unquantized);
+    dow via epoch-day % 7.
+
+    Scale (100 TB): one corpus collapse to <= 35 cells; margins and
+    entropies derive from the cells."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("t"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint")
+            % 7
+        ).alias("d"),
+    )
+    cells = s.groupBy("t", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cells = cells.localCheckpoint(eager=True)
+    nt = cells.agg(F.sum("n").cast("bigint").alias("nn"))
+    rt = cells.groupBy("t").agg(F.sum("n").cast("bigint").alias("r"))
+    cd = cells.groupBy("d").agg(F.sum("n").cast("bigint").alias("c"))
+    ht = (
+        rt.crossJoin(F.broadcast(nt))
+        .select(
+            F.floor(
+                -(F.col("r").cast("double") / F.col("nn"))
+                * F.log(F.col("r").cast("double") / F.col("nn"))
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("q")
+        )
+        .agg(F.sum("q").cast("bigint").alias("hq"))
+    )
+    hcond = (
+        cells.join(F.broadcast(cd), "d")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.floor(
+                -(F.col("n").cast("double") / F.col("nn"))
+                * F.log(F.col("n").cast("double") / F.col("c"))
+                * F.lit(1000000000.0)
+            )
+            .cast("bigint")
+            .alias("q")
+        )
+        .agg(F.sum("q").cast("bigint").alias("hq"))
+    )
+    out = (
+        nt.crossJoin(F.broadcast(ht.withColumnRenamed("hq", "hqt")))
+        .crossJoin(F.broadcast(hcond.withColumnRenamed("hq", "hqc")))
+    )
+    h_t = F.col("hqt").cast("double") / F.lit(1000000000.0)
+    h_c = F.col("hqc").cast("double") / F.lit(1000000000.0)
+    return out.select(
+        F.col("nn").alias("n"),
+        F.round(h_t, 6).alias("h_type"),
+        F.round(h_c, 6).alias("h_type_given_dow"),
+        F.round((h_t - h_c) / h_t, 6).alias("theil_u"),
+    )
+
+
+# ------------------------------------------------- odds_ratio_2x2_ci (r12)
+
+@register(
+    "odds_ratio_2x2_ci",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click'
+                        AND CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) > 20000
+                        THEN 1 ELSE 0 END) AS x1,
+               MAX(CASE WHEN event_type = 'purchase'
+                        AND CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT) > 20000
+                        THEN 1 ELSE 0 END) AS x2
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN x1 = 1 AND x2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2,
+               CAST(SUM(CASE WHEN x1 = 0 AND x2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM u
+    )
+    SELECT a AS n11, b AS n10, c2 AS n01, d AS n00,
+           ROUND(CAST(a * d AS DOUBLE) / NULLIF(CAST(b * c2 AS DOUBLE),
+                                                0.0), 6) AS odds_ratio,
+           ROUND(ln(CAST(a * d AS DOUBLE) / NULLIF(CAST(b * c2
+                                                        AS DOUBLE), 0.0))
+                 - 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c2 + 1.0 / d),
+                 4) AS log_or_ci_lo,
+           ROUND(ln(CAST(a * d AS DOUBLE) / NULLIF(CAST(b * c2
+                                                        AS DOUBLE), 0.0))
+                 + 1.96 * SQRT(1.0 / a + 1.0 / b + 1.0 / c2 + 1.0 / d),
+                 4) AS log_or_ci_hi
+    FROM c
+    """,
+)
+def odds_ratio_2x2_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODDS RATIO with the Woolf (1955) log-normal confidence interval
+    over the same big-click/big-purchase 2x2 as `mcnemar_test` — the
+    EFFECT-SIZE report next to that test's significance answer (a
+    warehouse A/B readout wants both).
+
+    Determinism: four exact int64 cells; OR is a ratio of exact
+    integer products (budget a*d <= U^2/4 -> safe to ~6e9 users);
+    CI endpoints are one ln + one SQRT chain behind ROUND(.,4) (the
+    benford log10 exposure precedent); NULLIF guards empty
+    off-diagonals.
+
+    Scale (100 TB): one user-keyed collapse + 4-counter rollup."""
+    ev = load(spark, sf_dir, "events")
+    big = F.expr(_CENTS) > 20000
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "click") & big, 1).otherwise(0)
+        ).alias("x1"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & big, 1).otherwise(
+                0
+            )
+        ).alias("x2"),
+    )
+    c = u.agg(
+        F.sum(
+            F.when((F.col("x1") == 1) & (F.col("x2") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(
+            F.when((F.col("x1") == 1) & (F.col("x2") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("x1") == 0) & (F.col("x2") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c2"),
+        F.sum(
+            F.when((F.col("x1") == 0) & (F.col("x2") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    orr = (F.col("a") * F.col("d")).cast("double") / F.nullif(
+        (F.col("b") * F.col("c2")).cast("double"), F.lit(0.0)
+    )
+    half = F.lit(1.96) * F.sqrt(
+        F.lit(1.0) / F.col("a")
+        + F.lit(1.0) / F.col("b")
+        + F.lit(1.0) / F.col("c2")
+        + F.lit(1.0) / F.col("d")
+    )
+    return c.select(
+        F.col("a").alias("n11"),
+        F.col("b").alias("n10"),
+        F.col("c2").alias("n01"),
+        F.col("d").alias("n00"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr) - half, 4).alias("log_or_ci_lo"),
+        F.round(F.log(orr) + half, 4).alias("log_or_ci_hi"),
+    )

@@ -779,3 +779,86 @@ def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_mktsegment
         """
     )
+
+
+# ------------------------------------------------ join_asof_tolerance (r12)
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               MAX(c.ts) AS click_ts
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 48 HOUR
+        GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(date_part('epoch', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS purchase_epoch,
+           CAST(FLOOR(date_part('epoch', CAST(click_ts AS TIMESTAMP)))
+                AS BIGINT) AS click_epoch,
+           CAST(FLOOR(date_part('epoch', CAST(ts AS TIMESTAMP)))
+                - FLOOR(date_part('epoch', CAST(click_ts AS TIMESTAMP)))
+                AS BIGINT) AS gap_seconds
+    FROM m ORDER BY event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN WITH TOLERANCE (r12): each purchase matches the most
+    recent click by the same user within a 48-hour lookback, else
+    NULL — the bounded-staleness variant `join_asof` (unbounded
+    backward) and `join_asof_nearest`/`_forward` don't cover; the
+    tolerance is what keeps state bounded in a streaming or
+    incremental re-run of the same logic.
+
+    Determinism: match is MAX(click ts) within the window — unique
+    per purchase; epochs exact int64 (unix_timestamp truncation =
+    floor(epoch), the ewma/interval precedent).
+
+    Scale (100 TB): the range predicate makes this a BOUNDED-WINDOW
+    range join on the user key: both sides shuffle once on user_id
+    and the per-user merge touches only 48 h of clicks per purchase
+    (with AQE skew splitting hot users); the LEFT join + GROUP BY
+    collapses candidates map-side.  A plain per-user window sort
+    would ALSO work but orders ALL clicks per user; the tolerance
+    predicate is what prunes at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    m = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("ts") - F.expr("INTERVAL 48 HOUR")
+            ),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("c_ts").alias("click_ts"))
+    )
+    pe = F.unix_timestamp("ts")
+    ce = F.unix_timestamp("click_ts")
+    return m.select(
+        "event_id",
+        "user_id",
+        pe.cast("bigint").alias("purchase_epoch"),
+        ce.cast("bigint").alias("click_epoch"),
+        (pe - ce).cast("bigint").alias("gap_seconds"),
+    ).orderBy("event_id")

@@ -632,3 +632,59 @@ def vec_pair_dot_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         prod, F.lit(0.0), lambda acc, v: acc + v
     )
     return pairs.select("vec_id", F.round(dot, 4).alias("dot"))
+
+
+# ------------------------------------------------ arrays_zip_bigrams (r12)
+
+@register(
+    "arrays_zip_bigrams",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT t[i] || ' ' || t[i + 1] AS bigram
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def arrays_zip_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-20 TOKEN BIGRAMS via the arrays_zip + explode SURFACE
+    (r12): the two shifted token slices are zipped into an array of
+    (cur, nxt) structs ROW-LOCALLY and exploded once — the Spark
+    higher-order-function idiom for adjacent-pair generation (vs the
+    oracle's positional generate_series), complementing
+    `pmi_collocations` (which scores bigrams) by pinning the
+    zip/explode construction itself.
+
+    Determinism: exact counts; ties broken by bigram text in the
+    ORDER BY.
+
+    Scale (100 TB): bigram generation is row-local (arrays_zip of two
+    slices — no join, no positional explode+self-join); one
+    map-side-combinable count; top-20 is TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select(toks.alias("t")).filter(F.size("t") >= 2)
+    bg = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("z")
+    ).select(
+        F.concat_ws(" ", F.col("z.0"), F.col("z.1")).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )

@@ -144,6 +144,15 @@ R13_WINDOW: tuple[str, ...] = (
     "grubbs_outlier_daily",
     "runs_test_updown_daily",
     "durbin_watson_daily",
+    "friedman_test_types",
+    "goodman_kruskal_gamma",
+    "cramers_v_matrix",
+    "pivot_multi_agg_wide",
+    "percentile_disc_vs_cont",
+    "join_asof_tolerance",
+    "arrays_zip_bigrams",
+    "theil_u_uncertainty",
+    "odds_ratio_2x2_ci",
     # r6-graded aggregates refresh span (hash-oracle ids only)
     "agg_pk_bounds",
     "agg_groupby_sum",

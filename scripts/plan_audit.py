@@ -58,7 +58,24 @@ def main() -> None:
         "tpch_q14_promo_effect",
         "props_variant_extract",
     ]
-    audit = list(dict.fromkeys(bench.HEADLINE + bench.R8_FAMILY + R9_OPS))
+    # r12: the hierarchical-prefix rank statistics (the no-global-window
+    # contract), the HITS edge-reuse shape, and the SQL-surface trio
+    R12_OPS = [
+        "mann_whitney_u_value",
+        "roc_auc_exact",
+        "pr_auc_trapezoid",
+        "kruskal_wallis_value",
+        "wilcoxon_signed_rank_paired",
+        "mood_median_test",
+        "hits_hub_authority",
+        "degree_distribution_log2",
+        "listagg_sorted_groups",
+        "win_first_last_ignore_nulls",
+        "try_arith_null_safety",
+    ]
+    audit = list(
+        dict.fromkeys(bench.HEADLINE + bench.R8_FAMILY + R9_OPS + R12_OPS)
+    )
     for qid in audit:
         df = queries[qid](spark, SF_DIR)
         buf = io.StringIO()

@@ -1062,11 +1062,17 @@ def test_eval_counter_ops_single_agg_pass(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, qid
 
 
-def test_hits_reuses_checkpointed_edges(spark, sf_dir):
-    """The 4 HITS aggregations must reuse the checkpointed edge RDD
-    (Scan ExistingRDD), not re-derive the orders x lineitem join."""
-    plan = _plan(Q["hits_hub_authority"](spark, sf_dir))
-    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+def test_hits_reuses_edge_exchange(spark, sf_dir):
+    """The 4 HITS aggregations share ONE distinct-edges subplan: the
+    executed plan must reuse the edge exchange (disk-backed shuffle),
+    not re-derive the orders x lineitem join four times and not
+    heap-checkpoint it (localCheckpoint OOMed at sf10, r12)."""
+    df = Q["hits_hub_authority"](spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()  # AQE finalizes
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan or (
+        plan.count("Scan parquet") <= 4
+    )
 
 
 def test_listagg_broadcasts_nation_and_pushes_filter(spark, sf_dir):
@@ -1090,3 +1096,43 @@ def test_try_arith_stays_jvm(spark, sf_dir):
     plan = _plan(Q["try_arith_null_safety"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_asof_tolerance_is_equi_range_join_not_cartesian(spark, sf_dir):
+    """The tolerance asof must plan an EQUI join on user_id (range
+    preds as join conditions), never a cartesian/broadcast-nested-loop
+    over the corpus."""
+    plan = _plan(Q["join_asof_tolerance"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_pivot_multi_agg_single_shuffle(spark, sf_dir):
+    """Multi-agg pivot is ONE groupBy over a combined accumulator:
+    exactly one pre-agg exchange, no per-pivot-value joins."""
+    plan = _plan(Q["pivot_multi_agg_wide"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_percentile_disc_windows_partitioned(spark, sf_dir):
+    plan = _plan(Q["percentile_disc_vs_cont"](spark, sf_dir))
+    assert _no_single_partition_window(plan)
+
+
+def test_friedman_no_window_no_join_on_corpus(spark, sf_dir):
+    """Friedman ranks are row-local CASE arithmetic after the user
+    collapse — no windows at all."""
+    plan = _plan(Q["friedman_test_types"](spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_gamma_pair_cross_is_broadcast(spark, sf_dir):
+    """The 9x9 concordance cross join must be a broadcast nested loop
+    over the CELL table, never a corpus-level product."""
+    plan = _plan(Q["goodman_kruskal_gamma"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
