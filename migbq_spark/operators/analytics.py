@@ -2916,22 +2916,27 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration in doubles past that); ties broken by partkey in
     the ORDER BY; the only double is the final max-normalized score.
 
-    Scale (100 TB): edges distinct-collapse once; the four downstream
-    aggregations reference the IDENTICAL subplan, so Spark reuses one
-    shuffle materialization (ReusedExchange, disk-backed) — NOT
-    localCheckpoint, which materializes the edge set on the heap and
-    OOMed a 128 GiB JVM at sf10 (~50M edges; measured this round —
-    the "keep localCheckpoint small" rule from the r11 triangle
-    precedent, which checkpointed only 357k rows); each iteration is
-    a map-side-combinable groupBy after an equi-join on the reused
-    edge partitioning."""
+    Scale (100 TB): edges distinct-collapse ONCE and persist
+    DISK_ONLY (serialized, zero heap residency) for the four
+    downstream aggregations — NOT localCheckpoint, whose
+    heap-resident materialization of ~50M edges OOMed a 128 GiB JVM
+    at sf10 (measured this round; the r11 triangle precedent
+    checkpointed only 357k rows, which is the size class
+    localCheckpoint is for), and NOT plain recomputation, which
+    re-derives the orders x lineitem join four times (16 scans / 14
+    sort-merge joins in the executed plan — exchange reuse does not
+    fire across the four aggregation branches); each iteration is a
+    map-side-combinable groupBy after an equi-join on the persisted
+    edges."""
+    from pyspark import StorageLevel
+
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     e = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     h1 = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("h"))
     a1 = (
         e.join(h1, "c")
