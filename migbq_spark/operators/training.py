@@ -4772,3 +4772,219 @@ def decision_stump_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_right",
         )
     )
+
+
+# ----------------------------------------------- span_corruption_plan (r12)
+
+@register(
+    "span_corruption_plan",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               unnest(generate_series(1, len(t))) AS i
+        FROM tok WHERE len(t) >= 1
+    ),
+    coin AS (
+        SELECT doc_id, n_tokens, i,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                              || ':' || CAST(i AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 15
+                    THEN 1 ELSE 0 END AS m
+        FROM pos
+    ),
+    runs AS (
+        SELECT doc_id, n_tokens, i, m,
+               LAG(m, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS pm
+        FROM coin
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN m = 1 AND pm = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans,
+           ROUND(CAST(SUM(m) AS DOUBLE) / MAX(n_tokens), 4)
+               AS mask_ratio
+    FROM runs GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-STYLE SPAN-CORRUPTION PLAN (public: Raffel et al. 2020): a
+    deterministic ~15% token mask per document (portable md5 coin on
+    (doc_id, position)), with contiguous masked runs collapsing into
+    SENTINEL SPANS — per doc the plan reports token count, masked
+    count, span count and mask ratio, which is exactly what a
+    denoising-pretraining data loader needs to size sentinel vocab
+    and target lengths BEFORE materializing corrupted text.
+
+    Determinism: the coin is the house portable-md5 family
+    (conv(substr(md5(...),1,15)) % 100 < 15) — identical bits on both
+    engines; span starts counted via a per-doc LAG (mask=1, prev=0).
+
+    Scale (100 TB): positions explode corpus-linearly; the only
+    window is PARTITIONED by doc_id over in-doc positions (bounded by
+    doc length); one doc-keyed rollup.  No global ordering anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t <> '')")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    pos = base.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.explode(F.expr("sequence(1, size(t))")).alias("i"),
+    )
+    coin = pos.withColumn(
+        "m",
+        F.when(
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+                " CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 100"
+            )
+            < 15,
+            1,
+        ).otherwise(0),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = coin.withColumn("pm", F.lag("m", 1, 0).over(w))
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("m").cast("bigint").alias("n_masked"),
+            F.sum(
+                F.when((F.col("m") == 1) & (F.col("pm") == 0), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_spans"),
+            F.round(
+                F.sum("m").cast("double") / F.max("n_tokens"), 4
+            ).alias("mask_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------ lang_rebalance_plan (r12)
+
+@register(
+    "lang_rebalance_plan",
+    oracle="""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
+    ),
+    t AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c
+    )
+    SELECT c.lang, c.n_docs, c.n_chars,
+           ROUND(CAST(c.n_docs AS DOUBLE) / t.total, 6) AS share,
+           ROUND(LEAST(CAST(t.total AS DOUBLE) / t.k / c.n_docs, 3.0),
+                 6) AS resample_factor,
+           CAST(FLOOR(LEAST(CAST(t.total AS DOUBLE) / t.k / c.n_docs,
+                            3.0) * c.n_docs) AS BIGINT)
+               AS expected_docs
+    FROM c CROSS JOIN t ORDER BY c.lang
+    """,
+)
+def lang_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE REBALANCING PLAN toward a uniform target mix: per
+    language the corpus share and the capped resampling factor
+    (target_share/actual_share, upsampling capped at 3x — the
+    repetition-budget rule from public multilingual-pretraining
+    practice, e.g. Conneau et al. 2020's alpha-smoothed sampling) plus
+    the expected post-resample doc count — the planning table a
+    multilingual data mix is built from (`mix_weighted_sources` plans
+    BY SOURCE with given weights; this DERIVES the weights from the
+    imbalance itself).
+
+    Determinism: counts exact int64; factor/share through one fixed
+    tree each (LEAST caps before FLOOR), ROUND(.,6).
+
+    Scale (100 TB): one map-side collapse to |langs| rows."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    t = c.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    factor = F.least(
+        F.col("total").cast("double") / F.col("k") / F.col("n_docs"),
+        F.lit(3.0),
+    )
+    return j.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "share"
+        ),
+        F.round(factor, 6).alias("resample_factor"),
+        F.floor(factor * F.col("n_docs")).cast("bigint").alias(
+            "expected_docs"
+        ),
+    ).orderBy("lang")
+
+
+# -------------------------------------- dup_cluster_size_histogram (r12)
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH h AS (
+        SELECT md5(text) AS k, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(LENGTH(printf('%b', sz)) - 1 AS BIGINT)
+               AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+    FROM h GROUP BY LENGTH(printf('%b', sz)) - 1
+    ORDER BY log2_bucket
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-DUPLICATE CLUSTER-SIZE HISTOGRAM in log2 buckets: how
+    duplication mass distributes across cluster sizes (many pairs vs
+    few mega-clusters) and how many docs dedup would REMOVE per bucket
+    — the corpus-shape diagnostic read before choosing between
+    pair-based and CC-based dedup (`dedup_hash_exact` lists survivors;
+    this reports the distribution; the r3 LSH lesson — one 2.6k-doc
+    mega-cluster made pair listing quadratic — is exactly what this
+    histogram detects in advance).
+
+    Determinism: md5 text keys (portable family), exact counts;
+    floor(log2) via bit-length strings, never floating log (the
+    degree_distribution_log2 idiom).
+
+    Scale (100 TB): one hash groupBy collapse + a <= 40-bucket
+    rollup."""
+    d = load(spark, sf_dir, "documents")
+    h = d.groupBy(F.md5("text").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        h.groupBy(
+            (F.length(F.expr("bin(sz)")) - 1)
+            .cast("bigint")
+            .alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("log2_bucket")
+    )

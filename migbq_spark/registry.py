@@ -114,8 +114,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: ``scan_full`` .. ``parquet_sink`` (6 ids).  The r13 rotation trims
 #: or tops up to EXACTLY 50 at rotation time, rolling any overflow to
 #: r14 staging; if short, it extends with the next-oldest r6-graded
-#: aggregates ids (``corr_moments`` onward).  Every previously-graded
-#: id is parity-guarded continuously since it was first graded.
+#: aggregates ids (``corr_moments`` onward).  (End-of-r12 state: the
+#: 35 r12 additions + the 15-id r6 aggregates/sources refresh span
+#: land the staging at exactly 50 — no trim needed; the next-oldest
+#: r6-graded block, ``corr_moments`` onward, is the named r14 refresh
+#: span.)  Every previously-graded id is parity-guarded continuously
+#: since it was first graded.
 R13_WINDOW: tuple[str, ...] = (
     # r12 additions (never driver-run — new evidence outranks refresh):
     # the eval-metrics batch (evalstats.py), the nonparametric-tests
@@ -153,6 +157,9 @@ R13_WINDOW: tuple[str, ...] = (
     "arrays_zip_bigrams",
     "theil_u_uncertainty",
     "odds_ratio_2x2_ci",
+    "span_corruption_plan",
+    "lang_rebalance_plan",
+    "dup_cluster_size_histogram",
     # r6-graded aggregates refresh span (hash-oracle ids only)
     "agg_pk_bounds",
     "agg_groupby_sum",
