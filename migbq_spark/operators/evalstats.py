@@ -821,7 +821,15 @@ def kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one groupBy(v) + one groupBy(g,v) collapse (both
     map-side-combinable), `_rank_prefix` over the frequency table (no
     single-partition window), then a value-domain-bounded join and a
-    k-row rollup."""
+    k-row rollup.  Negative result (r12, measured): deriving freq
+    FROM the gv cells does NOT save the second corpus scan — exchange
+    reuse never fires across the two consumer branches (18 planned
+    scans, warm 1.76 -> 2.13 s sf0.1), and localCheckpointing the
+    dimension-sized gv cells costs MORE end-to-end than the saved
+    scan at fixture scales (5.26 s vs 1.76 s sf0.1; 3.31 vs 2.43 s
+    sf1 — eager materialization + 18 ExistingRDD references).  The
+    independent two-collapse shape stays; at true 100 TB the
+    checkpoint trade flips and the swap is one line."""
     ev = load(spark, sf_dir, "events")
     s = ev.select(F.expr(_CENTS).alias("v"), F.col("event_type").alias("g"))
     freq = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
