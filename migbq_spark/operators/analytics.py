@@ -3024,3 +3024,228 @@ def degree_distribution_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# -------------------------------------------- event_transition_matrix (r12)
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    tr AS (
+        SELECT prev, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    rt AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS r FROM tr GROUP BY prev),
+    ct AS (SELECT nxt, CAST(SUM(c) AS BIGINT) AS cl FROM tr GROUP BY nxt),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tr)
+    SELECT tr.prev, tr.nxt, tr.c,
+           ROUND(CAST(tr.c AS DOUBLE) / rt.r, 6) AS p_next,
+           ROUND(CAST(tr.c AS DOUBLE) * nt.n
+                 / (CAST(rt.r AS DOUBLE) * ct.cl), 6) AS lift
+    FROM tr JOIN rt USING (prev) JOIN ct USING (nxt) CROSS JOIN nt
+    ORDER BY tr.prev, tr.nxt
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over each user's event
+    timeline: per (prev, next) pair the count, the row-conditional
+    P(next|prev), and the LIFT against independence (observed /
+    row-share x col-share) — the behavioral-flow summary
+    `events_funnel` (one fixed path) and `pair_affinity_lift`
+    (unordered co-occurrence) don't express: this is ORDERED
+    adjacency.
+
+    Determinism: transition counts exact int64 ((ts, event_id) is a
+    unique order key); p_next and lift are single fixed trees over
+    exact integers, ROUND(.,6).
+
+    Scale (100 TB): ONE user-partitioned window (the LAG) is the only
+    corpus-wide operation; the transition table is |types|^2-bounded
+    and every margin derives from it."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    tr = seq.groupBy("prev", F.col("event_type").alias("nxt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tr = tr.localCheckpoint(eager=True)
+    rt = tr.groupBy("prev").agg(F.sum("c").cast("bigint").alias("r"))
+    ct = tr.groupBy("nxt").agg(F.sum("c").cast("bigint").alias("cl"))
+    nt = tr.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        tr.join(F.broadcast(rt), "prev")
+        .join(F.broadcast(ct), "nxt")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "prev",
+            "nxt",
+            "c",
+            F.round(F.col("c").cast("double") / F.col("r"), 6).alias(
+                "p_next"
+            ),
+            F.round(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("r").cast("double") * F.col("cl")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("prev", "nxt")
+    )
+
+
+# ---------------------------------------------- histogram_equi_depth (r12)
+
+@register(
+    "histogram_equi_depth",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    freq AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v
+    ),
+    rk AS (
+        SELECT v, c,
+               COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) + c AS cum
+        FROM freq
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq),
+    bounds AS (
+        SELECT k, MIN(v) AS b
+        FROM rk CROSS JOIN nt
+        CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) ks
+        WHERE rk.cum >= (nt.n * k + 9) // 10
+        GROUP BY k
+    ),
+    bucketed AS (
+        SELECT rk.v, rk.c,
+               (SELECT COUNT(*) FROM bounds WHERE rk.v > bounds.b)
+                   AS bucket
+        FROM rk
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MIN(v) AS BIGINT) AS lo_cents,
+           CAST(MAX(v) AS BIGINT) AS hi_cents
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (quantile) HISTOGRAM, 10 buckets over the cents
+    value — the optimizer-statistics shape (`histogram_fixed_width`
+    splits the RANGE evenly; this splits the MASS evenly, which is
+    what selectivity estimation and monitor dashboards use under
+    skew).  The 9 interior boundaries are exact DISC percentiles
+    (smallest v whose cumulative reaches ceil(k*n/10), the
+    `percentile_disc_vs_cont` filter-then-MIN move); a value's bucket
+    is the COUNT of boundaries strictly below it, so tie blocks land
+    whole in one bucket (never split mid-value).
+
+    Determinism: boundaries and bucket ids are exact integer
+    selections; counts exact int64.
+
+    Scale (100 TB): one groupBy(v) collapse; the cumsum rides
+    `_rank_prefix`'s hierarchical shape via a per-bucket window in
+    the frequency domain; boundaries broadcast (9 rows); bucket
+    assignment is a broadcast-join count, not a sort."""
+    from migbq_spark.operators.evalstats import _rank_prefix
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(F.expr(
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    ).alias("v"))
+    freq = s.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rk = _rank_prefix(freq, "v", ["c"]).withColumn(
+        "cum", F.col("c_lt") + F.col("c")
+    )
+    nt = freq.agg(F.sum("c").cast("bigint").alias("n"))
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    bounds = (
+        rk.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ks))
+        .filter(
+            F.col("cum")
+            >= F.expr("CAST((n * k + 9) DIV 10 AS BIGINT)")
+        )
+        .groupBy("k")
+        .agg(F.min("v").alias("b"))
+    )
+    bucketed = (
+        rk.join(
+            F.broadcast(bounds), F.col("v") > F.col("b"), "left"
+        )
+        .groupBy("v", "c")
+        .agg(F.count(F.col("b")).cast("bigint").alias("bucket"))
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.min("v").cast("bigint").alias("lo_cents"),
+            F.max("v").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ------------------------------------------------ path_trigrams_topk (r12)
+
+@register(
+    "path_trigrams_topk",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               LAG(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS p1,
+               LAG(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS p2
+        FROM events
+    )
+    SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path3,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY path3 ORDER BY cnt DESC, path3 LIMIT 10
+    """,
+)
+def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-10 THREE-STEP BEHAVIOR PATHS (event-type trigrams along
+    each user's timeline) — the path-mining summary between
+    `event_transition_matrix` (order 1) and `user_path_string` (the
+    full per-user path): which exact 3-step flows dominate.
+
+    Determinism: exact counts; ties broken by path text.
+
+    Scale (100 TB): both LAGs share ONE user-partitioned window sort;
+    trigram keys are |types|^3-bounded, so the count groupBy is
+    map-side-combinable into a tiny table; top-10 is a bounded heap
+    (TakeOrderedAndProject)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(
+                " > ", F.col("p2"), F.col("p1"), F.col("event_type")
+            ).alias("path3")
+        )
+        .groupBy("path3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path3")
+        .limit(10)
+    )

@@ -115,11 +115,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: or tops up to EXACTLY 50 at rotation time, rolling any overflow to
 #: r14 staging; if short, it extends with the next-oldest r6-graded
 #: aggregates ids (``corr_moments`` onward).  (End-of-r12 state: the
-#: 35 r12 additions + the 15-id r6 aggregates/sources refresh span
-#: land the staging at exactly 50 — no trim needed; the next-oldest
-#: r6-graded block, ``corr_moments`` onward, is the named r14 refresh
-#: span.)  Every previously-graded id is parity-guarded continuously
-#: since it was first graded.
+#: 38 r12 additions + the 12-id head of the r6 aggregates/sources
+#: refresh span land the staging at exactly 50; the span's tail —
+#: ``jsonl_gz_export``/``csv_export``/``parquet_sink`` — plus the
+#: next-oldest r6-graded block, ``corr_moments`` onward, form the
+#: named r14 refresh span.)  Every previously-graded id is
+#: parity-guarded continuously since it was first graded.
 R13_WINDOW: tuple[str, ...] = (
     # r12 additions (never driver-run — new evidence outranks refresh):
     # the eval-metrics batch (evalstats.py), the nonparametric-tests
@@ -160,6 +161,9 @@ R13_WINDOW: tuple[str, ...] = (
     "span_corruption_plan",
     "lang_rebalance_plan",
     "dup_cluster_size_histogram",
+    "event_transition_matrix",
+    "histogram_equi_depth",
+    "path_trigrams_topk",
     # r6-graded aggregates refresh span (hash-oracle ids only)
     "agg_pk_bounds",
     "agg_groupby_sum",
@@ -170,13 +174,13 @@ R13_WINDOW: tuple[str, ...] = (
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    # r6/r8-graded sources refresh span
+    # r6/r8-graded sources refresh span (head; the tail —
+    # jsonl_gz_export, csv_export, parquet_sink — rolled to r14 when
+    # the late-r12 batch H additions took their staging slots: new
+    # evidence outranks refresh, and the window holds EXACTLY 50)
     "scan_full",
     "scan_project_prune",
     "pk_range_scan",
-    "jsonl_gz_export",
-    "csv_export",
-    "parquet_sink",
 )
 
 
