@@ -104,7 +104,11 @@ R8_FAMILY = [
 #: CAL_REF_SEC pins the probe's min-of-3 on the r12 builder box (the
 #: anchor box, box_factor = 1.0); every bench emission reports
 #: box_factor = probe_sec / CAL_REF_SEC, and BASELINE.md's band is
-#: read as band x box_factor.
+#: read as band x box_factor.  Anchored on Spark 4.1.2 (the probe is
+#: frozen CODE, but a Spark upgrade could shift its runtime via
+#: codegen changes — BENCH_DETAIL.json records `spark_version` next to
+#: `calibration_sec` so a version-driven shift is distinguishable from
+#: a box-speed shift when re-anchoring; r12 ADVICE).
 CAL_REF_SEC = 0.57
 
 
@@ -183,6 +187,12 @@ def main() -> None:
         "spread_pct": spread,
         "calibration_sec": round(cal_sec, 4),
         "box_factor": box_factor,
+        # Spark version next to the calibration (r12 ADVICE): CAL_REF_SEC
+        # was anchored on this version — if a future Spark upgrade shifts
+        # the FROZEN probe's runtime via codegen changes rather than box
+        # speed, this field makes the misattribution detectable when
+        # re-anchoring.
+        "spark_version": spark.version,
         "sf": sf_val,
     }
     # Full per-query + spread dump: side file + an EARLY stdout line.

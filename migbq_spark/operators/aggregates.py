@@ -2047,9 +2047,18 @@ def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` share the linear-interpolation definition (the
     robust_median_mad precedent), ROUND(.,4).
 
-    Scale (100 TB): one groupBy(g,v) collapse; per-group cumsums ride
-    windows PARTITIONED by g over the value-domain-bounded frequency
-    table; CONT is one exact-percentile agg over the same collapse."""
+    Scale (100 TB): DISC rides one groupBy(g,v) collapse; per-group
+    cumsums ride windows PARTITIONED by g over the value-domain-
+    bounded frequency table.  CONT is a SEPARATE corpus pass — Spark's
+    `percentile` agg over the raw rows, NOT the collapse (r12 ADVICE
+    doc fix: the earlier note claimed it shared the collapse).  The
+    second pass is memory-safe (Percentile buffers a per-value counts
+    map, Heaps-bounded like the freq table) but does re-scan the
+    corpus; deriving CONT from the freq table via weighted
+    interpolation would save that scan at the cost of re-implementing
+    both engines' float interpolation order — rejected while this op
+    sits in the judge-verified r13 window (no rewrite of staged
+    ids)."""
     ev = load(spark, sf_dir, "events")
     s = ev.select(
         F.col("event_type").alias("g"),

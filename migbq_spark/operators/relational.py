@@ -679,3 +679,354 @@ def try_arith_null_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_q2"),
     )
+
+
+# ------------------------------------------------ round_modes_matrix (r13)
+
+@register(
+    "round_modes_matrix",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT CAST(value AS DECIMAL(18,2)) AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND event_id % 17 = 0
+    ),
+    -- banker's rounding via EXACT integer arithmetic on cents (floor
+    -- division keeps the remainder in 0..9 for both signs): DuckDB's
+    -- roundbankers() is a MACRO that routes through DOUBLE, so
+    -- roundbankers(9.45, 1) = 9.5 (double 9.45 > 9.45) while Spark's
+    -- bround on DECIMAL is exact (9.4) — emulate, don't call it
+    he AS (
+        SELECT x, c,
+               (c // 10) + CASE WHEN c - (c // 10) * 10 > 5 THEN 1
+                                WHEN c - (c // 10) * 10 < 5 THEN 0
+                                ELSE ((c // 10) % 10 + 10) % 10 % 2 END
+                   AS he1_tenths,
+               (c // 100) + CASE WHEN c - (c // 100) * 100 > 50 THEN 1
+                                 WHEN c - (c // 100) * 100 < 50 THEN 0
+                                 ELSE ((c // 100) % 10 + 10) % 10 % 2 END
+                   AS he0_ones
+        FROM v
+    )
+    SELECT CAST(x AS DOUBLE) AS x,
+           CAST(round(x, 1) AS DOUBLE) AS half_up_1,
+           CAST(he1_tenths AS DOUBLE) / 10.0 AS half_even_1,
+           CAST(floor(x) AS BIGINT) AS floor_0,
+           CAST(ceil(x) AS BIGINT) AS ceil_0,
+           CAST(round(x, 0) AS DOUBLE) AS half_up_0,
+           CAST(he0_ones AS DOUBLE) AS half_even_0
+    FROM he ORDER BY x
+    """,
+)
+def round_modes_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUNDING-MODE MATRIX: HALF_UP (`round`) vs HALF_EVEN banker's
+    (`bround`) vs floor/ceil over the distinct value ladder — the
+    money-pipeline semantics audit (financial aggregation standards
+    require half-even so .5 cents don't bias sums upward; SQL ROUND
+    is half-up/away — silently mixing the two shifts totals).
+
+    Determinism: inputs quantize to DECIMAL(18,2) BEFORE any rounding
+    — on exact decimals .5 ties are REAL ties.  Spark's round/bround
+    on DECIMAL are exact; DuckDB's round on DECIMAL is exact too, but
+    its roundbankers() is a MACRO through DOUBLE (measured r13:
+    roundbankers(9.45,1)=9.5 vs exact 9.4), so the oracle emulates
+    half-even with exact integer arithmetic on cents (floor-division
+    remainder + last-digit parity, sign-safe).  Every rendered value
+    is the decimal-cast-double Q22 idiom.
+
+    Scale (100 TB): the DISTINCT collapse bounds work by the value
+    domain (Heaps-bounded); the mode matrix is a narrow projection
+    inside whole-stage codegen."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(
+            F.col("value").isNotNull() & (F.col("event_id") % 17 == 0)
+        )
+        .select(F.col("value").cast("decimal(18,2)").alias("x"))
+        .distinct()
+    )
+    return v.select(
+        F.col("x").cast("double").alias("x"),
+        F.round("x", 1).cast("double").alias("half_up_1"),
+        F.bround("x", 1).cast("double").alias("half_even_1"),
+        F.floor("x").cast("bigint").alias("floor_0"),
+        F.ceil("x").cast("bigint").alias("ceil_0"),
+        F.round("x", 0).cast("double").alias("half_up_0"),
+        F.bround("x", 0).cast("double").alias("half_even_0"),
+    ).orderBy("x")
+
+
+# ------------------------------------------------- map_zip_with_merge (r13)
+
+@register(
+    "map_zip_with_merge",
+    oracle="""
+    WITH halves AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) FILTER (day(ts) <= 15) AS BIGINT) AS n1,
+               CAST(COUNT(*) FILTER (day(ts) > 15) AS BIGINT) AS n2
+        FROM events WHERE user_id % 41 = 0
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, n1, n2,
+           CAST(n1 + n2 AS BIGINT) AS total
+    FROM halves ORDER BY user_id, event_type
+    """,
+)
+def map_zip_with_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER MAP MERGE: per-user event_type->count maps built
+    for two halves of each month (`map_from_entries` over
+    collect_list), merged key-wise with `map_zip_with` (null-safe
+    sum), then exploded back to rows — the map-column workflow
+    (feature stores, per-entity counters) exercised end-to-end:
+    build, zip-merge, explode.  The MAP stays an internal
+    representation; the graded output is the exploded row form, so
+    the oracle is plain relational arithmetic and no engine-specific
+    map rendering is hashed.
+
+    Determinism: counts are exact; the explode order is re-sorted by
+    (user_id, event_type); the user_id % 41 predicate bounds output.
+
+    Scale (100 TB): one groupBy(user, type) with two conditional
+    partial counts; the map build/zip/explode is row-local per user
+    (map width = |event types|, bounded); `map_zip_with` runs inside
+    codegen — no Python, no extra shuffle beyond the one
+    aggregation exchange."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 41 == 0)
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.when(F.dayofmonth("ts") <= 15, 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.dayofmonth("ts") > 15, 1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n1"))
+        ).alias("m1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n2"))
+        ).alias("m2"),
+    )
+    merged = maps.select(
+        "user_id",
+        F.map_zip_with(
+            "m1",
+            "m2",
+            lambda k, v1, v2: F.coalesce(v1, F.lit(0))
+            + F.coalesce(v2, F.lit(0)),
+        ).alias("mt"),
+        F.col("m1").alias("m1k"),
+        F.col("m2").alias("m2k"),
+    )
+    ex = merged.select(
+        "user_id",
+        F.explode("mt").alias("event_type", "total"),
+        "m1k",
+        "m2k",
+    )
+    return ex.select(
+        "user_id",
+        "event_type",
+        F.coalesce(
+            F.col("m1k")[F.col("event_type")], F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n1"),
+        F.coalesce(
+            F.col("m2k")[F.col("event_type")], F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n2"),
+        F.col("total").cast("bigint").alias("total"),
+    ).orderBy("user_id", "event_type")
+
+
+# ------------------------------------------------------ win_cume_dist (r13)
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, v, event_id,
+               ROUND(cume_dist() OVER w, 6) AS cd,
+               ROUND(percent_rank() OVER w, 6) AS pr,
+               CAST(ntile(4) OVER (PARTITION BY event_type
+                                   ORDER BY v, event_id) AS BIGINT)
+                   AS quartile
+        FROM s
+        WINDOW w AS (PARTITION BY event_type ORDER BY v)
+    )
+    SELECT event_type, v, cd, pr, quartile
+    FROM r WHERE event_id % 211 = 0
+    ORDER BY event_type, v, quartile
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + PERCENT_RANK + NTILE(4) over the per-arm value
+    distribution — the remaining rank-family window functions next to
+    `win_rank_topk_group` (rank/dense_rank) and `win_percent_rank`
+    (training's percentile features): cume_dist is <=-inclusive,
+    percent_rank is (rank-1)/(n-1) — off-by-one semantics the two
+    engines must agree on under TIES, which is the point of grading
+    the tied cents ladder.
+
+    Determinism: cume_dist/percent_rank are tie-stable by definition
+    (all peers share a value); NTILE is NOT (it splits peer groups by
+    row order), so its ORDER BY carries the unique event_id tiebreak.
+    The event_id % 211 filter bounds output AFTER the windows so the
+    distribution underneath is the full arm.
+
+    Scale (100 TB): one shuffle on event_type; each window is an
+    in-partition sort — at real scale cume_dist over a skewed
+    partition is the `_rank_prefix` use case instead (documented
+    trade: built-ins here because the SEMANTICS parity is what is
+    graded)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type",
+        F.expr(_CENTS_EV).alias("v"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type").orderBy("v", "event_id")
+    r = s.select(
+        "event_type",
+        "v",
+        "event_id",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(wn).cast("bigint").alias("quartile"),
+    )
+    return (
+        r.filter(F.col("event_id") % 211 == 0)
+        .select("event_type", "v", "cd", "pr", "quartile")
+        .orderBy("event_type", "v", "quartile")
+    )
+
+
+# --------------------------------------------------- regexp_count_instr (r13)
+
+@register(
+    "regexp_count_instr",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+               AS n_capitalized,
+           CAST(strpos(text, 'the') AS BIGINT) AS first_the_pos,
+           array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+               AS first5_words,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_space_fields
+    FROM documents WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+)
+def regexp_count_instr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP_COUNT / INSTR / SUBSTRING_INDEX surface fills — the
+    string-introspection trio `str_funcs`/`regexp_extract_json`
+    don't cover: occurrence COUNTING (digit runs, Capitalized
+    tokens), first-match POSITION (1-based, 0 = absent), and
+    prefix-by-delimiter extraction.  Each has a DIFFERENT DuckDB
+    spelling (len(regexp_extract_all), strpos,
+    array_to_string(list_slice(string_split))) — the dialect-split
+    documentation is the operator's second job.
+
+    Determinism: integer counts/positions; the patterns are
+    anchored-free ASCII classes that both regex engines (Java
+    java.util.regex vs RE2-ish duckdb_re2) treat identically — no
+    backrefs, no lookaround, no unicode classes.
+
+    Scale (100 TB): narrow per-row projection, whole-stage codegen,
+    predicate pushed to the scan; regex cost is linear in text
+    length with no backtracking blowup for these patterns."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.expr("regexp_count(text, '[0-9]+')")
+        .cast("bigint")
+        .alias("n_digit_runs"),
+        F.expr("regexp_count(text, '[A-Z][a-z]+')")
+        .cast("bigint")
+        .alias("n_capitalized"),
+        F.expr("instr(text, 'the')").cast("bigint").alias("first_the_pos"),
+        F.expr("substring_index(text, ' ', 5)").alias("first5_words"),
+        (F.size(F.split("text", " ", -1)))
+        .cast("bigint")
+        .alias("n_space_fields"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------- datetime_interval_arith (r13)
+
+@register(
+    "datetime_interval_arith",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, d,
+           CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+           CAST(last_day(d) AS DATE) AS month_end,
+           CAST(date_trunc('week', d) AS DATE) AS week_start,
+           CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+           CAST(datediff('day', d, DATE '2025-01-01') AS BIGINT)
+               AS days_to_2025,
+           -- months_between emulation (Spark's 31-day convention):
+           -- whole-month delta + day-fraction/31 unless both ends are
+           -- month-aligned (same day-of-month, or both last days)
+           ROUND((date_part('year', DATE '2025-01-01')
+                  - date_part('year', d)) * 12
+                 + (date_part('month', DATE '2025-01-01')
+                    - date_part('month', d))
+                 + CASE WHEN day(d) = 1
+                             OR (DATE '2025-01-01'
+                                 = last_day(DATE '2025-01-01')
+                                 AND d = last_day(d))
+                        THEN 0.0
+                        ELSE (1 - day(d)) / 31.0 END,
+                 6) AS months_to_2025
+    FROM o ORDER BY o_orderkey
+    """,
+)
+def datetime_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATE INTERVAL ARITHMETIC surface: add-months, last-day,
+    ISO-week / quarter truncation, day delta, and fractional
+    MONTHS_BETWEEN — the calendar-math family `date_funcs` (extract
+    fields) doesn't cover.  months_between is the dialect split
+    worth documenting: DuckDB has no such function, so the oracle
+    re-derives Spark's exact 31-day convention (whole-month delta +
+    (d1_day - d2_day)/31 unless both ends month-aligned) in SQL —
+    the shared-formula-strings idiom applied to calendar semantics.
+
+    Determinism: everything is integer date arithmetic except the
+    /31.0 fraction, a single fixed-order double behind ROUND(6);
+    date_trunc('week') is ISO-Monday in BOTH engines (probed r13).
+
+    Scale (100 TB): narrow projection in codegen; the pk-modulo
+    filter pushes to the scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_2025"),
+        F.round(
+            F.months_between(F.lit("2025-01-01").cast("date"), d), 6
+        ).alias("months_to_2025"),
+    ).orderBy("o_orderkey")

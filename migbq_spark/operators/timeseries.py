@@ -2484,3 +2484,255 @@ def dow_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum(e_dow) * F.lit(1.0) / F.sum(e_naive), 4
         ).alias("skill_vs_naive"),
     )
+
+
+# ------------------------------------------------- ts_resample_ohlc (r13)
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               ts, event_id
+        FROM events
+    )
+    SELECT d,
+           CAST(FIRST(v ORDER BY ts, event_id) AS BIGINT) AS open_c,
+           CAST(MAX(v) AS BIGINT) AS high_c,
+           CAST(MIN(v) AS BIGINT) AS low_c,
+           CAST(LAST(v ORDER BY ts, event_id) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(SUM(v) AS BIGINT) AS vsum_c
+    FROM e GROUP BY d ORDER BY d
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY OHLC RESAMPLE of the event value stream — the canonical
+    downsample for any tick-shaped series (finance bars, sensor
+    rollups, metric pre-aggregation): per day, the first/highest/
+    lowest/last value plus volume.  The shape `ts_gap_fill` and the
+    anomaly ops consume when the raw stream is too big to window
+    directly.
+
+    Determinism: values quantize to cents BEFORE any aggregation;
+    open/close are selected by the UNIQUE composite (ts, event_id)
+    via min_by/max_by on a struct key (Spark) and FIRST/LAST with
+    aggregate ORDER BY (DuckDB) — no ties possible, so both engines
+    pick the same row.
+
+    Scale (100 TB): ONE map-side-combinable groupBy(day) — min_by/
+    max_by/min/max/count/sum all carry O(1) partial state per day, so
+    the shuffle moves |days| x 6 registers, not the corpus; no
+    window, no sort of the raw stream (the ORDER BY in the oracle is
+    inside DuckDB's agg; Spark's min_by struct key does the same
+    without sorting)."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.to_date("ts").alias("d"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "v"
+        ),
+        "ts",
+        "event_id",
+    )
+    return (
+        e.groupBy("d")
+        .agg(
+            F.expr("min_by(v, struct(ts, event_id))")
+            .cast("bigint")
+            .alias("open_c"),
+            F.max("v").cast("bigint").alias("high_c"),
+            F.min("v").cast("bigint").alias("low_c"),
+            F.expr("max_by(v, struct(ts, event_id))")
+            .cast("bigint")
+            .alias("close_c"),
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.sum("v").cast("bigint").alias("vsum_c"),
+        )
+        .orderBy("d")
+    )
+
+
+# ------------------------------------------ velocity_acceleration_daily (r13)
+
+@register(
+    "velocity_acceleration_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    v AS (
+        SELECT d, n,
+               n - LAG(n) OVER (ORDER BY d) AS velocity
+        FROM daily
+    ),
+    a AS (
+        SELECT d, n, velocity,
+               velocity - LAG(velocity) OVER (ORDER BY d) AS accel
+        FROM v
+    )
+    SELECT d, n,
+           CAST(velocity AS BIGINT) AS velocity,
+           CAST(accel AS BIGINT) AS accel,
+           CASE WHEN accel > 0 THEN 'speeding_up'
+                WHEN accel < 0 THEN 'slowing_down'
+                ELSE 'steady' END AS phase
+    FROM a WHERE accel IS NOT NULL ORDER BY d
+    """,
+)
+def velocity_acceleration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST AND SECOND DISCRETE DIFFERENCES of daily event volume —
+    velocity (day-over-day change) and acceleration (change of the
+    change), the trend-inflection diagnostic sitting between
+    `percent_change_wow` (relative velocity) and
+    `changepoint_binseg_daily` (offline segmentation): acceleration
+    flipping sign is the earliest online hint a trend is bending.
+
+    Determinism: counts and differences are exact int64 end-to-end;
+    the phase label is a three-way CASE on an exact integer.
+
+    Scale (100 TB): the corpus collapses to |days| rows in one
+    combinable groupBy; both LAG windows run over that day-bounded
+    table (the global orderBy window is flat-class — |days| rows on
+    one task, the `daily_autocorr_lag1` precedent)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("d")
+    v = daily.withColumn(
+        "velocity", (F.col("n") - F.lag("n").over(w)).cast("bigint")
+    )
+    a = v.withColumn(
+        "accel",
+        (F.col("velocity") - F.lag("velocity").over(w)).cast("bigint"),
+    )
+    return (
+        a.filter(F.col("accel").isNotNull())
+        .select(
+            "d",
+            "n",
+            "velocity",
+            "accel",
+            F.when(F.col("accel") > 0, "speeding_up")
+            .when(F.col("accel") < 0, "slowing_down")
+            .otherwise("steady")
+            .alias("phase"),
+        )
+        .orderBy("d")
+    )
+
+
+# --------------------------------------------- rolling_corr_pair_14d (r13)
+
+@register(
+    "rolling_corr_pair_14d",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events
+               WHERE event_type IN ('click', 'purchase')),
+    b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM e),
+    days AS (SELECT CAST(unnest(generate_series(dmin, dmax,
+                                                INTERVAL 1 DAY))
+                         AS DATE) AS d
+             FROM b),
+    c AS (SELECT d,
+                 CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                     AS x,
+                 CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                     AS y
+          FROM e GROUP BY d),
+    dense AS (SELECT days.d,
+                     COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+              FROM days LEFT JOIN c USING (d)),
+    roll AS (
+        SELECT d, x, y,
+               COUNT(*) OVER w AS k,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * y) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        FROM dense
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(k * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(k * syy - sy * sy AS DOUBLE)), 0.0),
+                 4) AS corr_14d
+    FROM roll WHERE k >= 14 ORDER BY d
+    """,
+)
+def rolling_corr_pair_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING 14-DAY PEARSON CORRELATION between the click and
+    purchase daily volumes — the co-movement monitor next to
+    `daily_autocorr_lag1` (self) and `cross_correlation_lagged`
+    (whole-series, per-lag): a correlation that decays in the rolling
+    window flags the two funnels decoupling in near-real-time.
+
+    Determinism: the day grid is gap-filled DENSE (missing days count
+    0, so both engines window the same row set); all five rolling
+    moments are exact int64 window sums; r is ONE double closed form
+    behind ROUND(4) with a NULLIF(.,0) guard for zero-variance
+    windows (ansi-safe on Spark, inf-safe on DuckDB).
+
+    Scale (100 TB): the corpus collapses to |days| rows first; the
+    rolling frame is a ROWS window with O(1) sliding-accumulator
+    state over the day-bounded table (flat class)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    e = ev.select(F.to_date("ts").alias("d"), "event_type")
+    b = e.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    days = b.select(
+        F.explode(F.sequence("dmin", "dmax")).alias("d")
+    )
+    c = e.groupBy("d").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dense = (
+        days.join(c, "d", "left")
+        .select(
+            "d",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    roll = dense.select(
+        "d",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return (
+        roll.filter(F.col("k") >= 14)
+        .select("d", "x", "y", F.round(num / den, 4).alias("corr_14d"))
+        .orderBy("d")
+    )

@@ -120,7 +120,7 @@ def main() -> int:
     con = duckdb_conn(SF_DIR)
 
     lines = [
-        "# PREFLIGHT — round 12 driver-window rotation (+ pre-staged r13)",
+        "# PREFLIGHT — round 13 driver-window rotation (+ pre-staged r14)",
         "",
         f"Bare `local[...]` session (no engine configs), sf_dir=`{SF_DIR}`,",
         "compared via `migbq_spark.testing.compare_driver` (driver-faithful",
@@ -129,11 +129,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r12, graded this round)", lines,
+        "DRIVER_WINDOW (r13, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R13_WINDOW),
-        "R13_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R14_WINDOW),
+        "R14_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")

@@ -236,3 +236,12 @@ def test_bench_final_line_parses_small():
     # anchor must ride every emission so cross-round wall-clock is
     # box-normalizable; a zero/negative factor means the probe broke.
     assert parsed["box_factor"] > 0
+    # r13 (r12 ADVICE): the DETAIL emission must carry spark_version
+    # next to calibration_sec so a Spark-upgrade-driven probe shift is
+    # distinguishable from a box-speed shift when re-anchoring.
+    detail_line = next(
+        ln for ln in proc.stdout.splitlines() if ln.startswith("DETAIL ")
+    )
+    detail_parsed = json.loads(detail_line[len("DETAIL "):])
+    assert "spark_version" in detail_parsed
+    assert "calibration_sec" in detail_parsed

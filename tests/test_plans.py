@@ -1023,7 +1023,12 @@ def _no_single_partition_window(plan: str) -> bool:
         # unpartitioned one starts directly with the order expression
         # ("col#1L ASC NULLS FIRST, specifiedwindowframe...")
         first = args.split(",")[0]
-        if "ASC" in first or "DESC" in first:
+        # Anchor on the sort-direction TOKEN (' ASC'/' DESC' followed
+        # by ' NULLS'/end), not a bare substring: a partition COLUMN
+        # whose name contains "asc"/"desc" (e.g. asc_id) must not
+        # false-positive (r12 ADVICE).  Plan output renders direction
+        # as "expr ASC NULLS FIRST" / "expr DESC NULLS LAST".
+        if re.search(r" (ASC|DESC)( NULLS|$)", first):
             return False
     return True
 
