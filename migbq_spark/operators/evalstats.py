@@ -2867,3 +2867,568 @@ def odds_ratio_2x2_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(orr) - half, 4).alias("log_or_ci_lo"),
         F.round(F.log(orr) + half, 4).alias("log_or_ci_hi"),
     )
+
+
+# --------------------------------------------- cohens_d_effect_size (r13)
+
+@register(
+    "cohens_d_effect_size",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(1 - a) AS BIGINT) AS nb,
+               CAST(SUM(x * a) AS BIGINT) AS sxa,
+               CAST(SUM(x * (1 - a)) AS BIGINT) AS sxb,
+               CAST(SUM(x * x * a) AS BIGINT) AS sxxa,
+               CAST(SUM(x * x * (1 - a)) AS BIGINT) AS sxxb
+        FROM s
+    )
+    SELECT na, nb,
+           ROUND((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+                 / SQRT(((CAST(sxxa AS DOUBLE)
+                          - CAST(sxa AS DOUBLE) * sxa / na)
+                         + (CAST(sxxb AS DOUBLE)
+                            - CAST(sxb AS DOUBLE) * sxb / nb))
+                        / (na + nb - 2)),
+                 6) AS cohens_d,
+           ROUND(((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+                  / SQRT(((CAST(sxxa AS DOUBLE)
+                           - CAST(sxa AS DOUBLE) * sxa / na)
+                          + (CAST(sxxb AS DOUBLE)
+                             - CAST(sxb AS DOUBLE) * sxb / nb))
+                         / (na + nb - 2)))
+                 * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0)),
+                 6) AS hedges_g
+    FROM m
+    """,
+)
+def cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S d + HEDGES' g standardized mean difference between the
+    click and purchase value arms — the EFFECT SIZE companion
+    `ab_test_welch` (significance) and `mann_whitney_u_value`
+    (rank-biserial) bracket: pooled-SD units make the difference
+    comparable across metrics, and g's small-sample correction
+    (1 - 3/(4N-9), Hedges 1981) is what meta-analyses report.
+
+    Determinism: BOTH arms' moments land in ONE row via conditional
+    sums (no cross-row double accumulation anywhere); d and g are
+    single fixed IEEE trees from exact int64 moments, written
+    identically in both engines, behind ROUND(6).  Budget: cents^2 <=
+    3.1e9 -> int64 sums safe to ~3e9 rows/arm (the welch_anova note).
+
+    Scale (100 TB): ONE map-side-combinable pass over the corpus to a
+    single 6-register row; zero joins, zero windows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.expr(_CENTS).alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    m = s.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("nb"),
+        F.sum(F.col("x") * F.col("a")).cast("bigint").alias("sxa"),
+        F.sum(F.col("x") * (F.lit(1) - F.col("a")))
+        .cast("bigint")
+        .alias("sxb"),
+        F.sum(F.col("x") * F.col("x") * F.col("a"))
+        .cast("bigint")
+        .alias("sxxa"),
+        F.sum(F.col("x") * F.col("x") * (F.lit(1) - F.col("a")))
+        .cast("bigint")
+        .alias("sxxb"),
+    )
+    mean_diff = (
+        F.col("sxa").cast("double") / F.col("na")
+        - F.col("sxb").cast("double") / F.col("nb")
+    )
+    pooled = F.sqrt(
+        (
+            (
+                F.col("sxxa").cast("double")
+                - F.col("sxa").cast("double") * F.col("sxa") / F.col("na")
+            )
+            + (
+                F.col("sxxb").cast("double")
+                - F.col("sxb").cast("double") * F.col("sxb") / F.col("nb")
+            )
+        )
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = mean_diff / pooled
+    g = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (F.col("na") + F.col("nb")) - 9.0)
+    )
+    return m.select(
+        "na",
+        "nb",
+        F.round(d, 6).alias("cohens_d"),
+        F.round(g, 6).alias("hedges_g"),
+    )
+
+
+# --------------------------------------------- cliffs_delta_effect (r13)
+
+@register(
+    "cliffs_delta_effect",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    freq AS (
+        SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(1 - a) AS BIGINT) AS cb
+        FROM s GROUP BY v
+    ),
+    r AS (
+        SELECT v, ca, cb,
+               CAST(COALESCE(SUM(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cb_lt
+        FROM freq
+    ),
+    t AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(SUM(ca * cb_lt) AS BIGINT) AS gt_pairs,
+               CAST(SUM(ca * cb) AS BIGINT) AS eq_pairs
+        FROM r
+    )
+    SELECT na, nb, gt_pairs,
+           CAST(na * nb - gt_pairs - eq_pairs AS BIGINT) AS lt_pairs,
+           ROUND((CAST(gt_pairs AS DOUBLE)
+                  - (CAST(na AS DOUBLE) * nb - gt_pairs - eq_pairs))
+                 / (CAST(na AS DOUBLE) * nb),
+                 6) AS cliffs_delta
+    FROM t
+    """,
+)
+def cliffs_delta_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA ordinal effect size between the click and
+    purchase arms: delta = (#(x>y) - #(x<y)) / (na*nb) over all
+    cross-arm pairs (Cliff 1993) — the DISTRIBUTION-FREE effect size
+    that pairs with `mann_whitney_u_value` the way `cohens_d` pairs
+    with Welch's t: no variance, no normality, robust to the heavy
+    tails where d overstates.
+
+    The pair counts come from the value FREQUENCY table, never pair
+    enumeration: #(x>y) = sum over values v of ca_v * |{B < v}|,
+    with the strict-less B-counts from the shared `_rank_prefix`
+    (house rank-statistics shape); #(x<y) follows by complement from
+    na*nb and the tie count.  Budget: gt_pairs <= na*nb — int64-safe
+    to ~3e9 rows PER ARM.
+
+    Determinism: exact int64 end-to-end; one terminal double ratio
+    behind ROUND(6), written identically in both engines.
+
+    Scale (100 TB): one groupBy(v) collapse (Heaps-bounded), the
+    hierarchical `_rank_prefix` (no single-partition window), one
+    final 4-register aggregate."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.expr(_CENTS).alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    freq = s.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("cb"),
+    )
+    r = _rank_prefix(freq, "v", ["cb"])
+    t = r.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * F.col("cb_lt")).cast("bigint").alias(
+            "gt_pairs"
+        ),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("eq_pairs"),
+    )
+    lt = (
+        F.col("na") * F.col("nb") - F.col("gt_pairs") - F.col("eq_pairs")
+    ).cast("bigint")
+    delta = (
+        F.col("gt_pairs").cast("double")
+        - (
+            F.col("na").cast("double") * F.col("nb")
+            - F.col("gt_pairs")
+            - F.col("eq_pairs")
+        )
+    ) / (F.col("na").cast("double") * F.col("nb"))
+    return t.select(
+        "na",
+        "nb",
+        "gt_pairs",
+        lt.alias("lt_pairs"),
+        F.round(delta, 6).alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------- bartlett_test_value (r13)
+
+@register(
+    "bartlett_test_value",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM s GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    v AS (
+        SELECT g, n,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - 1.0) AS var_g
+        FROM m
+    ),
+    q AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(CAST(FLOOR((n - 1.0) * var_g) AS BIGINT))
+                    AS BIGINT) AS pooled_num_q,
+               CAST(SUM(CAST(FLOOR((n - 1.0) * LN(var_g) * 1000000000.0)
+                             AS BIGINT)) AS BIGINT) AS lnterm_nq,
+               CAST(SUM(CAST(FLOOR(1.0 / (n - 1.0) * 1000000000000.0)
+                             AS BIGINT)) AS BIGINT) AS invdf_pq
+        FROM v WHERE var_g > 0
+    )
+    SELECT k, nn,
+           ROUND(((nn - k) * LN(CAST(pooled_num_q AS DOUBLE) / (nn - k))
+                  - CAST(lnterm_nq AS DOUBLE) / 1000000000.0)
+                 / (1.0 + (CAST(invdf_pq AS DOUBLE) / 1000000000000.0
+                           - 1.0 / (nn - k))
+                          / (3.0 * (k - 1.0))),
+                 4) AS bartlett_t
+    FROM q
+    """,
+)
+def bartlett_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARTLETT'S TEST of variance homogeneity across ALL event-type
+    arms (Bartlett 1937) — the parametric, normality-assuming
+    counterpart to `brown_forsythe_test`: maximally powerful when
+    values really are normal, and the classic pre-check before
+    pooled-variance ANOVA (`anova_oneway_value`).
+
+    Determinism: per-group moments exact cents int64 (welch_anova
+    budget note); the THREE cross-group sums — pooled-variance
+    numerator (floor to whole cents^2: relative error <= k/1e12 at
+    graded scales, absorbed by ROUND(4)), (n-1)ln(var) terms (nano),
+    and 1/(n-1) terms (pico) — are floor-quantized BEFORE summing so
+    engine order can't matter; the statistic is one shared formula
+    from the quantized sums.  Zero-variance or singleton groups drop
+    on BOTH sides (same filter).
+
+    Scale (100 TB): one map-side moments pass to k rows; all
+    arithmetic after is on k rows.  int64 note: the nano ln-term
+    quantization saturates past ~1e12 rows/group — re-scale to micro
+    there (documented, not graded)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(F.col("event_type").alias("g"), F.expr(_CENTS).alias("x"))
+    m = (
+        s.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    var_g = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - F.lit(1.0))
+    v = m.select("g", "n", var_g.alias("var_g")).filter(
+        F.col("var_g") > 0
+    )
+    q = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(
+            F.floor((F.col("n") - F.lit(1.0)) * F.col("var_g")).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("pooled_num_q"),
+        F.sum(
+            F.floor(
+                (F.col("n") - F.lit(1.0))
+                * F.log(F.col("var_g"))
+                * F.lit(1000000000.0)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("lnterm_nq"),
+        F.sum(
+            F.floor(
+                F.lit(1.0)
+                / (F.col("n") - F.lit(1.0))
+                * F.lit(1000000000000.0)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("invdf_pq"),
+    )
+    t_stat = (
+        (F.col("nn") - F.col("k"))
+        * F.log(
+            F.col("pooled_num_q").cast("double")
+            / (F.col("nn") - F.col("k"))
+        )
+        - F.col("lnterm_nq").cast("double") / F.lit(1000000000.0)
+    ) / (
+        F.lit(1.0)
+        + (
+            F.col("invdf_pq").cast("double") / F.lit(1000000000000.0)
+            - F.lit(1.0) / (F.col("nn") - F.col("k"))
+        )
+        / (F.lit(3.0) * (F.col("k") - F.lit(1.0)))
+    )
+    return q.select(
+        "k", "nn", F.round(t_stat, 4).alias("bartlett_t")
+    )
+
+
+# --------------------------------------------- nelson_aalen_hazard (r13)
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+               MAX(CAST(ts AS DATE)) AS last_d
+        FROM events GROUP BY user_id
+    ),
+    obs AS (SELECT MAX(last_d) AS max_d FROM u),
+    lt AS (
+        SELECT CAST(datediff('day', first_d, last_d) AS BIGINT) AS t,
+               (last_d = obs.max_d) AS censored
+        FROM u CROSS JOIN obs
+    ),
+    per_t AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+               CAST(SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_deaths
+        FROM lt GROUP BY t
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lt),
+    risk AS (
+        SELECT t, n_deaths,
+               n_users - SUM(n_at_t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   + n_at_t AS n_risk
+        FROM per_t CROSS JOIN tot
+    ),
+    haz AS (
+        SELECT t, n_deaths, CAST(n_risk AS BIGINT) AS n_risk,
+               SUM(CAST(FLOOR(CAST(n_deaths AS DOUBLE) / n_risk
+                              * 1000000000.0) AS BIGINT))
+                   OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h_nq
+        FROM risk WHERE n_deaths >= 1
+    )
+    SELECT t AS t_days, n_risk, n_deaths,
+           ROUND(CAST(h_nq AS DOUBLE) / 1000000000.0, 6) AS h_cum,
+           ROUND(EXP(-(CAST(h_nq AS DOUBLE) / 1000000000.0)), 6)
+               AS s_fleming_harrington
+    FROM haz ORDER BY t_days
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN CUMULATIVE HAZARD over user lifetimes (Nelson
+    1972, Aalen 1978) — the hazard-scale twin of
+    `kaplan_meier_retention` (same censoring construction: a user
+    still active at window end is censored): H(t) = sum_{u<=t}
+    d_u/n_u, plus the Fleming-Harrington survival exp(-H) that beats
+    KM in small risk sets.  Reported per death time with the at-risk
+    count.
+
+    Determinism: each hazard increment d/n is floor-quantized to
+    nano BEFORE the cumulative sum, so H accumulates in exact int64
+    (order-free) and the only doubles are the two rendered columns
+    behind ROUND(6).
+
+    Scale (100 TB): per-user collapse map-side on user_id; lifetimes
+    collapse to <= |days| rows; the ordered windows run on that tiny
+    frame (flat class, the kaplan_meier note)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    obs = u.agg(F.max("last_d").alias("max_d"))
+    lt = u.crossJoin(F.broadcast(obs)).select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("t"),
+        (F.col("last_d") == F.col("max_d")).alias("censored"),
+    )
+    per_t = lt.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_deaths"),
+    )
+    tot = lt.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (
+            F.col("n_users")
+            - F.sum("n_at_t").over(w_cum)
+            + F.col("n_at_t")
+        ).cast("bigint"),
+    )
+    haz = risk.filter(F.col("n_deaths") >= 1).withColumn(
+        "h_nq",
+        F.sum(
+            F.floor(
+                F.col("n_deaths").cast("double")
+                / F.col("n_risk")
+                * F.lit(1000000000.0)
+            ).cast("bigint")
+        ).over(w_cum),
+    )
+    hd = F.col("h_nq").cast("double") / F.lit(1000000000.0)
+    return (
+        haz.select(
+            F.col("t").alias("t_days"),
+            "n_risk",
+            "n_deaths",
+            F.round(hd, 6).alias("h_cum"),
+            F.round(F.exp(-hd), 6).alias("s_fleming_harrington"),
+        )
+        .orderBy("t_days")
+    )
+
+
+# ------------------------------------------ cross_correlation_lagged (r13)
+
+@register(
+    "cross_correlation_lagged",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events
+               WHERE event_type IN ('click', 'purchase')),
+    b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM e),
+    days AS (SELECT CAST(unnest(generate_series(dmin, dmax,
+                                                INTERVAL 1 DAY))
+                         AS DATE) AS d
+             FROM b),
+    c AS (SELECT d,
+                 CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                     AS x,
+                 CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                     AS y
+          FROM e GROUP BY d),
+    dense AS (SELECT days.d, COALESCE(c.x, 0) AS x, COALESCE(c.y, 0) AS y
+              FROM days LEFT JOIN c USING (d)),
+    lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+    pairs AS (
+        SELECT lags.lag, a.x, b2.y
+        FROM dense a CROSS JOIN lags
+        JOIN dense b2 ON b2.d = a.d + CAST(lags.lag AS INTEGER)
+    ),
+    m AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, k,
+           ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(SQRT(CAST(k * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(k * syy - sy * sy AS DOUBLE)), 0.0),
+                 4) AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAGGED CROSS-CORRELATION (CCF) between daily click volume and
+    purchase volume at lags 0..7 days: corr(click_t, purchase_{t+L})
+    — the lead/lag discovery tool `rolling_corr_pair_14d` (lag 0,
+    windowed) and `daily_autocorr_lag1` (self, lag 1) point toward:
+    the argmax lag estimates the click->purchase conversion delay at
+    the population level.
+
+    Determinism: dense gap-filled day grid (missing days are real
+    zeros on both engines); per-lag moments are exact int64; r is
+    the guarded closed form behind ROUND(4) (NULLIF for
+    zero-variance overlaps).
+
+    Scale (100 TB): the corpus collapses to |days| rows FIRST; the
+    lag fan is |days| x 8 rows joined back equi on the shifted date
+    — broadcast-sized at any corpus scale (flat class)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    e = ev.select(F.to_date("ts").alias("d"), "event_type")
+    bnd = e.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    days = bnd.select(F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    c = e.groupBy("d").agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dense = days.join(c, "d", "left").select(
+        "d",
+        F.coalesce("x", F.lit(0)).alias("x"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    left = dense.crossJoin(F.broadcast(lags)).select(
+        "lag", "x", F.expr("date_add(d, lag)").alias("d2")
+    )
+    pairs = left.join(
+        dense.select(F.col("d").alias("d2"), F.col("y").alias("y2")),
+        "d2",
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y2").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return (
+        m.select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "k",
+            F.round(num / den, 4).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

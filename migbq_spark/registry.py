@@ -128,6 +128,12 @@ R14_WINDOW: tuple[str, ...] = (
     "win_cume_dist",
     "regexp_count_instr",
     "datetime_interval_arith",
+    # effect sizes / survival / lagged-dependence (evalstats)
+    "cohens_d_effect_size",
+    "cliffs_delta_effect",
+    "bartlett_test_value",
+    "nelson_aalen_hazard",
+    "cross_correlation_lagged",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
