@@ -3224,3 +3224,458 @@ def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "path3")
         .limit(10)
     )
+
+
+# ------------------------------------------- r13 graph second wave
+#
+# All four ops below run on the SAME support-pruned part co-purchase
+# graph as `triangle_count_copurchase` (parts co-occurring in >= 2
+# orders, canonical u < v orientation): the support prune is what keeps
+# every downstream join edge-bounded at any corpus scale (see the
+# triangle op's docstring for the measured packed-key/repartition
+# rationale).  The edge derivation is factored once here; each op
+# localCheckpoints the ~edge-sized result only when it reuses it >= 2x
+# (the r11/r12 checkpoint-size discipline).
+
+#: DuckDB CTE fragment deriving the same pruned edge set (rendered into
+#: every graph oracle below so both engines share one edge definition).
+_COPURCHASE_EDGES_CTE = """
+    lines AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    pair_occ AS (
+        SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+        FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ),
+    edges AS (SELECT u, v FROM pair_occ WHERE w >= 2),
+    und AS (SELECT u AS src, v AS dst FROM edges
+            UNION ALL SELECT v AS src, u AS dst FROM edges)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-pruned (co-occurrence >= 2) canonical u < v co-purchase
+    edges — the triangle_count_copurchase derivation shared by the r13
+    graph batch: row-local C(basket,2) pair fan (never a corpus
+    self-join), packed-int64 pair key, repartition-before-count (near-
+    unique keys collapse nothing map-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pair_occ = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> x * 4294967296 + y)))"
+                )
+            ).alias("k")
+        )
+        .repartition("k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .select(
+            F.expr("CAST(k div 4294967296 AS BIGINT)").alias("u"),
+            F.expr("CAST(k % 4294967296 AS BIGINT)").alias("v"),
+            "w",
+        )
+    )
+    return pair_occ.filter(F.col("w") >= 2).select("u", "v")
+
+
+# ------------------------------------------ clustering_coeff_per_node (r13)
+
+@register(
+    "clustering_coeff_per_node",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tri_n AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b AS node FROM tri
+              UNION ALL SELECT c AS node FROM tri)
+        GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges
+              UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node
+    )
+    SELECT deg.node AS l_partkey, deg.d AS degree,
+           CAST(COALESCE(tri_n.tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN deg.d < 2 THEN 0.0
+                      ELSE CAST(COALESCE(tri_n.tri, 0) AS DOUBLE)
+                           / (deg.d * (deg.d - 1) / 2) END, 6)
+               AS local_cc
+    FROM deg LEFT JOIN tri_n USING (node)
+    ORDER BY deg.d DESC, deg.node LIMIT 10
+    """,
+)
+def clustering_coeff_per_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL (per-node) CLUSTERING COEFFICIENT for the top-10
+    highest-degree parts in the co-purchase graph: triangles_at_node /
+    C(degree, 2) (Watts & Strogatz 1998) — the node-level refinement
+    of `triangle_count_copurchase`'s single global ratio: hubs with
+    LOW local cc are bridges (their neighborhoods don't interconnect),
+    hubs with high cc sit inside communities — the distinction
+    recommend-together ranking actually needs.
+
+    Determinism: exact integer triangle/degree counts; the ratio is
+    one double behind ROUND(6); top-10 ordered by (degree DESC,
+    partkey) — exact-int sort keys, no ties possible.
+
+    Scale (100 TB): the support prune bounds the edge set; the
+    triangle join is the standard edges-join-edges wedge closure (the
+    triangle op's measured shape); each triangle explodes to its 3
+    member nodes ROW-LOCALLY; the top-10 is a TakeOrderedAndProject
+    bounded heap, never a global sort."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # reused 4x: tri e1/e2/e3 + deg
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = (
+        e1.join(e2, F.col("u2") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("u3") == F.col("e1.u")) & (F.col("v3") == F.col("v2")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+            F.col("v2").alias("c"),
+        )
+    )
+    tri_n = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    j = deg.join(tri_n, "node", "left").select(
+        F.col("node").alias("l_partkey"),
+        F.col("d").alias("degree"),
+        F.coalesce("tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(
+            F.when(F.col("d") < 2, F.lit(0.0)).otherwise(
+                F.coalesce("tri", F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - 1) / 2)
+            ),
+            6,
+        ).alias("local_cc"),
+    )
+    return j.orderBy(F.col("degree").desc(), "l_partkey").limit(10)
+
+
+# --------------------------------------------- label_prop_communities (r13)
+
+@register(
+    "label_prop_communities",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    l1 AS (
+        SELECT n.node,
+               LEAST(n.node, MIN(u.dst)) AS lbl
+        FROM nodes n LEFT JOIN und u ON u.src = n.node
+        GROUP BY n.node
+    ),
+    l2 AS (
+        SELECT n.node,
+               LEAST(MIN(o.lbl), MIN(nb.lbl)) AS lbl
+        FROM nodes n
+        JOIN l1 o ON o.node = n.node
+        LEFT JOIN und u ON u.src = n.node
+        LEFT JOIN l1 nb ON nb.node = u.dst
+        GROUP BY n.node
+    ),
+    comm AS (
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM l2 GROUP BY lbl
+    )
+    SELECT sz AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM comm GROUP BY sz ORDER BY sz
+    """,
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN-LABEL PROPAGATION, 2 unrolled rounds, over the co-purchase
+    graph (Raghavan et al. 2007 made deterministic by taking MIN
+    instead of mode): every node adopts the smallest label in its
+    closed neighborhood, twice — after round r each label has flooded
+    its r-hop ball, so the round-2 community-size HISTOGRAM is a
+    connectivity fingerprint strictly cheaper than full convergence
+    (`dup_cc_twostar` is the run-to-fixpoint version, on a different
+    graph).
+
+    Determinism: min-propagation is order-free by construction; all
+    counts exact int64.
+
+    Scale (100 TB): each round is ONE equi-join of the node-label
+    table with the undirected adjacency + a min-groupBy — the
+    standard BSP/Pregel superstep expressed relationally; 2 rounds =
+    2 joins, both partitioned on node, label table |V|-bounded."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # reused: und x2 rounds + node set
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    l1 = (
+        nodes.join(und, nodes["node"] == und["src"], "left")
+        .groupBy("node")
+        .agg(
+            F.least(F.col("node"), F.min("dst")).alias("lbl")
+        )
+    )
+    l2 = (
+        nodes.join(und, nodes["node"] == und["src"], "left")
+        .join(
+            l1.select(F.col("node").alias("nb"), F.col("lbl").alias(
+                "nb_lbl"
+            )),
+            F.col("dst") == F.col("nb"),
+            "left",
+        )
+        .join(
+            l1.select(F.col("node").alias("own"), F.col("lbl").alias(
+                "own_lbl"
+            )),
+            F.col("node") == F.col("own"),
+        )
+        .groupBy("node")
+        .agg(
+            F.least(F.min("own_lbl"), F.min("nb_lbl")).alias("lbl")
+        )
+    )
+    comm = l2.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        comm.groupBy(F.col("sz").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
+# -------------------------------------------------- kcore_peel_rounds (r13)
+
+@register(
+    "kcore_peel_rounds",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    deg1 AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    keep1 AS (SELECT node FROM deg1 WHERE d >= 3),
+    e1 AS (
+        SELECT e.u, e.v FROM edges e
+        JOIN keep1 a ON a.node = e.u
+        JOIN keep1 b ON b.node = e.v
+    ),
+    deg2 AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM e1 UNION ALL SELECT v AS node FROM e1)
+        GROUP BY node
+    ),
+    keep2 AS (SELECT node FROM deg2 WHERE d >= 3),
+    e2 AS (
+        SELECT e.u, e.v FROM e1 e
+        JOIN keep2 a ON a.node = e.u
+        JOIN keep2 b ON b.node = e.v
+    ),
+    r AS (
+        SELECT 1 AS round,
+               (SELECT COUNT(*) FROM keep1) AS n_nodes,
+               (SELECT COUNT(*) FROM e1) AS n_edges
+        UNION ALL
+        SELECT 2,
+               (SELECT COUNT(*) FROM keep2),
+               (SELECT COUNT(*) FROM e2)
+    )
+    SELECT CAST(round AS BIGINT) AS round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM r ORDER BY round
+    """,
+)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-CORE PEELING, 2 unrolled rounds, on the co-purchase graph
+    (Seidman 1983 / Matula & Beck 1983): drop nodes with degree < 3,
+    recompute degrees on the induced subgraph, drop again — per-round
+    surviving node and edge counts.  The k-core is the standard
+    "dense nucleus" extraction before community detection or
+    influence analysis; two rounds bound the fixpoint from above
+    and measure how fast the periphery sheds (most shedding happens
+    in round 1 on power-law graphs).
+
+    Determinism: pure integer degree arithmetic and semijoins.
+
+    Scale (100 TB): each round = one degree groupBy + two semijoins
+    of the edge table against the |V|-bounded survivor set — the
+    peel is edge-linear per round; the unrolled-2 form keeps the
+    plan static (no iterative driver loop)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # reused: deg1 + e1 build + counts
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg1 = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    keep1 = deg1.filter(F.col("d") >= 3).select("node")
+    e1 = (
+        edges.join(keep1.withColumnRenamed("node", "u"), "u", "semi")
+        .join(keep1.withColumnRenamed("node", "v"), "v", "semi")
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused: deg2 + e2 + count
+    )
+    deg2 = (
+        e1.select(F.col("u").alias("node"))
+        .unionAll(e1.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    keep2 = deg2.filter(F.col("d") >= 3).select("node")
+    e2 = (
+        e1.join(keep2.withColumnRenamed("node", "u"), "u", "semi")
+        .join(keep2.withColumnRenamed("node", "v"), "v", "semi")
+        .select("u", "v")
+    )
+    r1 = keep1.agg(
+        F.lit(1).cast("bigint").alias("round"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    ).crossJoin(
+        F.broadcast(
+            e1.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        )
+    )
+    r2 = keep2.agg(
+        F.lit(2).cast("bigint").alias("round"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    ).crossJoin(
+        F.broadcast(
+            e2.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        )
+    )
+    return r1.unionAll(r2).orderBy("round")
+
+
+# --------------------------------------------- jaccard_node_similarity (r13)
+
+@register(
+    "jaccard_node_similarity",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM und GROUP BY src
+    ),
+    common AS (
+        SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM edges e
+        JOIN und a ON a.src = e.u
+        JOIN und b ON b.src = e.v AND b.dst = a.dst
+        GROUP BY e.u, e.v
+    )
+    SELECT e.u, e.v,
+           CAST(COALESCE(c.inter, 0) AS BIGINT) AS n_common,
+           du.d AS deg_u, dv.d AS deg_v,
+           ROUND(CAST(COALESCE(c.inter, 0) AS DOUBLE)
+                 / (du.d + dv.d - COALESCE(c.inter, 0)), 6) AS jaccard
+    FROM edges e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    LEFT JOIN common c ON c.u = e.u AND c.v = e.v
+    ORDER BY jaccard DESC, e.u, e.v LIMIT 10
+    """,
+)
+def jaccard_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBORHOOD JACCARD SIMILARITY for connected part pairs:
+    |N(u) n N(v)| / |N(u) u N(v)| over the co-purchase graph, top-10
+    — the structural-equivalence link predictor (Liben-Nowell &
+    Kleinberg 2003): a connected pair whose neighborhoods also
+    coincide is a substitutable/bundle pair, not just a co-purchase.
+    Computed ONLY for existing edges, which is what keeps the wedge
+    join bounded (all-pairs common-neighbor counting is the
+    quadratic trap).
+
+    Determinism: exact integer intersection/degree counts; jaccard
+    is one double behind ROUND(6); the top-10 ORDER BY carries the
+    (u, v) exact-int tiebreak after the score.
+
+    Scale (100 TB): common counts come from ONE edges-join-adjacency-
+    join-adjacency wedge closure grouped on the edge key (the
+    triangle shape); degrees are a |V|-bounded rollup; the top-10 is
+    a bounded heap."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # reused: und (x2 sides) + common + output spine
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = und.select(F.col("src").alias("au"), F.col("dst").alias("w"))
+    b = und.select(F.col("src").alias("bv"), F.col("dst").alias("w2"))
+    common = (
+        edges.join(a, F.col("au") == F.col("u"))
+        .join(b, (F.col("bv") == F.col("v")) & (F.col("w2") == F.col("w")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    j = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .join(common, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("inter", F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.coalesce("inter", F.lit(0)).cast("double")
+                / (
+                    F.col("deg_u")
+                    + F.col("deg_v")
+                    - F.coalesce("inter", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.col("jaccard").desc(), "u", "v").limit(10)

@@ -134,6 +134,11 @@ R14_WINDOW: tuple[str, ...] = (
     "bartlett_test_value",
     "nelson_aalen_hazard",
     "cross_correlation_lagged",
+    # graph second wave (analytics, shared co-purchase edge derivation)
+    "clustering_coeff_per_node",
+    "label_prop_communities",
+    "kcore_peel_rounds",
+    "jaccard_node_similarity",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
