@@ -4988,3 +4988,384 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ----------------------------------------------------- quality_c4_rules (r13)
+
+@register(
+    "quality_c4_rules",
+    oracle="""
+    WITH f AS (
+        SELECT source,
+               CASE WHEN right(text, 1) IN ('.', '!', '?', '"')
+                    THEN 1 ELSE 0 END AS r_term,
+               CASE WHEN len(string_split(text, '. ')) >= 3
+                    THEN 1 ELSE 0 END AS r_sent,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         t -> t <> '')) >= 5
+                    THEN 1 ELSE 0 END AS r_words,
+               CASE WHEN strpos(text, '{') = 0 THEN 1 ELSE 0 END
+                   AS r_nobrace,
+               CASE WHEN strpos(lower(text), 'javascript') = 0
+                    THEN 1 ELSE 0 END AS r_nojs
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_term) AS BIGINT) AS pass_terminal_punct,
+           CAST(SUM(r_sent) AS BIGINT) AS pass_min_sentences,
+           CAST(SUM(r_words) AS BIGINT) AS pass_min_words,
+           CAST(SUM(r_nobrace) AS BIGINT) AS pass_no_brace,
+           CAST(SUM(r_nojs) AS BIGINT) AS pass_no_js,
+           CAST(SUM(r_term * r_sent * r_words * r_nobrace * r_nojs)
+                AS BIGINT) AS pass_all,
+           ROUND(SUM(r_term * r_sent * r_words * r_nobrace * r_nojs)
+                 * 1.0 / COUNT(*), 4) AS pass_rate
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-STYLE RULE FILTERING (Raffel et al. 2020) with a per-source,
+    per-rule audit — the web-corpus heuristic bundle that complements
+    `quality_gopher_rules` (Gopher's are length/symbol statistics,
+    C4's are FORM rules): terminal punctuation, >= 3 sentences, >= 5
+    words, no curly brace (code/template tell), no 'javascript'
+    (boilerplate tell).  Document-level adaptation of C4's per-line
+    rules (the fixture has no line structure); thresholds
+    fixture-calibrated like the gopher op.
+
+    Determinism: every rule is an exact 0/1 on string predicates both
+    engines evaluate identically (right(), strpos/instr, split
+    length); pass_all is the integer product; one ratio behind
+    ROUND(4).
+
+    Scale (100 TB): entirely row-local rules + one per-source rollup
+    — the cheap-rules-first funnel stage, embarrassingly parallel."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    f = d.select(
+        "source",
+        F.when(
+            F.expr("right(text, 1)").isin(".", "!", "?", '"'), 1
+        )
+        .otherwise(0)
+        .alias("r_term"),
+        F.when(F.size(F.split("text", "\\. ", -1)) >= 3, 1)
+        .otherwise(0)
+        .alias("r_sent"),
+        F.when(F.size(ws) >= 5, 1).otherwise(0).alias("r_words"),
+        F.when(F.expr("instr(text, '{')") == 0, 1)
+        .otherwise(0)
+        .alias("r_nobrace"),
+        F.when(F.expr("instr(lower(text), 'javascript')") == 0, 1)
+        .otherwise(0)
+        .alias("r_nojs"),
+    )
+    pass_all = (
+        F.col("r_term")
+        * F.col("r_sent")
+        * F.col("r_words")
+        * F.col("r_nobrace")
+        * F.col("r_nojs")
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("r_term").cast("bigint").alias("pass_terminal_punct"),
+            F.sum("r_sent").cast("bigint").alias("pass_min_sentences"),
+            F.sum("r_words").cast("bigint").alias("pass_min_words"),
+            F.sum("r_nobrace").cast("bigint").alias("pass_no_brace"),
+            F.sum("r_nojs").cast("bigint").alias("pass_no_js"),
+            F.sum(pass_all).cast("bigint").alias("pass_all"),
+            F.round(
+                F.sum(pass_all) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------- ngram_lm_stupid_backoff (r13)
+
+@register(
+    "ngram_lm_stupid_backoff",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    uni AS (
+        SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM uni),
+    top5 AS (SELECT w, n FROM uni ORDER BY n DESC, w LIMIT 5),
+    pos AS (
+        SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2
+    ),
+    bi AS (
+        SELECT ts[i] AS w1, ts[i + 1] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM pos GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT a.w AS w1, a.n AS n_w1, b.w AS w2, b.n AS n_w2
+        FROM top5 a CROSS JOIN top5 b
+    )
+    SELECT p.w1, p.w2,
+           CAST(COALESCE(bi.n_pair, 0) AS BIGINT) AS n_pair,
+           CASE WHEN COALESCE(bi.n_pair, 0) > 0 THEN 'bigram'
+                ELSE 'backoff' END AS path,
+           ROUND(CASE WHEN COALESCE(bi.n_pair, 0) > 0
+                      THEN CAST(bi.n_pair AS DOUBLE) / p.n_w1
+                      ELSE 0.4 * CAST(p.n_w2 AS DOUBLE) / tot.nn END,
+                 6) AS sb_score
+    FROM probe p
+    LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+    CROSS JOIN tot
+    ORDER BY p.w1, p.w2
+    """,
+)
+def ngram_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUPID BACKOFF bigram scoring (Brants et al. 2007 — the
+    web-scale LM smoothing that made Kneser-Ney optional at count
+    scale): S(w2|w1) = n(w1,w2)/n(w1) when the bigram is attested,
+    else 0.4 * n(w2)/N — no discounting, no normalization, which is
+    exactly why it distributes trivially.  Scored over the 5x5 probe
+    grid of the top-5 unigrams (count-desc, token tiebreak), so both
+    the attested and the BACKOFF path are exercised and graded.
+
+    Completes the smoothing family: `ngram_lm_bigram_probs` (MLE),
+    `_witten_bell`, `_kneser_ney` (discounting), stupid backoff
+    (score, not probability).
+
+    Determinism: all counts exact int64; the score is one shared
+    two-branch formula behind ROUND(6); the probe grid is
+    deterministic by the exact-int tiebreak.
+
+    Scale (100 TB): bigram/unigram tables collapse map-side to vocab
+    size; the probe is a 25-row broadcast joined against the bigram
+    table — the scoring path is a lookup join, the Brants design
+    point."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda t: t != "").alias("ts")
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("nn"))
+    top5 = uni.orderBy(F.col("n").desc(), "w").limit(5)
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i - 1] AS w1, ts[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    a = top5.select(F.col("w").alias("w1"), F.col("n").alias("n_w1"))
+    b = top5.select(F.col("w").alias("w2"), F.col("n").alias("n_w2"))
+    probe = a.crossJoin(b)
+    j = (
+        probe.join(F.broadcast(bi.join(F.broadcast(a), "w1", "semi")
+                               .join(F.broadcast(b), "w2", "semi")),
+                   ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    np = F.coalesce("n_pair", F.lit(0)).cast("bigint")
+    score = F.when(
+        np > 0, F.col("n_pair").cast("double") / F.col("n_w1")
+    ).otherwise(
+        F.lit(0.4) * F.col("n_w2").cast("double") / F.col("nn")
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            np.alias("n_pair"),
+            F.when(np > 0, "bigram").otherwise("backoff").alias("path"),
+            F.round(score, 6).alias("sb_score"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+# ----------------------------------------- fertility_chars_per_token (r13)
+
+@register(
+    "fertility_chars_per_token",
+    oracle="""
+    WITH t AS (
+        SELECT lang, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS BIGINT) AS n_ws,
+               CAST(list_sum(list_transform(
+                        list_filter(string_split(text, ' '),
+                                    x -> x <> ''),
+                        x -> (length(x) + 3) // 4)) AS BIGINT) AS n_bpe,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_ws), 4)
+               AS chars_per_ws_token,
+           ROUND(SUM(n_bpe) * 1.0 / SUM(n_ws), 4) AS fertility
+    FROM t WHERE n_ws > 0
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def fertility_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by (lang, source): BPE-ish tokens per
+    whitespace word plus chars-per-word — the tokenizer-efficiency
+    audit every multilingual training plan runs (high-fertility
+    languages consume budget faster per word; the signal behind
+    per-language token budgeting in `lang_rebalance_plan` and
+    `token_budget_epoch_plan`).  Uses `token_count_bpe`'s exact
+    integer ceil(len/4) per-word estimate so both engines agree
+    without a real tokenizer.
+
+    Determinism: integer sums; two exact ratios behind ROUND(4).
+
+    Scale (100 TB): row-local token arithmetic + one combinable
+    (lang, source) rollup — scan-speed, no shuffle beyond the
+    #groups exchange."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    t = d.select(
+        "lang",
+        "source",
+        F.size(ws).cast("bigint").alias("n_ws"),
+        F.aggregate(
+            F.transform(ws, lambda x: (F.length(x) + 3).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.floor(x / 4),
+        )
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("n_chars"),
+    ).filter(F.col("n_ws") > 0)
+    return (
+        t.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.sum("n_ws"), 4
+            ).alias("chars_per_ws_token"),
+            F.round(
+                F.sum("n_bpe") * F.lit(1.0) / F.sum("n_ws"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------- upsample_repeat_plan (r13)
+
+@register(
+    "upsample_repeat_plan",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               1.0 + (CAST(substring(source, 4, 10) AS BIGINT) % 5)
+                     / 2.0 AS epochs,
+               CAST((CAST(substring(source, 4, 10) AS BIGINT) % 5)
+                    AS BIGINT) AS half_steps
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, source, epochs,
+               CAST(1 + half_steps // 2 AS BIGINT) AS base_repeats,
+               CASE WHEN half_steps % 2 = 1
+                         AND (doc_id % 7919) % 1000
+                             < (half_steps % 2) * 500
+                    THEN 1 ELSE 0 END AS extra
+        FROM w
+    )
+    SELECT source,
+           ROUND(MAX(epochs), 1) AS epochs_target,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(base_repeats + extra) AS BIGINT) AS n_emitted,
+           ROUND(SUM(base_repeats + extra) * 1.0 / COUNT(*), 4)
+               AS achieved_epochs
+    FROM plan GROUP BY source ORDER BY source
+    """,
+)
+def upsample_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL-EPOCH UPSAMPLING PLAN: each source gets a target
+    epoch count 1.0..3.0 in half steps (config-derived here from the
+    source id); every doc repeats floor(epochs) times plus ONE more
+    copy for a deterministic doc_id-hash fraction of docs — the
+    repeat-expansion complement to `mix_weighted_sources`
+    (downsampling) and the mechanism `token_budget_epoch_plan` prices:
+    fractional epochs without RNG, reproducible across runs.
+
+    Determinism: the extra-copy decision is (doc_id % 7919) % 1000 <
+    frac*1000 — pure integer modulo, identical in both engines; the
+    audit is exact integer sums behind ROUND(4).
+
+    Scale (100 TB): the keep/repeat decision is row-local; the audit
+    is one per-source rollup.  The actual expansion (not graded
+    here) is an `explode(sequence(1, repeats))` — row-local fan, no
+    shuffle."""
+    d = load(spark, sf_dir, "documents")
+    half_steps = (
+        F.substring("source", 4, 10).cast("bigint") % 5
+    ).alias("half_steps")
+    w = d.select(
+        "doc_id",
+        "source",
+        (F.lit(1.0) + half_steps / 2.0).alias("epochs"),
+        half_steps,
+    )
+    base = (F.lit(1) + F.floor(F.col("half_steps") / 2)).cast("bigint")
+    extra = F.when(
+        (F.col("half_steps") % 2 == 1)
+        & (
+            (F.col("doc_id") % 7919) % 1000
+            < (F.col("half_steps") % 2) * 500
+        ),
+        1,
+    ).otherwise(0)
+    plan = w.select(
+        "source",
+        "epochs",
+        base.alias("base_repeats"),
+        extra.alias("extra"),
+    )
+    return (
+        plan.groupBy("source")
+        .agg(
+            F.round(F.max("epochs"), 1).alias("epochs_target"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("base_repeats") + F.col("extra"))
+            .cast("bigint")
+            .alias("n_emitted"),
+            F.round(
+                F.sum(F.col("base_repeats") + F.col("extra"))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("achieved_epochs"),
+        )
+        .orderBy("source")
+    )

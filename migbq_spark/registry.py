@@ -139,6 +139,11 @@ R14_WINDOW: tuple[str, ...] = (
     "label_prop_communities",
     "kcore_peel_rounds",
     "jaccard_node_similarity",
+    # corpus/training second wave (training)
+    "quality_c4_rules",
+    "ngram_lm_stupid_backoff",
+    "fertility_chars_per_token",
+    "upsample_repeat_plan",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
