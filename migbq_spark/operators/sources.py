@@ -780,3 +780,154 @@ def orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), "|")
         ).alias("names_md5"),
     )
+
+
+# ------------------------------------------ partition_overwrite_dynamic (r13)
+
+@register(
+    "partition_overwrite_dynamic",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_c,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month
+        FROM orders
+    ),
+    effective AS (
+        SELECT o_month,
+               CASE WHEN o_month = '1997-03'
+                    THEN price_c // 2 ELSE price_c END AS price_c
+        FROM src
+    )
+    SELECT o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+    FROM effective
+    WHERE o_month IN ('1997-02', '1997-03', '1997-04')
+    GROUP BY o_month ORDER BY o_month
+    """,
+)
+def partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the idempotent-backfill primitive
+    (re-run one day's load without touching its neighbors, the exact
+    semantics migbq's per-day BigQuery load jobs rely on): write the
+    month-partitioned orders table, then overwrite ONLY the 1997-03
+    partition with a corrected slice (prices halved) under
+    `partitionOverwriteMode=dynamic`; neighbors must surface
+    untouched, which is what the graded 3-month audit proves.
+
+    STATIC overwrite mode (the default) would DELETE every partition
+    and leave only 1997-03 — the classic backfill data-loss bug this
+    op pins the fix for.
+
+    Determinism: prices quantize to cents before any write; the
+    audit is exact integer counts/sums.
+
+    Scale (100 TB): the second write's shuffle/scan is bounded by
+    ONE partition's data; the commit swaps directories atomically
+    per-partition — no read-modify-write of the full table (the
+    `compact_merge_on_read` contrast: this is partition-granular
+    replacement, that is row-granular merge)."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_c"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+            "o_month"
+        ),
+    )
+    dest = _stage_dir(sf_dir, "orders_dyn_overwrite")
+    src.write.mode("overwrite").partitionBy("o_month").parquet(dest)
+    fix = src.filter(F.col("o_month") == "1997-03").withColumn(
+        "price_c", F.expr("CAST(price_c DIV 2 AS BIGINT)")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("o_month").parquet(dest)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("o_month").isin("1997-02", "1997-03", "1997-04"))
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price_c").cast("bigint").alias("sum_price_c"),
+        )
+        .orderBy("o_month")
+    )
+
+
+# -------------------------------------- csv_quoted_multiline_roundtrip (r13)
+
+@register(
+    "csv_quoted_multiline_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'pre,"q' || chr(10) || source || '",post' AS tricky,
+           lang
+    FROM documents WHERE doc_id % 11 = 0
+    ORDER BY doc_id
+    """,
+)
+def csv_quoted_multiline_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CSV EDGE-CASE ROUNDTRIP: fields containing the delimiter,
+    embedded double quotes, AND a literal newline must survive a
+    write + read cycle — the RFC 4180 corner the plain `csv_export`
+    roundtrip never exercises, and the one that silently corrupts
+    real exports (an unquoted newline splits a record; a mis-escaped
+    quote shifts every following column).
+
+    Writer and reader both pin `escape='\"'` (RFC 4180 doubled-quote
+    style; Spark's default escape is backslash, which round-trips
+    through Spark but breaks interchange with RFC-compliant readers)
+    and the reader sets `multiLine=true` — without it the embedded
+    newline is a record boundary and the read returns garbage rows,
+    which the hash oracle (the expected content derived straight from
+    the source table) would catch.
+
+    Determinism: the tricky payload is constructed deterministically
+    from source columns; the graded frame is the full read-back.
+
+    Scale (100 TB): multiLine=true is the documented scale TRADE: a
+    multiline CSV file is NOT splittable (one file = one task), so
+    big exports shard into many files at write time (this writer
+    does, one per input partition) and parallelism comes from file
+    count, not in-file splits."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    src = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('pre,"q'), F.lit("\n"), F.col("source"), F.lit('",post')
+        ).alias("tricky"),
+        "lang",
+    )
+    dest = _stage_dir(sf_dir, "docs_tricky_csv")
+    (
+        src.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(dest)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tricky", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(dest)
+        .select("doc_id", "tricky", "lang")
+        .orderBy("doc_id")
+    )

@@ -144,6 +144,9 @@ R14_WINDOW: tuple[str, ...] = (
     "ngram_lm_stupid_backoff",
     "fertility_chars_per_token",
     "upsample_repeat_plan",
+    # sinks second wave (sources)
+    "partition_overwrite_dynamic",
+    "csv_quoted_multiline_roundtrip",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
