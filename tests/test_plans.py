@@ -1146,3 +1146,77 @@ def test_gamma_pair_cross_is_broadcast(spark, sf_dir):
     plan = _plan(Q["goodman_kruskal_gamma"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- r13 plan contracts
+
+
+def test_ohlc_single_scan_no_window(spark, sf_dir):
+    """OHLC resample is ONE combinable aggregation: min_by/max_by carry
+    the open/close selection in O(1) partial state — no WindowExec, no
+    second scan, no Python."""
+    plan = _plan(Q["ts_resample_ohlc"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graph_topk_is_bounded_heap(spark, sf_dir):
+    """Top-10 graph rankings must be TakeOrderedAndProject (bounded
+    heap), never a global sort of the node/edge table."""
+    for qid in ("clustering_coeff_per_node", "jaccard_node_similarity"):
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, qid
+        assert "BatchEvalPython" not in plan, qid
+
+
+def test_cliffs_delta_no_single_partition_window(spark, sf_dir):
+    """Cliff's delta rides the shared hierarchical rank prefix — no
+    windowspecdefinition without a partition column anywhere."""
+    plan = _plan(Q["cliffs_delta_effect"](spark, sf_dir))
+    assert _no_single_partition_window(plan)
+
+
+def test_cohens_d_single_pass_no_join(spark, sf_dir):
+    """Both arms' moments collapse in ONE aggregation pass — no join,
+    no window, one scan."""
+    plan = _plan(Q["cohens_d_effect_size"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_xcorr_lag_fan_broadcasts(spark, sf_dir):
+    """The |days| x 8 lag fan and its shifted-date equi-join run on
+    broadcast-sized inputs — no sort-merge join may appear."""
+    plan = _plan(Q["cross_correlation_lagged"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_overwrite_readback_prunes_partitions(spark, sf_dir):
+    """The 3-month audit read must prune at the partition-directory
+    level (PartitionFilters on o_month), never scan all months."""
+    plan = _plan(Q["partition_overwrite_dynamic"](spark, sf_dir))
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_month" in pf
+
+
+def test_surface_fills_stay_jvm(spark, sf_dir):
+    """The r13 SQL-surface fills are narrow codegen projections: no
+    Python eval, and the pk/doc-modulo predicates reach the scan."""
+    for qid in ("regexp_count_instr", "datetime_interval_arith"):
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, qid
+        assert "ArrowEvalPython" not in plan, qid
+        assert "PushedFilters: [" in plan, qid
+
+
+def test_c4_rules_single_rollup(spark, sf_dir):
+    """C4 rules are row-local predicates + one source rollup: one scan,
+    no join, no window, no Python."""
+    plan = _plan(Q["quality_c4_rules"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
