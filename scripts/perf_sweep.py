@@ -101,6 +101,11 @@ def main() -> None:
     ).collect()
     times: dict[str, float] = {}
     errors: list[tuple[str, str]] = []
+    skipped: list[str] = sorted(
+        qid
+        for qid in qs
+        if qid.startswith(SKIP_PREFIX) or qid in SKIP
+    )
     for qid, fn in qs.items():
         if qid.startswith(SKIP_PREFIX) or qid in SKIP:
             continue
@@ -147,6 +152,15 @@ def main() -> None:
         "plan/codegen compile ~0.3-1 s — compare across queries and across",
         f"rounds, not against bench.py's warm min-of-3).  Gate: > {GATE_FACTOR}×",
         f"previous-round time AND > {GATE_FLOOR_S} s absolute fails the round.",
+        "",
+        # r13 (r12 VERDICT "Next round" #4): enumerate the skipped ids in
+        # the artifact so coverage is auditable without reading this file.
+        f"**Skipped ({len(skipped)}/{len(qs)} registered)** — streaming"
+        " drains / external adapters / driver-loop iteration,"
+        " side-effecting or long-running by design, exercised in tests"
+        " instead: "
+        + ", ".join(f"`{q}`" for q in skipped)
+        + ".",
         "",
         "| id | secs |",
         "| --- | --- |",
