@@ -1030,3 +1030,121 @@ def datetime_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.months_between(F.lit("2025-01-01").cast("date"), d), 6
         ).alias("months_to_2025"),
     ).orderBy("o_orderkey")
+
+
+# ----------------------------------------------- collation_lcase_dedup (r13)
+
+@register(
+    "collation_lcase_dedup",
+    oracle="""
+    WITH v AS (
+        SELECT p_brand,
+               CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                    ELSE p_name END AS name
+        FROM part
+    )
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT name) AS BIGINT) AS n_binary,
+           CAST(COUNT(DISTINCT lower(name)) AS BIGINT) AS n_ci,
+           CAST(COUNT(DISTINCT name)
+                - COUNT(DISTINCT lower(name)) AS BIGINT)
+               AS n_case_variants
+    FROM v GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def collation_lcase_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-INSENSITIVE DISTINCT VIA COLLATION (Spark 4 `COLLATE
+    UTF8_LCASE`) — the collation-aware counting surface, graded
+    against the portable lower() oracle: per brand, the binary
+    distinct name count vs the case-insensitive one (case variants
+    planted deterministically by upcasing even partkeys).  Collation
+    beats lower() in production because it composes with JOINs,
+    GROUP BYs and range predicates without rewriting every
+    expression — this op pins that the two give identical counts.
+
+    Determinism: UTF8_LCASE on this ASCII fixture == lower()
+    equality by definition; counts exact int64.
+
+    Scale (100 TB): one distinct-collapse aggregation; collation
+    comparison stays in codegen (no UDF)."""
+    p = load(spark, sf_dir, "part")
+    v = p.select(
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_name")
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name"),
+    )
+    return (
+        v.groupBy("p_brand")
+        .agg(
+            F.countDistinct("name").cast("bigint").alias("n_binary"),
+            F.countDistinct(
+                F.expr("collate(name, 'UTF8_LCASE')")
+            )
+            .cast("bigint")
+            .alias("n_ci"),
+            (
+                F.countDistinct("name")
+                - F.countDistinct(F.expr("collate(name, 'UTF8_LCASE')"))
+            )
+            .cast("bigint")
+            .alias("n_case_variants"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# -------------------------------------------------- xml_extract_fields (r13)
+
+@register(
+    "xml_extract_fields",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey AS k,
+           o_orderpriority AS p,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t
+    FROM orders WHERE o_orderkey % 89 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def xml_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML PARSE SURFACE (`from_xml`, Spark 4): serialize each order
+    to an XML fragment, parse it back with an explicit schema, and
+    extract the typed fields — the construct-then-invert shape that
+    grades the parser itself (the oracle derives the expected fields
+    straight from the source columns, so any parse loss or type
+    coercion drift hash-fails).  DuckDB has no XML reader — the
+    roundtrip construction is exactly what makes the op
+    SQL-oracle-checkable anyway (the house planted-dimension idiom
+    from the mm_* header probes).
+
+    Determinism: integer/string fields only; price pre-quantized to
+    cents BEFORE serialization so no float renders into the XML.
+
+    Scale (100 TB): row-local serialize + parse in codegen
+    (from_xml is a JVM expression, no Python); the pk-modulo filter
+    pushes to the scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 89 == 0)
+    xml = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("<o><k>"),
+            F.col("o_orderkey"),
+            F.lit("</k><p>"),
+            F.col("o_orderpriority"),
+            F.lit("</p><t>"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ),
+            F.lit("</t></o>"),
+        ).alias("x"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        F.from_xml("x", "k BIGINT, p STRING, t BIGINT").alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey", "r.k", "r.p", "r.t"
+    ).orderBy("o_orderkey")

@@ -2736,3 +2736,173 @@ def rolling_corr_pair_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", "x", "y", F.round(num / den, 4).alias("corr_14d"))
         .orderBy("d")
     )
+
+
+# --------------------------------------------------- mann_kendall_trend (r13)
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                             WHEN b.n < a.n THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tie_corr
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY n HAVING COUNT(*) > 1)
+    )
+    SELECT s.s_stat, nn.n,
+           ROUND((CAST(s.s_stat AS DOUBLE)
+                  - CASE WHEN s.s_stat > 0 THEN 1
+                         WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                 / SQRT((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                         - ties.tie_corr) / 18.0),
+                 4) AS z_mk
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST on daily event volume (Mann 1945,
+    Kendall 1975) — the rank-based monotone-trend detector that pairs
+    with `theil_sen_daily_trend` (its canonical slope estimator): S =
+    sum of sign(x_j - x_i) over all day pairs i < j, z from the
+    tie-corrected variance.  Distribution-free where
+    `daily_autocorr_lag1`'s Pearson machinery assumes linearity.
+
+    Determinism: S and the tie correction are exact int64 (the pair
+    sign sum is order-free); z is one shared continuity-corrected
+    formula behind ROUND(4).
+
+    Scale (100 TB): the corpus collapses to |days| rows FIRST; the
+    O(|days|^2) pair join runs on the day-bounded table (~6.4k pairs
+    for 80 days — flat class; at multi-year granularity switch to the
+    O(n log n) inversion-count form, documented trade)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(F.col("d").alias("db"), F.col("n").alias("nb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("nb") > F.col("na"), 1)
+                .when(F.col("nb") < F.col("na"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_corr")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    cc = (
+        F.when(F.col("s_stat") > 0, 1)
+        .when(F.col("s_stat") < 0, -1)
+        .otherwise(0)
+    )
+    z = (F.col("s_stat").cast("double") - cc) / F.sqrt(
+        (
+            F.col("n").cast("double")
+            * (F.col("n") - 1)
+            * (2 * F.col("n") + 5)
+            - F.col("tie_corr")
+        )
+        / 18.0
+    )
+    return j.select("s_stat", "n", F.round(z, 4).alias("z_mk"))
+
+
+# ---------------------------------------------- win_range_interval_days (r13)
+
+@register(
+    "win_range_interval_days",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, d,
+           CAST(SUM(v) OVER w AS BIGINT) AS v_7d,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, d
+    """,
+)
+def win_range_interval_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE WINDOW FRAME with a calendar INTERVAL bound —
+    trailing 7-DAY value/count sums per arm via `RANGE BETWEEN
+    INTERVAL 7 DAYS PRECEDING AND CURRENT ROW` — the VALUE-based
+    frame over sparse daily data that a ROWS frame gets WRONG
+    (`control_chart_bands`' ROWS 13 PRECEDING spans 14 rows, which is
+    14 calendar days only when no day is missing; the RANGE INTERVAL
+    frame spans exactly 8 calendar days regardless of gaps).
+    `win_range_frame` is the epoch-seconds integer-range variant;
+    this grades the calendar-interval SQL surface itself.
+
+    Determinism: cents-exact int64 window sums; the frame bound is a
+    calendar comparison both engines evaluate identically on DATE
+    order (no gap-fill needed — that's the point).
+
+    Scale (100 TB): one combinable (arm, day) collapse; the interval
+    window runs on the day-bounded table partitioned by arm with a
+    sliding accumulator."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    daily.createOrReplaceTempView("_wri_daily")
+    return spark.sql(
+        """
+        SELECT event_type, d,
+               CAST(SUM(v) OVER w AS BIGINT) AS v_7d,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_7d
+        FROM _wri_daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(d AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_type, d
+        """
+    )

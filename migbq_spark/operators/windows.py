@@ -381,3 +381,71 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """
     )
+
+
+# ------------------------------------------------ session_window_batch (r13)
+
+@register(
+    "session_window_batch",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events WHERE user_id % 13 = 0
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+        FROM e
+    ),
+    per_sess AS (
+        SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION_WINDOW IN BATCH MODE — Spark's built-in dynamic-gap
+    session assignment (`F.session_window(ts, '30 minutes')`) run on
+    a static table and graded against the manual LAG-island
+    sessionization (`sessionize_gaps`' shape) as the oracle: the two
+    must agree EXACTLY (a session extends while consecutive events
+    are < gap apart; a >= gap step starts a new one), which pins the
+    boundary semantics of the API (strict-less merge) — the subtle
+    off-by-one that silently shifts session counts if assumed wrong.
+
+    Determinism: session membership is gap-arithmetic on timestamps;
+    counts exact int64.
+
+    Scale (100 TB): ONE shuffle on user_id; session_window merges
+    in-partition after the sort (same cost shape as the manual
+    two-window form but one window pass fewer); the per-user rollup
+    reuses the partitioning."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    per_sess = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )

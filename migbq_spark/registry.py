@@ -147,6 +147,14 @@ R14_WINDOW: tuple[str, ...] = (
     # sinks second wave (sources)
     "partition_overwrite_dynamic",
     "csv_quoted_multiline_roundtrip",
+    # Spark 4 surface wave (bitmap/session_window/collation/xml/
+    # interval-range-frame) + Mann-Kendall
+    "mann_kendall_trend",
+    "win_range_interval_days",
+    "bitmap_distinct_rollup",
+    "session_window_batch",
+    "collation_lcase_dedup",
+    "xml_extract_fields",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
