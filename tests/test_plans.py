@@ -1220,3 +1220,30 @@ def test_c4_rules_single_rollup(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_window_single_user_shuffle(spark, sf_dir):
+    """session_window + the per-user rollup must share ONE exchange on
+    user_id (the rollup reuses the session stage's partitioning)."""
+    plan = _plan(Q["session_window_batch"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bitmap_rollup_partial_aggregates(spark, sf_dir):
+    """bitmap_construct_agg must partial-aggregate map-side (two
+    HashAggregate/ObjectHashAggregate levels) — the shuffle moves
+    bitmaps, not user ids."""
+    plan = _plan(Q["bitmap_distinct_rollup"](spark, sf_dir))
+    assert (
+        plan.count("HashAggregate") + plan.count("ObjectHashAggregate")
+    ) >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_spark4_surface_ops_stay_jvm(spark, sf_dir):
+    """collation / from_xml are JVM expressions — no Python eval."""
+    for qid in ("collation_lcase_dedup", "xml_extract_fields"):
+        plan = _plan(Q[qid](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, qid
+        assert "ArrowEvalPython" not in plan, qid
