@@ -1073,3 +1073,67 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(qty)
     )
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+# --------------------------------------------- freshness_staleness_audit (r13)
+
+@register(
+    "freshness_staleness_audit",
+    oracle="""
+    WITH per AS (
+        SELECT event_type,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS wm FROM events)
+    SELECT event_type, last_ts, n_events,
+           CAST((epoch_us(g.wm) - epoch_us(last_ts)) // 60000000
+                AS BIGINT) AS lag_minutes,
+           CASE WHEN (epoch_us(g.wm) - epoch_us(last_ts)) // 60000000
+                     < 10080 THEN 'fresh'
+                WHEN (epoch_us(g.wm) - epoch_us(last_ts)) // 60000000
+                     < 43200 THEN 'aging'
+                ELSE 'stale' END AS freshness
+    FROM per CROSS JOIN g ORDER BY event_type
+    """,
+)
+def freshness_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-STREAM FRESHNESS AUDIT: each event type's last-seen
+    timestamp, its lag in minutes behind the global high-water mark,
+    and a fresh(<7d)/aging(<30d)/stale bucket — the first page of
+    every ingestion-ops dashboard, and the check migbq's `check`
+    lifecycle approximates with per-day count reconciliation
+    (SURVEY §3.1 EP3): a silently-dead upstream shows up here ONE
+    aggregation before it shows up as missing-day counts.
+
+    Determinism: max timestamps are exact; the lag is WHOLE elapsed
+    minutes via floor(epoch_micros_diff / 6e7) on both engines —
+    NOT date_diff('minute'), which counts minute-BOUNDARY crossings
+    and diverges on sub-second timestamps (measured r13).
+
+    Scale (100 TB): one map-side-combinable pass to |event types|
+    rows; the watermark scalar broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    g = ev.agg(F.max("ts").alias("wm"))
+    lag_min = F.floor(
+        (F.unix_micros("wm") - F.unix_micros("last_ts")) / 60000000
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "last_ts",
+            "n_events",
+            lag_min.alias("lag_minutes"),
+            F.when(lag_min < 10080, "fresh")
+            .when(lag_min < 43200, "aging")
+            .otherwise("stale")
+            .alias("freshness"),
+        )
+        .orderBy("event_type")
+    )

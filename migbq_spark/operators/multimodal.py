@@ -587,3 +587,89 @@ def mm_meta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------- mm_image_tile_plan (r13)
+
+@register(
+    "mm_image_tile_plan",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+               CAST(n_chars % 480 + 1 AS BIGINT) AS h
+        FROM documents WHERE doc_id % 13 = 0
+    ),
+    tiles AS (
+        SELECT doc_id, w, h, ty, tx,
+               CAST(tx * 128 AS BIGINT) AS x0,
+               CAST(ty * 128 AS BIGINT) AS y0,
+               CAST(LEAST(128, w - tx * 128) AS BIGINT) AS tile_w,
+               CAST(LEAST(128, h - ty * 128) AS BIGINT) AS tile_h
+        FROM dims,
+             unnest(generate_series(0, (h - 1) // 128)) AS t1(ty),
+             unnest(generate_series(0, (w - 1) // 128)) AS t2(tx)
+    )
+    SELECT doc_id, CAST(ty AS BIGINT) AS ty, CAST(tx AS BIGINT) AS tx,
+           x0, y0, tile_w, tile_h,
+           CAST(tile_w * tile_h * 3 AS BIGINT) AS rgb_bytes
+    FROM tiles ORDER BY doc_id, ty, tx
+    """,
+)
+def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE TILING PLAN: split each image into a 128x128 patch grid
+    with edge clipping — the pre-processing fan every vision pipeline
+    runs before patch-level encoding (ViT patches, tiled OCR,
+    super-resolution shards), planned from HEADER dimensions alone so
+    the pixel payload is never touched at planning time.  Dimensions
+    are the `mm_decode_headers` planted pair (doc_id % 640 + 1,
+    n_chars % 480 + 1), so the plan is hash-checkable end-to-end; on
+    a real corpus the same op runs off the decoded header table.
+
+    Determinism: pure integer grid arithmetic (floor division, edge
+    clip via LEAST).
+
+    Scale (100 TB): the tile fan is ROW-LOCAL (sequence x sequence
+    explode per image, bounded by ceil(w/128)*ceil(h/128)); no
+    shuffle at all — the plan streams straight to the patch decoder
+    stage, which is the mapInPandas slot `mm_decode_stub` models."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    dims = d.select(
+        "doc_id",
+        (F.col("doc_id") % 640 + 1).cast("bigint").alias("w"),
+        (F.col("n_chars") % 480 + 1).cast("bigint").alias("h"),
+    )
+    tiles = dims.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                " sequence(0, CAST((h - 1) DIV 128 AS INT)),"
+                " ty -> transform("
+                "   sequence(0, CAST((w - 1) DIV 128 AS INT)),"
+                "   tx -> struct(ty AS ty, tx AS tx))))"
+            )
+        ).alias("t"),
+    ).select("doc_id", "w", "h", "t.ty", "t.tx")
+    return tiles.select(
+        "doc_id",
+        F.col("ty").cast("bigint").alias("ty"),
+        F.col("tx").cast("bigint").alias("tx"),
+        (F.col("tx") * 128).cast("bigint").alias("x0"),
+        (F.col("ty") * 128).cast("bigint").alias("y0"),
+        F.least(F.lit(128), F.col("w") - F.col("tx") * 128)
+        .cast("bigint")
+        .alias("tile_w"),
+        F.least(F.lit(128), F.col("h") - F.col("ty") * 128)
+        .cast("bigint")
+        .alias("tile_h"),
+        (
+            F.least(F.lit(128), F.col("w") - F.col("tx") * 128)
+            * F.least(F.lit(128), F.col("h") - F.col("ty") * 128)
+            * 3
+        )
+        .cast("bigint")
+        .alias("rgb_bytes"),
+    ).orderBy("doc_id", "ty", "tx")

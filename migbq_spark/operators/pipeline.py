@@ -6508,3 +6508,312 @@ def bloom_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# --------------------------------------------- embedding_centroid_drift (r13)
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH c AS (
+        SELECT label, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, half, dim,
+               CAST(SUM(q) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM c GROUP BY label, half, dim
+    ),
+    j AS (
+        SELECT a.label, a.dim,
+               CAST(FLOOR((CAST(a.s AS DOUBLE) / a.n
+                           - CAST(b.s AS DOUBLE) / b.n)
+                          * (CAST(a.s AS DOUBLE) / a.n
+                             - CAST(b.s AS DOUBLE) / b.n))
+                    AS BIGINT) AS term_q,
+               a.n AS na, b.n AS nb
+        FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(MIN(na) AS BIGINT) AS n_a,
+           CAST(MIN(nb) AS BIGINT) AS n_b,
+           ROUND(SQRT(CAST(SUM(term_q) AS DOUBLE)) / 1000000.0, 6)
+               AS centroid_drift
+    FROM j GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTROID DRIFT between two deterministic halves of each label's
+    embedding population (vec_id parity split): euclidean distance
+    between per-half per-label centroids — the embedding-space
+    DISTRIBUTION-shift monitor (a re-embedding run, a model upgrade,
+    or upstream corpus drift moves centroids before it moves top-k
+    neighbors; `distribution_drift` is the scalar-feature analogue).
+
+    Determinism: components floor-quantize to micro int64 BEFORE the
+    per-half sums (quantize-before-sum); per-dim squared-diff terms
+    are EXPLICIT d*d products (the chi_square r12 precedent — never
+    pow(), whose libm path may differ) floor-quantized to int64,
+    one sqrt behind ROUND(6).
+
+    Scale (100 TB): the dim explode is row-local; sums collapse
+    map-side to |labels| x 2 x d cells; everything after runs on that
+    bounded table."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0)"
+                " AS BIGINT))"
+            )
+        ).alias("dim", "q"),
+    )
+    m = c.groupBy("label", "half", "dim").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label",
+        "dim",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label",
+        "dim",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    j = a.join(b, ["label", "dim"]).select(
+        "label",
+        "na",
+        "nb",
+        F.floor(
+            (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            )
+            * (
+                F.col("sa").cast("double") / F.col("na")
+                - F.col("sb").cast("double") / F.col("nb")
+            )
+        )
+        .cast("bigint")
+        .alias("term_q"),
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.min("na").cast("bigint").alias("n_a"),
+            F.min("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.sqrt(F.sum("term_q").cast("double")) / 1000000.0, 6
+            ).alias("centroid_drift"),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------- embedding_pca_power_iter (r13)
+
+#: Shared matvec-step SQL template: one power-iteration step v -> G v
+#: with per-term floor quantization (see the op docstring).  Rendered
+#: into the DuckDB oracle; the Spark side builds the identical joins.
+_PCA_STEP_SQL = """
+    {out} AS (
+        SELECT g.di AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(g.gq AS DOUBLE) * v.q
+                                   / 1000000.0) AS BIGINT))
+                    AS BIGINT) AS mv
+        FROM gfull g JOIN {vin} v ON v.dim = g.dj
+        GROUP BY g.di
+    ),
+    {out}n AS (
+        SELECT dim,
+               CAST(FLOOR(CAST(mv AS DOUBLE)
+                          / (SELECT MAX(ABS(mv)) FROM {out})
+                          * 1000000.0) AS BIGINT) AS q
+        FROM {out}
+    )
+"""
+
+
+@register(
+    "embedding_pca_power_iter",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0)
+                             AS BIGINT)) AS qq
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT i AS di, j AS dj,
+               CAST(SUM(qq[i + 1] * qq[j + 1]) AS BIGINT) AS gq
+        FROM q,
+             unnest(generate_series(0, len(qq) - 1)) AS t1(i),
+             unnest(generate_series(0, len(qq) - 1)) AS t2(j)
+        GROUP BY i, j
+    ),
+    gfull AS (SELECT di, dj, gq FROM cells),
+    v0n AS (
+        SELECT DISTINCT di AS dim, CAST(1000000 AS BIGINT) AS q
+        FROM gfull
+    ),
+    """
+    + _PCA_STEP_SQL.format(out="v1", vin="v0n")
+    + ","
+    + _PCA_STEP_SQL.format(out="v2", vin="v1n")
+    + ","
+    + _PCA_STEP_SQL.format(out="v3", vin="v2n")
+    + """,
+    mv4 AS (
+        SELECT g.di AS dim,
+               CAST(SUM(CAST(FLOOR(CAST(g.gq AS DOUBLE) * v.q
+                                   / 1000000.0) AS BIGINT))
+                    AS BIGINT) AS mv
+        FROM gfull g JOIN v3n v ON v.dim = g.dj
+        GROUP BY g.di
+    ),
+    ray AS (
+        SELECT CAST(SUM(CAST(FLOOR(CAST(a.q AS DOUBLE) * b.mv
+                                   / 1000000.0) AS BIGINT)) AS BIGINT)
+                   AS num,
+               CAST(SUM(a.q * a.q) AS BIGINT) AS den
+        FROM v3n a JOIN mv4 b ON a.dim = b.dim
+    )
+    SELECT v3n.dim, v3n.q AS v_q,
+           ROUND(CAST(ray.num AS DOUBLE) * 1000000.0 / ray.den, 4)
+               AS rayleigh_q
+    FROM v3n CROSS JOIN ray
+    ORDER BY v3n.dim
+    """,
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding second-moment matrix
+    via THREE UNROLLED POWER-ITERATION STEPS, expressed entirely
+    relationally (von Mises & Pollaczek-Geiringer 1929; the
+    PCA/spectral building block `embedding_gram_matrix` stops short
+    of): v_{k+1} = normalize(G v_k) as a d^2-cell join-aggregate, no
+    linear-algebra library, no driver-side matrix.  Output: the
+    converged direction (max-abs-normalized to 1e6 scale) + the
+    Rayleigh-quotient eigenvalue estimate in quantized gram units.
+
+    Determinism: the gram is int64 BY CONSTRUCTION (components
+    quantized 1e4 before products — the embedding_gram_matrix
+    convention, full matrix here); every matvec term floor-quantizes
+    G_ij*v_j/1e6 to int64 before the row-sum (order-free), every
+    normalization floor-quantizes to max-abs 1e6 scale; the single
+    terminal double is the Rayleigh ratio behind ROUND(4).  Start
+    vector = all-ones (deterministic; orthogonality to the top
+    eigenvector has measure zero).
+
+    int64 budget: |G_ij| <= n_rows*1e8 -> matvec terms <= |G| (the
+    /1e6 cancels the v scale), row-sums <= 64|G| — safe to ~1e9
+    embedding rows; re-scale the gram quantum past that (documented).
+
+    Scale (100 TB): ONE corpus pass builds the d^2 map-side-combined
+    gram (the shuffle moves d^2 = 4096 cells per task, the gram op's
+    note); the three matvec steps are joins on the d^2-row gram with
+    a broadcast d-row vector — driver-scale-free, cluster-resident
+    end to end."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
+        ).alias("qq")
+    )
+    gfull = (
+        q.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(qq) - 1),"
+                    " i -> transform(sequence(0, size(qq) - 1),"
+                    " j -> struct(i AS di, j AS dj,"
+                    " qq[i] * qq[j] AS prod))))"
+                )
+            ).alias("p")
+        )
+        .select("p.di", "p.dj", "p.prod")
+        .groupBy("di", "dj")
+        .agg(F.sum("prod").cast("bigint").alias("gq"))
+        .localCheckpoint(eager=True)  # reused by 4 matvec joins
+    )
+
+    def matvec(vn: DataFrame) -> DataFrame:
+        """One exact-quantized step: dim -> sum_j floor(G_ij*v_j/1e6)."""
+        vv = vn.select(F.col("dim").alias("dj"), "q")
+        return (
+            gfull.join(F.broadcast(vv), "dj")
+            .groupBy(F.col("di").alias("dim"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("gq").cast("double")
+                        * F.col("q")
+                        / F.lit(1000000.0)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("mv")
+            )
+        )
+
+    def normalize(mv: DataFrame) -> DataFrame:
+        mx = mv.agg(F.max(F.abs(F.col("mv"))).alias("mx"))
+        return mv.crossJoin(F.broadcast(mx)).select(
+            "dim",
+            F.floor(
+                F.col("mv").cast("double")
+                / F.col("mx")
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+
+    v0n = gfull.select(F.col("di").alias("dim")).distinct().withColumn(
+        "q", F.lit(1000000).cast("bigint")
+    )
+    v1n = normalize(matvec(v0n))
+    v2n = normalize(matvec(v1n))
+    v3n = normalize(matvec(v2n)).localCheckpoint(eager=True)  # reused 3x
+    mv4 = matvec(v3n)
+    ray = (
+        v3n.join(mv4, "dim")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("q").cast("double")
+                    * F.col("mv")
+                    / F.lit(1000000.0)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("num"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("den"),
+        )
+    )
+    return (
+        v3n.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.col("q").alias("v_q"),
+            F.round(
+                F.col("num").cast("double")
+                * F.lit(1000000.0)
+                / F.col("den"),
+                4,
+            ).alias("rayleigh_q"),
+        )
+        .orderBy("dim")
+    )

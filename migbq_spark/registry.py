@@ -155,6 +155,11 @@ R14_WINDOW: tuple[str, ...] = (
     "session_window_batch",
     "collation_lcase_dedup",
     "xml_extract_fields",
+    # embeddings/multimodal/ops-audit wave
+    "embedding_centroid_drift",
+    "embedding_pca_power_iter",
+    "mm_image_tile_plan",
+    "freshness_staleness_audit",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
@@ -190,85 +195,6 @@ R14_WINDOW: tuple[str, ...] = (
     "stream_tws_liststate",
 )
 
-#: Pre-staged round-13 window: FIRST any r12 additions (never
-#: driver-run — new evidence outranks refresh; inserted at the head
-#: as they land this round), then the refresh span named by the r11
-#: VERDICT "Next round" #5: the r6-graded aggregates/sources block —
-#: the oldest driver evidence once r12 grades.  The span is the
-#: import-order hash-oracle ids ``agg_pk_bounds`` ..
-#: ``agg_grouping_sets`` (9 ids; the rows-only ``agg_approx_distinct``
-#: is skipped so the round can grade 50/50 hash-green) plus
-#: ``scan_full`` .. ``parquet_sink`` (6 ids).  The r13 rotation trims
-#: or tops up to EXACTLY 50 at rotation time, rolling any overflow to
-#: r14 staging; if short, it extends with the next-oldest r6-graded
-#: aggregates ids (``corr_moments`` onward).  (End-of-r12 state: the
-#: 38 r12 additions + the 12-id head of the r6 aggregates/sources
-#: refresh span land the staging at exactly 50; the span's tail —
-#: ``jsonl_gz_export``/``csv_export``/``parquet_sink`` — plus the
-#: next-oldest r6-graded block, ``corr_moments`` onward, form the
-#: named r14 refresh span.)  Every previously-graded id is
-#: parity-guarded continuously since it was first graded.
-R13_WINDOW: tuple[str, ...] = (
-    # r12 additions (never driver-run — new evidence outranks refresh):
-    # the eval-metrics batch (evalstats.py), the nonparametric-tests
-    # batch (evalstats.py), and the graph + SQL-surface batch
-    # (analytics.py / relational.py)
-    "roc_auc_exact",
-    "pr_auc_trapezoid",
-    "calibration_bins_report",
-    "brier_score_decomposition",
-    "cohens_kappa_agreement",
-    "mcc_binary_confusion",
-    "kruskal_wallis_value",
-    "mcnemar_test",
-    "cochran_q_usertype",
-    "wilcoxon_signed_rank_paired",
-    "mood_median_test",
-    "sign_test_paired",
-    "hits_hub_authority",
-    "degree_distribution_log2",
-    "listagg_sorted_groups",
-    "win_first_last_ignore_nulls",
-    "try_arith_null_safety",
-    "welch_anova_value",
-    "jackknife_loo_ratio",
-    "cooks_distance_daily",
-    "grubbs_outlier_daily",
-    "runs_test_updown_daily",
-    "durbin_watson_daily",
-    "friedman_test_types",
-    "goodman_kruskal_gamma",
-    "cramers_v_matrix",
-    "pivot_multi_agg_wide",
-    "percentile_disc_vs_cont",
-    "join_asof_tolerance",
-    "arrays_zip_bigrams",
-    "theil_u_uncertainty",
-    "odds_ratio_2x2_ci",
-    "span_corruption_plan",
-    "lang_rebalance_plan",
-    "dup_cluster_size_histogram",
-    "event_transition_matrix",
-    "histogram_equi_depth",
-    "path_trigrams_topk",
-    # r6-graded aggregates refresh span (hash-oracle ids only)
-    "agg_pk_bounds",
-    "agg_groupby_sum",
-    "agg_avg_decimal",
-    "agg_count_distinct",
-    "agg_having_dups",
-    "agg_day_counts",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    # r6/r8-graded sources refresh span (head; the tail —
-    # jsonl_gz_export, csv_export, parquet_sink — rolled to r14 when
-    # the late-r12 batch H additions took their staging slots: new
-    # evidence outranks refresh, and the window holds EXACTLY 50)
-    "scan_full",
-    "scan_project_prune",
-    "pk_range_scan",
-)
 
 
 def _windowed(d: dict) -> dict:
