@@ -6789,7 +6789,10 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     v3n = normalize(matvec(v2n)).localCheckpoint(eager=True)  # reused 3x
     mv4 = matvec(v3n)
     ray = (
-        v3n.join(mv4, "dim")
+        # explicit broadcast: the localCheckpointed v3n side reports no
+        # stats, so AQE would otherwise plan a sort-merge join for this
+        # 64-row x 64-row dot product (observed r13)
+        v3n.join(F.broadcast(mv4), "dim")
         .agg(
             F.sum(
                 F.floor(

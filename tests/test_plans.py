@@ -1247,3 +1247,24 @@ def test_spark4_surface_ops_stay_jvm(spark, sf_dir):
         plan = _plan(Q[qid](spark, sf_dir))
         assert "BatchEvalPython" not in plan, qid
         assert "ArrowEvalPython" not in plan, qid
+
+
+def test_pca_gram_matvecs_broadcast(spark, sf_dir):
+    """The PCA matvec joins run a broadcast d-row vector against the
+    d^2 gram — no sort-merge join anywhere; the gram is checkpointed
+    once (InMemoryTableScan), not re-derived per step."""
+    plan = _plan(Q["embedding_pca_power_iter"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tile_plan_no_shuffle(spark, sf_dir):
+    """The tile fan is row-local: no exchange below the output sort."""
+    plan = _plan(Q["mm_image_tile_plan"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_centroid_drift_no_python(spark, sf_dir):
+    plan = _plan(Q["embedding_centroid_drift"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
