@@ -3679,3 +3679,143 @@ def jaccard_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.col("jaccard").desc(), "u", "v").limit(10)
+
+
+# ---------------------------------------------------- k_anonymity_audit (r13)
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS dow,
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 5000 AS BIGINT) AS value_band
+        FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+        SELECT event_type, dow, value_band,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM q GROUP BY event_type, dow, value_band
+    )
+    SELECT CASE WHEN n_users >= 10 THEN 'k>=10'
+                WHEN n_users >= 5 THEN '5<=k<10'
+                WHEN n_users >= 2 THEN '2<=k<5'
+                ELSE 'k=1 (re-identifiable)' END AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_covered,
+           CAST(SUM(CASE WHEN n_users = 1 THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_at_risk
+    FROM cells GROUP BY 1 ORDER BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT over the quasi-identifier tuple (event_type,
+    day-of-week, $50 value band) — the re-identification risk report
+    (Sweeney 2002) run before any event-level data release: a cell
+    whose quasi-identifiers isolate ONE user is re-identifiable by
+    linkage even with the id column dropped.  Reports the cell-count
+    and row-coverage histogram by k bucket plus the rows sitting in
+    k=1 cells — the number a privacy review actually asks for.
+    Complements `pii_scrub` (direct identifiers) with the
+    quasi-identifier side.
+
+    Determinism: dow via epoch-day % 7 (the house dayofweek split —
+    engines disagree on week start); value bands in exact cents
+    integer division; all counts exact.
+
+    Scale (100 TB): one groupBy to the quasi-identifier cell table
+    (bounded by |types| x 7 x |bands|), then a 4-bucket rollup —
+    scan-dominated, two small shuffles."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.select(
+        "user_id",
+        "event_type",
+        (
+            F.floor(F.unix_micros("ts") / 86400000000).cast("bigint") % 7
+        ).alias("dow"),
+        F.expr(
+            "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 5000 AS BIGINT)"
+        ).alias("value_band"),
+    )
+    cells = q.groupBy("event_type", "dow", "value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    bucket = (
+        F.when(F.col("n_users") >= 10, "k>=10")
+        .when(F.col("n_users") >= 5, "5<=k<10")
+        .when(F.col("n_users") >= 2, "2<=k<5")
+        .otherwise("k=1 (re-identifiable)")
+    )
+    return (
+        cells.groupBy(bucket.alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_rows").cast("bigint").alias("rows_covered"),
+            F.sum(
+                F.when(F.col("n_users") == 1, F.col("n_rows")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("rows_at_risk"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# ------------------------------------------ trailing_7d_distinct_exact (r13)
+
+@register(
+    "trailing_7d_distinct_exact",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    win AS (
+        SELECT days.d, du.user_id
+        FROM days JOIN du ON du.d > days.d - 7 AND du.d <= days.d
+    )
+    SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u7d
+    FROM win GROUP BY d ORDER BY d
+    """,
+)
+def trailing_7d_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day — the exact twin of
+    `sliding_distinct_hll` (whose sketch this op calibrates) and of
+    `active_users_7d` (which reports only the latest day): distinct
+    counts are NOT window-mergeable, so the exact form re-derives each
+    day's set from the day-user table via a bounded range join — the
+    honest cost the HLL variant exists to avoid, made cheap by
+    collapsing to (day, user) FIRST.
+
+    Determinism: exact distinct counts end-to-end.
+
+    Scale (100 TB): the corpus collapses map-side to |days| x |daily
+    actives| (day, user) pairs; the range join fans each pair into at
+    most 7 day-buckets (row-local bound), and the distinct-count
+    aggregation shuffles on (day, user) — the fan is 7x the collapsed
+    table, NOT 7x the corpus.  Past ~1e9 daily actives, switch to the
+    HLL twin (documented trade; this op IS the calibration
+    baseline)."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    # equi-join form of the range join: fan each (d, user) row into the
+    # <= 7 trailing day-buckets it contributes to, row-locally
+    fan = du.select(
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(d, i))")
+        ).alias("day"),
+        "user_id",
+    )
+    win = fan.join(F.broadcast(days), "day", "semi")
+    return (
+        win.groupBy(F.col("day").alias("d"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("u7d"))
+        .join(F.broadcast(days.withColumnRenamed("day", "d")), "d", "semi")
+        .orderBy("d")
+    )

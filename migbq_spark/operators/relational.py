@@ -1148,3 +1148,60 @@ def xml_extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "o_orderkey", "r.k", "r.p", "r.t"
     ).orderBy("o_orderkey")
+
+
+# ------------------------------------------------ array_sort_comparator (r13)
+
+@register(
+    "array_sort_comparator",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(
+                   list_sort(list_transform(
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> ''),
+                       x -> {'l': length(x), 's': x})),
+                   t -> t.s) AS toks
+        FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(toks[1:5], ' ') AS shortest5,
+           toks[len(toks)] AS longest_token
+    FROM s ORDER BY doc_id
+    """,
+)
+def array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM-COMPARATOR ARRAY SORT (Spark `array_sort` with a lambda
+    comparator): tokens ordered by (length, lexicographic) inside the
+    row — the HOF sorting surface `arr_funcs`' natural-order sort
+    can't express, and a total order (the lexicographic tiebreak)
+    both engines replay identically.  DuckDB has no comparator
+    lambda — the oracle sorts a (length, string) STRUCT list instead
+    (field-lexicographic struct ordering == the comparator), which is
+    itself the documented portable rewrite for engines without
+    comparator sorts.
+
+    Determinism: the comparator is a total order; tokens and lengths
+    are exact.
+
+    Scale (100 TB): entirely row-local HOF work in codegen — sort
+    cost is per-row O(k log k), no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    sorted_toks = F.expr(
+        "array_sort(filter(split(text, ' '), t -> t <> ''),"
+        " (a, b) -> CASE"
+        "   WHEN length(a) < length(b) THEN -1"
+        "   WHEN length(a) > length(b) THEN 1"
+        "   WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END)"
+    )
+    # graded columns are scalar renderings (array columns are
+    # driver-canonicalizer-unsafe): count, 5 shortest, the longest
+    s = d.select("doc_id", sorted_toks.alias("toks"))
+    return s.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.array_join(F.slice("toks", 1, 5), " ").alias("shortest5"),
+        F.element_at("toks", F.size("toks")).alias("longest_token"),
+    ).orderBy("doc_id")

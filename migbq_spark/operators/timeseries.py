@@ -2906,3 +2906,126 @@ def win_range_interval_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type, d
         """
     )
+
+
+# ------------------------------------------ holt_winters_additive_daily (r13)
+
+@register(
+    "holt_winters_additive_daily",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT row_number() OVER (ORDER BY d) AS rn, d, x
+        FROM (SELECT CAST(ts AS DATE) AS d,
+                     CAST(COUNT(*) AS BIGINT) AS x
+              FROM events GROUP BY 1)
+    ),
+    init AS (
+        SELECT CAST((SELECT SUM(x) FROM daily WHERE rn <= 7)
+                    * 1000000 // 7 AS BIGINT) AS l0
+    ),
+    r AS (
+        SELECT CAST(7 AS BIGINT) AS rn,
+               (SELECT d FROM daily WHERE rn = 7) AS d,
+               (SELECT x FROM daily WHERE rn = 7) AS x,
+               init.l0 AS l,
+               CAST(0 AS BIGINT) AS b,
+               list_transform(
+                   (SELECT list(x ORDER BY rn) FROM daily
+                    WHERE rn <= 7),
+                   v -> v * 1000000 - init.l0) AS s,
+               CAST(NULL AS BIGINT) AS fitted
+        FROM init
+        UNION ALL
+        SELECT dd.rn, dd.d, dd.x,
+               CAST(FLOOR((dd.x * 1000000
+                           - r.s[CAST((dd.rn - 1) % 7 + 1 AS INT)]
+                           + 3 * (r.l + r.b)) / 4.0) AS BIGINT),
+               CAST(FLOOR((CAST(FLOOR((dd.x * 1000000
+                           - r.s[CAST((dd.rn - 1) % 7 + 1 AS INT)]
+                           + 3 * (r.l + r.b)) / 4.0) AS BIGINT)
+                           - r.l + 3 * r.b) / 4.0) AS BIGINT),
+               list_transform(range(1, 8),
+                   i -> CASE WHEN i = CAST((dd.rn - 1) % 7 + 1 AS INT)
+                        THEN CAST(FLOOR((dd.x * 1000000
+                             - CAST(FLOOR((dd.x * 1000000
+                                 - r.s[CAST((dd.rn - 1) % 7 + 1 AS INT)]
+                                 + 3 * (r.l + r.b)) / 4.0) AS BIGINT)
+                             + 3 * r.s[CAST((dd.rn - 1) % 7
+                                            + 1 AS INT)]) / 4.0)
+                             AS BIGINT)
+                        ELSE r.s[CAST(i AS INT)] END),
+               CAST(r.l + r.b
+                    + r.s[CAST((dd.rn - 1) % 7 + 1 AS INT)] AS BIGINT)
+        FROM r JOIN daily dd ON dd.rn = r.rn + 1
+    )
+    SELECT d, x AS cnt, l AS level_q, b AS trend_q,
+           s[CAST((rn - 1) % 7 + 1 AS INT)] AS seasonal_q, fitted
+    FROM r WHERE rn >= 8 ORDER BY d
+    """,
+)
+def holt_winters_additive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE (triple exponential) smoothing of daily
+    volume with a 7-slot weekly seasonal, alpha = beta = gamma = 1/4
+    — the seasonality-aware rung past `holt_linear_daily` (which
+    lags every weekend dip) and the forecasting complement to
+    `seasonality_dow_hour` (which measures the pattern but doesn't
+    track its drift).  Emits per day: level, trend, the active
+    seasonal slot, and the one-step-ahead fitted value the state
+    predicted BEFORE seeing the day (the backtest residual source).
+
+    Determinism: the full recurrence runs in int64 micro-units;
+    every /4 is floor-of-(int/4.0), a power-of-two division exact in
+    double below 2^53 (the holt_linear precedent) — NOT `//`, whose
+    DuckDB semantics truncate toward zero and diverge from Python
+    floor on the NEGATIVE seasonal terms (measured r13: -7//2 = -3
+    in DuckDB, -4 in Python).  Init: l = 7-day mean (values
+    nonnegative, // safe there), b = 0, s_i = x_i*1e6 - l.
+
+    Scale (100 TB): corpus collapses map-side to |days| rows; the
+    inherently sequential recurrence runs in ONE applyInPandas task
+    over that tiny frame, with the recursive-CTE form as the oracle
+    pinning both execution strategies equal."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("d")))
+        .withColumn("g", F.lit(1))
+        .select("g", "rn", "d", "x")
+    )
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        xs = [int(v) for v in pdf["x"].tolist()]
+        n = len(xs)
+        out = {"d": [], "cnt": [], "level_q": [], "trend_q": [],
+               "seasonal_q": [], "fitted": []}
+        if n < 8:
+            return pd.DataFrame(out)
+        l = sum(xs[:7]) * 1000000 // 7
+        b = 0
+        s = [x * 1000000 - l for x in xs[:7]]
+        for t in range(8, n + 1):
+            xq = xs[t - 1] * 1000000
+            slot = (t - 1) % 7
+            fitted = l + b + s[slot]
+            l_new = (xq - s[slot] + 3 * (l + b)) // 4
+            b_new = (l_new - l + 3 * b) // 4
+            s[slot] = (xq - l_new + 3 * s[slot]) // 4
+            l, b = l_new, b_new
+            out["d"].append(pdf["d"].iloc[t - 1])
+            out["cnt"].append(xs[t - 1])
+            out["level_q"].append(l)
+            out["trend_q"].append(b)
+            out["seasonal_q"].append(s[slot])
+            out["fitted"].append(fitted)
+        return pd.DataFrame(out)
+
+    res = daily.groupBy("g").applyInPandas(
+        _hw,
+        "d date, cnt bigint, level_q bigint, trend_q bigint,"
+        " seasonal_q bigint, fitted bigint",
+    )
+    return res.orderBy("d")

@@ -160,6 +160,11 @@ R14_WINDOW: tuple[str, ...] = (
     "embedding_pca_power_iter",
     "mm_image_tile_plan",
     "freshness_staleness_audit",
+    # governance/activity/sequential wave
+    "k_anonymity_audit",
+    "trailing_7d_distinct_exact",
+    "array_sort_comparator",
+    "holt_winters_additive_daily",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
