@@ -103,19 +103,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pk_range_scan",
 )
 
-#: Pre-staged round-14 window: FIRST any r13 additions (never
-#: driver-run — new evidence outranks refresh; inserted at the head
-#: as they land this round), then the refresh span named by the r12
+#: Pre-staged round-14 window (EXACTLY 50, end-of-r13 state): FIRST
+#: the 37 r13 additions (never driver-run — new evidence outranks
+#: refresh), then the head of the refresh span named by the r12
 #: VERDICT "Next round" #2: the sources tail rolled from the r13
 #: staging cut (``jsonl_gz_export``/``csv_export``/``parquet_sink``,
-#: r8-graded), then the r4-graded sorting/set/relational block
-#: (``explode_outer_tokens`` .. ``set_intersect_all`` in import
-#: order — the oldest driver evidence once r13 grades), then the
-#: r5-graded streaming/windows span (``observe_progress_metrics`` ..
-#: ``stream_tws_liststate``) as filler.  The r14 rotation trims or
-#: tops up to EXACTLY 50 at rotation time, rolling any overflow to
-#: r15 staging.  Every previously-graded id is parity-guarded
-#: continuously since it was first graded.
+#: r8-graded) plus the first 10 ids of the r4-graded
+#: sorting/set/relational block (``explode_outer_tokens`` ..
+#: ``range_partition_boundaries`` in import order — the oldest driver
+#: evidence once r13 grades).  The span's tail —
+#: ``set_intersect_all`` plus the r5-graded streaming/windows span
+#: (``observe_progress_metrics`` .. ``stream_tws_liststate``) — forms
+#: the named r15 refresh span.  The r14 rotation trims or tops up to
+#: EXACTLY 50 at rotation time, rolling any overflow to r15 staging.
+#: Every previously-graded id is parity-guarded continuously since it
+#: was first graded.
 R14_WINDOW: tuple[str, ...] = (
     # r13 additions (never driver-run — new evidence outranks refresh):
     # timeseries second wave
@@ -179,25 +181,6 @@ R14_WINDOW: tuple[str, ...] = (
     "set_except",
     "set_except_all",
     "range_partition_boundaries",
-    "set_intersect_all",
-    "observe_progress_metrics",
-    "recursive_pk_ranges",
-    "mm_decode_headers",
-    "mm_audio_headers",
-    "mm_video_headers",
-    "dedup_simhash_portable",
-    "win_ignore_nulls",
-    "udtf_lateral_split",
-    "stream_stateful_progress",
-    "stream_stateful_rocksdb",
-    "stream_foreach_batch_sink",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_stateful_tws",
-    "stream_tws_timers",
-    "stream_tws_mapstate",
-    "stream_tws_liststate",
 )
 
 
