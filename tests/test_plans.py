@@ -199,6 +199,10 @@ _PY_ALLOWED = {
     # CTE stays as the DuckDB oracle)
     "burst_detection_twostate",
     "holt_linear_daily",
+    # r13: Holt-Winters shares holt_linear's declared shape — the
+    # sequential recurrence runs in ONE applyInPandas task over the
+    # day-bounded frame
+    "holt_winters_additive_daily",
     # r10: the declared §2.J mapInArrow surface itself
     "mapinarrow_batch_audit",
     # r10: MaxMatch segments the Heaps-bounded DISTINCT word vocab via
