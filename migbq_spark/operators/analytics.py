@@ -3819,3 +3819,101 @@ def trailing_7d_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(days.withColumnRenamed("day", "d")), "d", "semi")
         .orderBy("d")
     )
+
+
+# ---------------------------------------------- logistic_newton_step (r13)
+
+@register(
+    "logistic_newton_step",
+    oracle=f"""
+    WITH raw AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) % 7 AS x1,
+               CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    // 100 AS BIGINT) AS x2,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(2 AS BIGINT)
+                    ELSE CAST(-2 AS BIGINT) END AS y
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS sx1,
+               CAST(SUM(x2) AS DOUBLE) AS sx2,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS sx11,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS sx12,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS sx22,
+               CAST(SUM(x1 * y) AS DOUBLE) AS sx1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS sx2y
+        FROM raw
+    ),
+    {{dets}}
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(det_b0 / det, 6) AS beta0,
+           ROUND(det_b1 / det, 6) AS beta_dow,
+           ROUND(det_b2 / det, 6) AS beta_dollars
+    FROM det0
+    """.format(dets=_OLS_DETS),
+)
+def logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE EXACT NEWTON STEP of logistic regression from the zero
+    init, P(purchase | day-of-week, dollars), in closed form: at
+    beta = 0 the IRLS weights are the constant 1/4 and the step
+    collapses ALGEBRAICALLY to ordinary least squares of the signed
+    response z = 2(2y-1) in {-2,+2} on the features —
+    beta_1 = (X'WX)^-1 X'(y-p) = 2(X'X)^-1 X'(2y-1) — so the whole
+    'iterative' ML fit becomes the `ols_closed_form` machinery
+    (shared Cramer determinant formula `_OLS_DETS`, one string
+    rendered into both engines) with an INTEGER response.  The
+    standard warm start production IRLS then refines; at the zero
+    init this step IS the exact maximizer direction.
+
+    Determinism: all nine moments are exact int64 (budget: dollars^2
+    <= 1e8 per row, the welch note); the three betas are one shared
+    Cramer formula behind ROUND(6); dow via epoch-day % 7.
+
+    Scale (100 TB): ONE map-side-combinable moments pass to a single
+    9-register row; the solve is 3x3 Cramer arithmetic on that row —
+    the `ols_closed_form` scale story with a classification
+    response."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    raw = ev.select(
+        (
+            F.floor(F.unix_micros("ts") / 86400000000).cast("bigint") % 7
+        ).alias("x1"),
+        F.expr(
+            "CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100 AS BIGINT)"
+        ).alias("x2"),
+        F.when(F.col("event_type") == "purchase", F.lit(2))
+        .otherwise(F.lit(-2))
+        .cast("bigint")
+        .alias("y"),
+    )
+    sums = raw.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+    )
+    sums.createOrReplaceTempView("mq_logit_sums")
+    return spark.sql(
+        f"""
+        WITH sums AS (SELECT * FROM mq_logit_sums),
+        {_OLS_DETS}
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ROUND(det_b0 / det, 6) AS beta0,
+               ROUND(det_b1 / det, 6) AS beta_dow,
+               ROUND(det_b2 / det, 6) AS beta_dollars
+        FROM det0
+        """
+    )

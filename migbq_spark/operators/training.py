@@ -5369,3 +5369,134 @@ def upsample_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- weighted_jaccard_idf (r13)
+
+@register(
+    "weighted_jaccard_idf",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id < 150 AND length(text) >= 3
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+    grams AS (
+        SELECT doc_id, source, unnest(list_distinct(g.l)) AS gram
+        FROM d, LATERAL (SELECT list_transform(
+                 range(1, length(text) - 1),
+                 i -> substring(text, CAST(i AS INT), 3)) AS l) g
+    ),
+    df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+           FROM grams GROUP BY gram),
+    w AS (
+        SELECT g.doc_id, g.source, g.gram,
+               CAST(FLOOR(LN(CAST(nn.n_docs AS DOUBLE) / df.df)
+                          * 1000000.0) AS BIGINT) AS idf_q
+        FROM grams g JOIN df USING (gram) CROSS JOIN nn
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(idf_q) AS BIGINT) AS wsum
+            FROM w GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(SUM(a.idf_q) AS BIGINT) AS shared_w
+        FROM w a JOIN w b
+          ON a.gram = b.gram AND a.source = b.source
+             AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.a_id, s.b_id,
+           ROUND(CAST(s.shared_w AS DOUBLE)
+                 / (ta.wsum + tb.wsum - s.shared_w), 4) AS w_jac
+    FROM shared s
+    JOIN tot ta ON ta.doc_id = s.a_id
+    JOIN tot tb ON tb.doc_id = s.b_id
+    WHERE CAST(s.shared_w AS DOUBLE)
+          / (ta.wsum + tb.wsum - s.shared_w) >= 0.5
+    ORDER BY s.a_id, s.b_id
+    """,
+)
+def weighted_jaccard_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED trigram Jaccard near-duplicates: J_w(A,B) =
+    sum_{t in A^B} idf(t) / sum_{t in AvB} idf(t) — the
+    rarity-weighted refinement of `ngram_jaccard` (Chum et al. 2008's
+    weighted set similarity, the basis of weighted MinHash): two docs
+    sharing RARE trigrams are near-dups; sharing only stopword-ish
+    trigrams is background similarity plain Jaccard over-counts.
+    Same source-blocked candidate space as the unweighted op, so the
+    two are directly comparable.
+
+    Determinism: idf floor-quantizes to micro int64 from identical
+    (N, df) integer inputs, so all weight sums are exact; one ratio
+    behind ROUND(4) with the threshold applied to the same
+    expression in both engines.
+
+    Scale (100 TB): df and per-doc weight totals collapse map-side;
+    the pair join is bounded by the blocking key exactly like
+    `ngram_jaccard` (production swaps in LSH buckets); the idf join
+    is on the Heaps-bounded gram vocabulary."""
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < _NGRAM_MAX_DOC) & (F.length("text") >= 3)
+    )
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = (
+        grams.join(df, "gram")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "source",
+            "gram",
+            F.floor(
+                F.log(
+                    F.col("n_docs").cast("double") / F.col("df")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    tot = w.groupBy("doc_id").agg(
+        F.sum("idf_q").cast("bigint").alias("wsum")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .agg(F.sum("a.idf_q").cast("bigint").alias("shared_w"))
+    )
+    ta = tot.select(F.col("doc_id").alias("a_id"), F.col("wsum").alias("wa"))
+    tb = tot.select(F.col("doc_id").alias("b_id"), F.col("wsum").alias("wb"))
+    wj = F.col("shared_w").cast("double") / (
+        F.col("wa") + F.col("wb") - F.col("shared_w")
+    )
+    return (
+        shared.join(ta, "a_id")
+        .join(tb, "b_id")
+        .filter(wj >= 0.5)
+        .select("a_id", "b_id", F.round(wj, 4).alias("w_jac"))
+        .orderBy("a_id", "b_id")
+    )

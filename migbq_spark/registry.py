@@ -104,14 +104,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 #: Pre-staged round-14 window (EXACTLY 50, end-of-r13 state): FIRST
-#: the 37 r13 additions (never driver-run — new evidence outranks
+#: the 40 r13 additions (never driver-run — new evidence outranks
 #: refresh), then the head of the refresh span named by the r12
 #: VERDICT "Next round" #2: the sources tail rolled from the r13
 #: staging cut (``jsonl_gz_export``/``csv_export``/``parquet_sink``,
-#: r8-graded) plus the first 10 ids of the r4-graded
+#: r8-graded) plus the first 7 ids of the r4-graded
 #: sorting/set/relational block (``explode_outer_tokens`` ..
-#: ``range_partition_boundaries`` in import order — the oldest driver
-#: evidence once r13 grades).  The span's tail —
+#: ``set_intersect`` in import order — the oldest driver evidence
+#: once r13 grades).  The span's tail — ``set_except`` ..
 #: ``set_intersect_all`` plus the r5-graded streaming/windows span
 #: (``observe_progress_metrics`` .. ``stream_tws_liststate``) — forms
 #: the named r15 refresh span.  The r14 rotation trims or tops up to
@@ -167,6 +167,10 @@ R14_WINDOW: tuple[str, ...] = (
     "trailing_7d_distinct_exact",
     "array_sort_comparator",
     "holt_winters_additive_daily",
+    # record-linkage / closed-form-ML wave
+    "logistic_newton_step",
+    "weighted_jaccard_idf",
+    "jaro_winkler_pairs",
     # refresh span (r12 VERDICT "Next round" #2)
     "jsonl_gz_export",
     "csv_export",
@@ -178,9 +182,6 @@ R14_WINDOW: tuple[str, ...] = (
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
-    "set_except",
-    "set_except_all",
-    "range_partition_boundaries",
 )
 
 

@@ -203,6 +203,9 @@ _PY_ALLOWED = {
     # sequential recurrence runs in ONE applyInPandas task over the
     # day-bounded frame
     "holt_winters_additive_daily",
+    # r13: Jaro-Winkler is a DECLARED vectorized pandas-UDF scorer
+    # (cross-implementation check vs DuckDB's built-in)
+    "jaro_winkler_pairs",
     # r10: the declared §2.J mapInArrow surface itself
     "mapinarrow_batch_audit",
     # r10: MaxMatch segments the Heaps-bounded DISTINCT word vocab via
