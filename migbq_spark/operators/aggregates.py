@@ -2047,19 +2047,17 @@ def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` share the linear-interpolation definition (the
     robust_median_mad precedent), ROUND(.,4).
 
-    Scale (100 TB): DISC rides one groupBy(g,v) collapse; per-group
-    cumsums ride windows PARTITIONED by g over the value-domain-
-    bounded frequency table.  CONT is a SEPARATE corpus pass — Spark's
-    `percentile` agg over the raw rows, NOT the collapse (r12 ADVICE
-    doc fix: the earlier note claimed it shared the collapse).  The
-    second pass is memory-safe (Percentile buffers a per-value counts
-    map, Heaps-bounded like the freq table) but does re-scan the
-    corpus.  MEASURED r13 (sf10, min-of-2 warm): a freq-derived CONT
-    prototype (rank interpolation off the same collapse) ran 2.12 s
-    vs 3.49 s for this two-pass form with IDENTICAL 4-dp values in
-    both engines — the swap is staged for r14, after this op leaves
-    the judge-verified r13 window (no rewrite of staged ids
-    mid-round)."""
+    Scale (100 TB): ONE corpus scan — both DISC and CONT derive from
+    the same groupBy(g,v) frequency collapse (applied r14, the swap
+    staged in r13 after an sf10 A/B: one-pass 2.12 s vs two-pass
+    3.49 s, min-of-2 warm, identical 4-dp values in both engines).
+    Per-group cumsums ride windows PARTITIONED by g over the
+    value-domain-bounded (Heaps-bounded) frequency table; CONT's
+    value-at-rank-k lookups are the same filter-then-MIN move as DISC
+    with k from floor/ceil of p*(n-1), then the standard linear
+    interpolation v_l + (p*(n-1) - floor(p*(n-1)))*(v_u - v_l) — the
+    exact IEEE tree Spark's `percentile` and DuckDB's `quantile_cont`
+    share, so ROUND(.,4) matches the oracle."""
     ev = load(spark, sf_dir, "events")
     s = ev.select(
         F.col("event_type").alias("g"),
@@ -2078,8 +2076,11 @@ def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = freq.withColumn("cum", F.sum("c").over(w))
     nt = freq.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
     j = cum.join(F.broadcast(nt), "g")
-    # ceil(p*n) in exact integer arithmetic: (n*num + den - 1) DIV den
-    disc = j.groupBy("g").agg(
+    # DISC: ceil(p*n) in exact integer arithmetic:
+    # (n*num + den - 1) DIV den.  CONT lower/upper ranks (0-indexed):
+    # rank k's value = smallest v with cum >= k+1, k from
+    # floor(p*(n-1)) and min(floor+1, n-1).
+    grp = j.groupBy("g", "n").agg(
         F.min(
             F.when(
                 F.col("cum")
@@ -2098,17 +2099,37 @@ def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("p90_disc"),
+        F.expr(
+            "MIN(CASE WHEN cum >= CAST(FLOOR(0.5D*(n-1)) AS BIGINT) + 1 "
+            "THEN v END)"
+        ).alias("vl50"),
+        F.expr(
+            "MIN(CASE WHEN cum >= LEAST(CAST(FLOOR(0.5D*(n-1)) AS BIGINT)"
+            " + 1, n - 1) + 1 THEN v END)"
+        ).alias("vu50"),
+        F.expr(
+            "MIN(CASE WHEN cum >= CAST(FLOOR(0.9D*(n-1)) AS BIGINT) + 1 "
+            "THEN v END)"
+        ).alias("vl90"),
+        F.expr(
+            "MIN(CASE WHEN cum >= LEAST(CAST(FLOOR(0.9D*(n-1)) AS BIGINT)"
+            " + 1, n - 1) + 1 THEN v END)"
+        ).alias("vu90"),
     )
-    cont = s.groupBy("g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.expr("percentile(v, 0.5)"), 4).alias("p50_cont"),
-        F.round(F.expr("percentile(v, 0.9)"), 4).alias("p90_cont"),
-    )
-    return (
-        cont.join(F.broadcast(disc), "g")
-        .select("g", "n", "p50_disc", "p50_cont", "p90_disc", "p90_cont")
-        .orderBy("g")
-    )
+    return grp.select(
+        "g",
+        "n",
+        "p50_disc",
+        F.expr(
+            "ROUND(vl50 + (0.5D*(n-1) - FLOOR(0.5D*(n-1))) * "
+            "(vu50 - vl50), 4)"
+        ).alias("p50_cont"),
+        "p90_disc",
+        F.expr(
+            "ROUND(vl90 + (0.9D*(n-1) - FLOOR(0.9D*(n-1))) * "
+            "(vu90 - vl90), 4)"
+        ).alias("p90_cont"),
+    ).orderBy("g")
 
 
 # ---------------------------------------------- bitmap_distinct_rollup (r13)
@@ -2159,3 +2180,194 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("n_users"))
         .orderBy("d")
     )
+
+
+# ---------------------------------------------- trimmed_mean_by_key (r14)
+
+@register(
+    "trimmed_mean_by_key",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    freq AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM s GROUP BY g, v
+    ),
+    cum AS (
+        SELECT g, v, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM freq
+    ),
+    nt AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY g),
+    contrib AS (
+        SELECT cum.g, nt.n, nt.n // 10 AS klo,
+               GREATEST(0, LEAST(cum.cm, nt.n - nt.n // 10)
+                           - GREATEST(cum.cm - cum.c, nt.n // 10)) AS cnt_in,
+               cum.v
+        FROM cum JOIN nt ON cum.g = nt.g
+    )
+    SELECT g, MIN(n) AS n,
+           CAST(MIN(klo) AS BIGINT) AS k_trim_each_side,
+           CAST(SUM(cnt_in) AS BIGINT) AS n_kept,
+           ROUND(SUM(v * cnt_in) * 1.0 / SUM(cnt_in) / 100.0, 4)
+               AS trimmed_mean,
+           ROUND(SUM(v * cnt_in) * 1.0 / SUM(cnt_in), 4)
+               AS trimmed_mean_cents
+    FROM contrib GROUP BY g ORDER BY g
+    """,
+)
+def trimmed_mean_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% TWO-SIDED TRIMMED MEAN per event type — the robust location
+    estimate between the mean (outlier-dragged) and the median
+    (information-discarding), computed EXACTLY without any per-row
+    sort-and-slice: off the same groupBy(g,v) frequency collapse as
+    `percentile_disc_vs_cont`, each distinct value contributes
+    max(0, min(cum, n−k) − max(cum−c, k)) occurrences to the kept
+    mass (k = n DIV 10) — rank-range intersection on the cumulative
+    table, so ties straddling the trim boundary are split exactly.
+
+    Determinism: all counts and the kept-mass value sum are exact
+    int64 (Σ v·cnt_in ≤ the full value sum); the mean is one final
+    division rendered at both cents and currency units, ROUND(.,4).
+
+    Scale (100 TB): one map-side collapse to the Heaps-bounded value
+    frequency table; windows partition by g over that table; no
+    corpus-wide sort (contrast ntile-based trims, which shuffle every
+    row into a global ordering)."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    freq = s.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = freq.withColumn("cm", F.sum("c").over(w))
+    nt = freq.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    j = cum.join(F.broadcast(nt), "g")
+    klo = F.expr("n DIV 10")
+    cnt_in = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cm"), F.col("n") - klo)
+        - F.greatest(F.col("cm") - F.col("c"), klo),
+    )
+    contrib = j.select(
+        "g", "n", klo.alias("klo"), cnt_in.alias("cnt_in"), "v"
+    )
+    return (
+        contrib.groupBy("g")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("klo").cast("bigint").alias("k_trim_each_side"),
+            F.sum("cnt_in").cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("v") * F.col("cnt_in"))
+                * F.lit(1.0)
+                / F.sum("cnt_in")
+                / F.lit(100.0),
+                4,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(F.col("v") * F.col("cnt_in"))
+                * F.lit(1.0)
+                / F.sum("cnt_in"),
+                4,
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("g")
+    )
+
+
+# ------------------------------------------ geometric_harmonic_means (r14)
+
+@register(
+    "geometric_harmonic_means",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+        WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+    ),
+    m AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS sc,
+               CAST(SUM(CAST(FLOOR(LN(c) * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sln_q,
+               CAST(SUM(CAST(1000000000000 // c AS HUGEINT)) AS DOUBLE)
+                   AS sinv_q
+        FROM s GROUP BY g
+    )
+    SELECT g, n,
+           ROUND(sc / n / 100.0, 4) AS arith_mean,
+           ROUND(EXP(CAST(sln_q AS DOUBLE) / (1e6 * n)) / 100.0, 4)
+               AS geo_mean,
+           ROUND(n * 1e12 / sinv_q / 100.0, 4) AS harm_mean
+    FROM m ORDER BY g
+    """,
+)
+def geometric_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC / GEOMETRIC / HARMONIC MEANS per event type over
+    positive cent values — the Pythagorean-means profile (AM ≥ GM ≥
+    HM; how far they spread is a one-line skew/outlier diagnostic,
+    and GM/HM are the correct averages for ratios and rates that the
+    arithmetic mean silently misestimates).
+
+    Determinism: GM's Σln is ORDER-SENSITIVE as floats — each term is
+    floor-quantized to 1e-6 units (int64, exact sum; the anova/
+    chi-square rule), then ONE exp of the exact quotient.  HM's Σ1/c
+    quantizes via exact INTEGER division 1e12 DIV c (bit-identical in
+    both engines, no float ulp risk at all), summed in DECIMAL(38,0)/
+    HUGEINT.  The arithmetic mean is an exact-int sum.  One render
+    division each, ROUND(.,4).
+
+    Scale (100 TB): ONE map-side-combinable pass to |arms| 4-register
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    s = ev.select(F.col("event_type").alias("g"), c.alias("c")).where(
+        F.col("c") > 0
+    )
+    m = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("double").alias("sc"),
+        F.sum(
+            F.floor(F.log(F.col("c")) * F.lit(1e6)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sln_q"),
+        F.sum(
+            F.expr("1000000000000 DIV c").cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sinv_q"),
+    )
+    return m.select(
+        "g",
+        "n",
+        F.round(F.col("sc") / F.col("n") / F.lit(100.0), 4).alias(
+            "arith_mean"
+        ),
+        F.round(
+            F.exp(
+                F.col("sln_q").cast("double")
+                / (F.lit(1e6) * F.col("n"))
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("geo_mean"),
+        F.round(
+            F.col("n") * F.lit(1e12) / F.col("sinv_q") / F.lit(100.0), 4
+        ).alias("harm_mean"),
+    ).orderBy("g")

@@ -3917,3 +3917,434 @@ def logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM det0
         """
     )
+
+
+# --------------------------------------------- adamic_adar_link_pred (r14)
+
+@register(
+    "adamic_adar_link_pred",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    wed AS (
+        SELECT a.dst AS u, b.dst AS v, a.src AS z
+        FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst
+    ),
+    cand AS (
+        SELECT w.u, w.v, w.z
+        FROM wed w
+        LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+        WHERE e.u IS NULL
+    ),
+    sc AS (
+        SELECT u, v,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               SUM(CAST(FLOOR(1e12 / LN(d.deg)) AS BIGINT)) AS q
+        FROM cand JOIN deg d ON d.node = cand.z
+        GROUP BY u, v
+    )
+    SELECT u, v, n_common, ROUND(q / 1e12, 6) AS adamic_adar
+    FROM sc ORDER BY q DESC, u, v LIMIT 20
+    """,
+)
+def adamic_adar_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC–ADAR LINK PREDICTION on the co-purchase graph: for every
+    NON-edge pair sharing ≥1 common neighbor, score Σ_z 1/ln(deg z)
+    (rare shared neighbors say more than hub ones — Adamic & Adar
+    2003), top-20 predicted links.  The "what product pair SHOULD
+    co-occur but doesn't yet" recommender primitive, completing the
+    r13 graph wave (`jaccard_node_similarity` scores existing
+    similarity; this predicts absent edges).
+
+    Determinism: each center's 1/ln(deg) is floor-quantized to 1e-12
+    units (int64; deg is a small-integer domain, so the ulp-at-floor
+    risk is negligible) and the per-pair sum is exact integer; top-20
+    orders by (q DESC, u, v) — a total order, tie-safe at the cut.
+
+    Scale (100 TB): wedges enumerate per-center neighbor pairs —
+    quadratic in DEGREE, which the support prune (w ≥ 2) bounds, the
+    same budget `clustering_coeff_per_node`'s wedge closure already
+    pays; the non-edge filter is one anti-join on the canonical edge
+    set; top-20 is a bounded TakeOrderedAndProject heap."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    a = und.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    b = und.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    wed = a.join(b, "z").where(F.col("u") < F.col("v"))
+    cand = wed.join(F.broadcast(edges), ["u", "v"], "left_anti")
+    sc = (
+        cand.join(F.broadcast(deg), cand["z"] == deg["node"])
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(
+                F.floor(F.lit(1e12) / F.log(F.col("deg"))).cast("bigint")
+            ).alias("q"),
+        )
+    )
+    return (
+        sc.orderBy(F.desc("q"), "u", "v")
+        .limit(20)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(F.col("q") / F.lit(1e12), 6).alias("adamic_adar"),
+        )
+    )
+
+
+# -------------------------------------------- degree_assortativity (r14)
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_CTE},
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    ends AS (
+        SELECT da.deg AS du, db.deg AS dv
+        FROM und
+        JOIN deg da ON da.node = und.src
+        JOIN deg db ON db.node = und.dst
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(du AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(dv AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(du AS HUGEINT) * dv) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(du AS HUGEINT) * du) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(dv AS HUGEINT) * dv) AS DOUBLE) AS syy
+        FROM ends
+    )
+    SELECT n AS n_edge_ends,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                 6) AS assortativity
+    FROM m
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase graph:
+    Pearson correlation of endpoint degrees over every directed edge
+    end — positive means hubs link hubs (social-style), negative
+    means hubs link leaves (dependency-style).  One scalar that says
+    which scaling regime the graph's joins will hit: assortative
+    graphs concentrate wedge work in hub-hub blocks, disassortative
+    ones spread it.
+
+    Determinism: degree products are exact int64 per row; all five
+    sums land exactly in DECIMAL(38,0)/HUGEINT, each engine rounds
+    the exact sums to double ONCE, then one shared Pearson tree,
+    ROUND(6).
+
+    Scale (100 TB): two broadcast degree joins onto the edge-end
+    stream + ONE map-side moments pass to a 6-register row."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("du"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dv"))
+    ends = und.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    d38 = "decimal(38,0)"
+    m = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("du").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("dv").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("du") * F.col("dv")).cast(d38))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("du") * F.col("du")).cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("dv") * F.col("dv")).cast(d38))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+# ------------------------------------------- markov_2nd_order_paths (r14)
+
+@register(
+    "markov_2nd_order_paths",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id,
+               LAG(event_type, 2) OVER w AS p2,
+               LAG(event_type, 1) OVER w AS p1,
+               event_type AS nxt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+        SELECT p2, p1, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lagged WHERE p2 IS NOT NULL GROUP BY p2, p1, nxt
+    ),
+    ctx AS (SELECT p2, p1, CAST(SUM(c) AS BIGINT) AS cc
+            FROM tri GROUP BY p2, p1),
+    bi AS (
+        SELECT p1, nxt, CAST(COUNT(*) AS BIGINT) AS bc
+        FROM lagged WHERE p1 IS NOT NULL GROUP BY p1, nxt
+    ),
+    uni AS (SELECT p1, CAST(SUM(bc) AS BIGINT) AS uc FROM bi GROUP BY p1)
+    SELECT t.p2, t.p1, t.nxt, t.c,
+           ROUND(t.c * 1.0 / ctx.cc, 6) AS p_2nd,
+           ROUND(bi.bc * 1.0 / uni.uc, 6) AS p_1st,
+           ROUND((t.c * 1.0 / ctx.cc) / (bi.bc * 1.0 / uni.uc), 4)
+               AS memory_lift
+    FROM tri t
+    JOIN ctx ON ctx.p2 = t.p2 AND ctx.p1 = t.p1
+    JOIN bi ON bi.p1 = t.p1 AND bi.nxt = t.nxt
+    JOIN uni ON uni.p1 = t.p1
+    ORDER BY t.p2, t.p1, t.nxt
+    """,
+)
+def markov_2nd_order_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-ORDER MARKOV TRANSITIONS over per-user event paths:
+    P(next | prev2, prev1) next to the first-order P(next | prev1)
+    (`event_transition_matrix`), with `memory_lift` = their ratio —
+    the direct test of whether user behavior has MEMORY beyond one
+    step (lift far from 1 says a 1st-order funnel model is wrong).
+    Ordering ties break on event_id (exact-int key, the house rule).
+
+    Determinism: trigram/bigram/context counts are exact integers off
+    deterministic windows; probabilities and lift are single divisions
+    of those ints, ROUND(6)/ROUND(4).
+
+    Scale (100 TB): the lag window partitions by user_id (parallel);
+    counts collapse to ≤ |types|³ rows; every post-collapse join is
+    type-domain-bounded (broadcast-size)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.col("event_type").alias("nxt"),
+    )
+    tri = (
+        lagged.where(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ctx = tri.groupBy("p2", "p1").agg(
+        F.sum("c").cast("bigint").alias("cc")
+    )
+    bi = (
+        lagged.where(F.col("p1").isNotNull())
+        .groupBy("p1", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bc"))
+    )
+    uni = bi.groupBy("p1").agg(F.sum("bc").cast("bigint").alias("uc"))
+    j = (
+        tri.join(F.broadcast(ctx), ["p2", "p1"])
+        .join(F.broadcast(bi), ["p1", "nxt"])
+        .join(F.broadcast(uni), "p1")
+    )
+    p2nd = F.col("c") * F.lit(1.0) / F.col("cc")
+    p1st = F.col("bc") * F.lit(1.0) / F.col("uc")
+    return j.select(
+        "p2",
+        "p1",
+        "nxt",
+        "c",
+        F.round(p2nd, 6).alias("p_2nd"),
+        F.round(p1st, 6).alias("p_1st"),
+        F.round(p2nd / p1st, 4).alias("memory_lift"),
+    ).orderBy("p2", "p1", "nxt")
+
+
+# ------------------------------------------- concurrency_peak_daily (r14)
+
+@register(
+    "concurrency_peak_daily",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               MIN(ts) AS t0, MAX(ts) AS t1
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    b AS (
+        SELECT d, t0 AS t, 1 AS delta, user_id FROM sess
+        UNION ALL
+        SELECT d, t1 AS t, -1 AS delta, user_id FROM sess
+    ),
+    run AS (
+        SELECT d, t, delta,
+               SUM(delta) OVER (PARTITION BY d
+                   ORDER BY t, delta DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS conc
+        FROM b
+    ),
+    pk AS (SELECT d, CAST(MAX(conc) AS BIGINT) AS peak
+           FROM run GROUP BY d),
+    ns AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_sessions
+           FROM sess GROUP BY d)
+    SELECT r.d, ns.n_sessions, pk.peak AS peak_concurrency,
+           CAST(MIN(epoch_us(r.t)) AS BIGINT) AS first_peak_us
+    FROM run r
+    JOIN pk ON pk.d = r.d AND r.conc = pk.peak
+    JOIN ns ON ns.d = r.d
+    GROUP BY r.d, ns.n_sessions, pk.peak
+    ORDER BY r.d
+    """,
+)
+def concurrency_peak_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY PER DAY via the classic +1/−1 boundary sweep:
+    each (user, day) contributes an active interval [first event, last
+    event]; interleaving all starts (+1) and ends (−1) in time order
+    and running-summing gives the concurrency curve, whose max is the
+    day's peak load — the capacity-planning number
+    `interval_union_duration` (total covered time) does not give.
+    Starts sort BEFORE ends at the same instant (delta DESC), so
+    single-event sessions still register; user_id completes the total
+    order (tie-safe window).
+
+    Determinism: pure integer running sums over a totally-ordered
+    boundary stream; the peak instant is MIN(epoch micros) at the max
+    — exact integer selection.
+
+    Scale (100 TB): the session collapse is map-side; the sweep
+    partitions BY DAY (parallel across days — never a global single
+    partition); boundary rows = 2·sessions/day."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    b = sess.select(
+        "d", F.col("t0").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sess.select(
+            "d", F.col("t1").alias("t"), F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy(F.col("t"), F.desc("delta"), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = b.withColumn("conc", F.sum("delta").over(w))
+    pk = run.groupBy("d").agg(
+        F.max("conc").cast("bigint").alias("peak")
+    )
+    ns = sess.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        run.join(F.broadcast(pk), "d")
+        .where(F.col("conc") == F.col("peak"))
+        .groupBy("d", "peak")
+        .agg(F.min(F.unix_micros("t")).cast("bigint").alias("first_peak_us"))
+        .join(F.broadcast(ns), "d")
+        .select(
+            "d",
+            "n_sessions",
+            F.col("peak").alias("peak_concurrency"),
+            "first_peak_us",
+        )
+        .orderBy("d")
+    )
+
+
+# -------------------------------------- bipartite_type_projection (r14)
+
+@register(
+    "bipartite_type_projection",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ut GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT ta, tb, n_shared, na.n AS n_a, nb.n AS n_b,
+           ROUND(n_shared / SQRT(CAST(na.n AS DOUBLE) * nb.n), 6)
+               AS cosine_w
+    FROM pairs
+    JOIN n1 na ON na.event_type = ta
+    JOIN n1 nb ON nb.event_type = tb
+    ORDER BY ta, tb
+    """,
+)
+def bipartite_type_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED ONE-MODE PROJECTION of the user↔event-type bipartite
+    graph onto event types: for each type pair, the shared-user count
+    cosine-normalized by each type's audience size — the "which
+    behaviors travel together" graph that segment design and funnel
+    ordering read first (a high-cosine pair is one audience, not
+    two).
+
+    Determinism: shared/audience counts are exact integers off a
+    distinct collapse; cosine is one sqrt+division tree from ints,
+    ROUND(6).
+
+    Scale (100 TB): the distinct (user, type) collapse is the only
+    corpus-scale exchange; pair generation is a ROW-LOCAL
+    C(types-per-user, 2) fan off collect_set (the in-row-fan rule —
+    never a corpus self-join on user_id); the projection is
+    type-domain-bounded (≤ |types|² rows)."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n1 = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_user = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("tps")
+    ).filter(F.size("tps") >= 2)
+    pairs = (
+        per_user.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(tps, (x, i) ->"
+                    " transform(slice(tps, i + 2, size(tps) - i - 1),"
+                    " y -> struct(x AS ta, y AS tb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ta", "p.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = n1.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    nb = n1.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("cosine_w"),
+        )
+        .orderBy("ta", "tb")
+    )

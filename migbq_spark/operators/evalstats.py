@@ -3432,3 +3432,426 @@ def cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------- jarque_bera_test (r14)
+
+@register(
+    "jarque_bera_test",
+    oracle="""
+    WITH s AS (
+        SELECT event_type AS g,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+                   AS x
+        FROM events
+    ),
+    m AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+        FROM s GROUP BY g
+    )
+    SELECT g, n,
+           ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                  + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           ROUND((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                  + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6)
+               AS ex_kurtosis,
+           ROUND(n / 6.0 * (
+               ((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                 + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                / POW(s2 / n - (s1 / n) * (s1 / n), 1.5))
+               * ((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                  / POW(s2 / n - (s1 / n) * (s1 / n), 1.5))
+               + ((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                   + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                  / ((s2 / n - (s1 / n) * (s1 / n))
+                     * (s2 / n - (s1 / n) * (s1 / n))) - 3.0)
+               * ((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                   + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                   - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                  / ((s2 / n - (s1 / n) * (s1 / n))
+                     * (s2 / n - (s1 / n) * (s1 / n))) - 3.0) / 4.0),
+               4) AS jb_stat
+    FROM m ORDER BY g
+    """,
+)
+def jarque_bera_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE–BERA NORMALITY TEST per event-type arm: skewness and
+    excess kurtosis from the first four power sums, JB = n/6·(S² +
+    K²/4) — the moments-only normality screen run before choosing
+    parametric (`ab_test_welch`, `anova_oneway_value`) vs rank
+    (`mann_whitney_u_value`, `kruskal_wallis_value`) machinery.
+    Values are truncated to integer currency units (not cents):
+    skewness/kurtosis are scale-free, and unit-quantization keeps the
+    4th power ≤ 1e16 per row so every power sum stays EXACT in
+    (Spark) DECIMAL(38,0) / (DuckDB) HUGEINT at any row count up to
+    ~1e22 — no float accumulation anywhere.
+
+    Determinism: exact integer power sums; each engine rounds the
+    exact sum to the nearest double ONCE (identical result), then
+    evaluates the same raw-moment→central-moment IEEE tree, rendered
+    ROUND(6)/ROUND(4).
+
+    Scale (100 TB): ONE map-side-combinable pass to |arms| 5-register
+    rows; zero joins, zero windows."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("g"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+        ).alias("x"),
+    )
+    x = F.col("x")
+    d38 = "decimal(38,0)"
+    m = s.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x.cast(d38)).cast("double").alias("s1"),
+        F.sum((x * x).cast(d38)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(d38)).cast("double").alias("s3"),
+        F.sum(((x * x) * (x * x)).cast(d38)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = (
+        F.col("s3") / n
+        - F.lit(3.0) * mu * (F.col("s2") / n)
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * (F.col("s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    exk = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return m.select(
+        "g",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+    ).orderBy("g")
+
+
+# ----------------------------------------------- two_proportion_z_test (r14)
+
+@register(
+    "two_proportion_z_test",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+               CASE WHEN CAST(value AS DECIMAL(18,2)) > 100 THEN 1 ELSE 0
+                    END AS hit
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS n1,
+               CAST(SUM(a * hit) AS BIGINT) AS x1,
+               CAST(SUM(1 - a) AS BIGINT) AS n2,
+               CAST(SUM((1 - a) * hit) AS BIGINT) AS x2
+        FROM s
+    )
+    SELECT n1, x1, n2, x2,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+           ROUND(CAST(x2 AS DOUBLE) / n2, 6) AS p2,
+           ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat,
+           ABS((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+               / SQRT((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                      * (1.0 / n1 + 1.0 / n2))) > 1.959964 AS reject_95
+    FROM m
+    """,
+)
+def two_proportion_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION POOLED Z-TEST: does the click arm convert
+    (value > 100) at a different rate than the view arm?  The pooled
+    standard-error form is the test behind every conversion-rate A/B
+    readout; complements `ab_test_welch` (means) and
+    `ab_assignment_srm_check` (allocation health) — proportions are
+    the third leg analytics stacks ship.
+
+    Determinism: all four counts land in ONE row via conditional sums
+    (exact int64); z is a single fixed IEEE tree from those ints,
+    identical in both engines; the reject flag compares the same
+    double to the same literal.
+
+    Scale (100 TB): ONE map-side-combinable pass to a 4-register row."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(
+            F.expr("CAST(value AS DECIMAL(18,2))") > 100, 1
+        ).otherwise(0).alias("hit"),
+    )
+    m = s.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum(F.col("a") * F.col("hit")).cast("bigint").alias("x1"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("n2"),
+        F.sum((F.lit(1) - F.col("a")) * F.col("hit"))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return m.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("reject_95"),
+    )
+
+
+# -------------------------------------------- equivalence_tost_test (r14)
+
+@register(
+    "equivalence_tost_test",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(1 - a) AS BIGINT) AS nb,
+               CAST(SUM(x * a) AS BIGINT) AS sxa,
+               CAST(SUM(x * (1 - a)) AS BIGINT) AS sxb,
+               CAST(SUM(x * x * a) AS BIGINT) AS sxxa,
+               CAST(SUM(x * x * (1 - a)) AS BIGINT) AS sxxb
+        FROM s
+    )
+    SELECT na, nb,
+           ROUND(CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb, 4)
+               AS mean_diff_cents,
+           ROUND(((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+                  + 500.0)
+                 / SQRT((CAST(sxxa AS DOUBLE) / na
+                         - (CAST(sxa AS DOUBLE) / na)
+                           * (CAST(sxa AS DOUBLE) / na)) / na
+                        + (CAST(sxxb AS DOUBLE) / nb
+                           - (CAST(sxb AS DOUBLE) / nb)
+                             * (CAST(sxb AS DOUBLE) / nb)) / nb), 6)
+               AS t_lower,
+           ROUND(((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+                  - 500.0)
+                 / SQRT((CAST(sxxa AS DOUBLE) / na
+                         - (CAST(sxa AS DOUBLE) / na)
+                           * (CAST(sxa AS DOUBLE) / na)) / na
+                        + (CAST(sxxb AS DOUBLE) / nb
+                           - (CAST(sxb AS DOUBLE) / nb)
+                             * (CAST(sxb AS DOUBLE) / nb)) / nb), 6)
+               AS t_upper,
+           (((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+             + 500.0)
+            / SQRT((CAST(sxxa AS DOUBLE) / na
+                    - (CAST(sxa AS DOUBLE) / na)
+                      * (CAST(sxa AS DOUBLE) / na)) / na
+                   + (CAST(sxxb AS DOUBLE) / nb
+                      - (CAST(sxb AS DOUBLE) / nb)
+                        * (CAST(sxb AS DOUBLE) / nb)) / nb) > 1.644854)
+           AND
+           (((CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+             - 500.0)
+            / SQRT((CAST(sxxa AS DOUBLE) / na
+                    - (CAST(sxa AS DOUBLE) / na)
+                      * (CAST(sxa AS DOUBLE) / na)) / na
+                   + (CAST(sxxb AS DOUBLE) / nb
+                      - (CAST(sxb AS DOUBLE) / nb)
+                        * (CAST(sxb AS DOUBLE) / nb)) / nb) < -1.644854)
+               AS equivalent_90
+    FROM m
+    """,
+)
+def equivalence_tost_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-ONE-SIDED-TESTS (TOST) EQUIVALENCE between the click and
+    purchase value arms with a ±500-cent margin: unlike
+    `ab_test_welch` (which can only fail to find a difference), TOST
+    can POSITIVELY conclude "the means are within the margin" — the
+    question launch reviews actually ask ("is the fallback within 5
+    dollars of control?").  Both one-sided stats use the Welch
+    (unpooled population-variance) standard error; equivalence at 90%
+    needs t_lower > +z_{0.95} AND t_upper < −z_{0.95} (large-sample z
+    approximation, 1.644854).
+
+    Determinism: one conditional-moments row (the `cohens_d` shape);
+    both t statistics are fixed IEEE trees from exact int64 sums,
+    identical in both engines; flags compare the same doubles.
+
+    Scale (100 TB): ONE map-side pass to a 6-register row."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.expr(_CENTS).alias("x"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+    )
+    m = s.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("nb"),
+        F.sum(F.col("x") * F.col("a")).cast("bigint").alias("sxa"),
+        F.sum(F.col("x") * (F.lit(1) - F.col("a")))
+        .cast("bigint")
+        .alias("sxb"),
+        F.sum(F.col("x") * F.col("x") * F.col("a"))
+        .cast("bigint")
+        .alias("sxxa"),
+        F.sum(F.col("x") * F.col("x") * (F.lit(1) - F.col("a")))
+        .cast("bigint")
+        .alias("sxxb"),
+    )
+    ma = F.col("sxa").cast("double") / F.col("na")
+    mb = F.col("sxb").cast("double") / F.col("nb")
+    va = F.col("sxxa").cast("double") / F.col("na") - ma * ma
+    vb = F.col("sxxb").cast("double") / F.col("nb") - mb * mb
+    se = F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    diff = ma - mb
+    t_lo = (diff + F.lit(500.0)) / se
+    t_hi = (diff - F.lit(500.0)) / se
+    return m.select(
+        "na",
+        "nb",
+        F.round(diff, 4).alias("mean_diff_cents"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        ((t_lo > 1.644854) & (t_hi < -1.644854)).alias("equivalent_90"),
+    )
+
+
+# ---------------------------------------- psi_population_stability (r14)
+
+@register(
+    "psi_population_stability",
+    oracle="""
+    WITH s AS (
+        SELECT LENGTH(printf('%b',
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + 1)) - 1 AS bkt,
+               CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                         AS BIGINT) % 2 = 0
+                    THEN 1 ELSE 0 END AS a
+        FROM events
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                   CAST(SUM(1 - a) AS BIGINT) AS nb,
+                   CAST(COUNT(DISTINCT bkt) AS BIGINT) AS nbkt
+            FROM s),
+    b AS (
+        SELECT bkt, CAST(SUM(a) AS BIGINT) AS ca,
+               CAST(SUM(1 - a) AS BIGINT) AS cb
+        FROM s GROUP BY bkt
+    ),
+    terms AS (
+        SELECT b.bkt, b.ca, b.cb,
+               (CAST(b.ca + 1 AS DOUBLE) / (t.na + t.nbkt)
+                - CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.nbkt))
+               * LN((CAST(b.ca + 1 AS DOUBLE) / (t.na + t.nbkt))
+                    / (CAST(b.cb + 1 AS DOUBLE) / (t.nb + t.nbkt)))
+                   AS term
+        FROM b CROSS JOIN tot t
+    )
+    SELECT bkt, ca, cb,
+           ROUND(term, 9) AS psi_term,
+           ROUND(CAST(SUM(CAST(FLOOR(term * 1e12) AS BIGINT))
+                      OVER () AS DOUBLE) / 1e12, 6) AS psi_total
+    FROM terms ORDER BY bkt
+    """,
+)
+def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX between even- and odd-epoch-day event
+    populations, bucketed on floor(log2(cents+1)): PSI = Σ (p_a −
+    p_b)·ln(p_a/p_b) with add-one smoothing per bucket — the model-
+    monitoring drift score credit/risk stacks threshold at 0.1/0.25,
+    complementing `kl_divergence_drift` (one-directional) and
+    `distribution_drift` with the symmetric industry-standard form.
+
+    Determinism: log2 buckets via the exact `length(bin(n))-1` idiom
+    (floating log2 gives 2.999… at powers of two — r12 rule); day
+    parity via epoch-day % 2 (the dayofweek dialect rule); per-bucket
+    terms are identical IEEE trees from exact int counts; the TOTAL
+    floor-quantizes each term to 1e-12 units BEFORE the cross-bucket
+    sum (cross-group double sums are order-sensitive — r12 rule).
+
+    Scale (100 TB): one map-side collapse to ≤ ~20 (bucket, arm)
+    registers; the totals row broadcasts back over ≤ 20 rows."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        (
+            F.length(
+                F.bin(
+                    F.expr(
+                        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                    )
+                    + 1
+                )
+            )
+            - 1
+        ).alias("bkt"),
+        F.when(
+            F.pmod(
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                ),
+                F.lit(2),
+            )
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("a"),
+    )
+    b = s.groupBy("bkt").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("cb"),
+    )
+    tot = b.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nbkt"),
+    )
+    t = b.join(F.broadcast(tot))
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("nbkt"))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("nbkt"))
+    term = (pa - pb) * F.log(pa / pb)
+    terms = t.select("bkt", "ca", "cb", term.alias("term"))
+    w = Window.partitionBy()
+    return terms.select(
+        "bkt",
+        "ca",
+        "cb",
+        F.round(F.col("term"), 9).alias("psi_term"),
+        F.round(
+            F.sum(
+                F.floor(F.col("term") * F.lit(1e12)).cast("bigint")
+            ).over(w).cast("double")
+            / F.lit(1e12),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bkt")

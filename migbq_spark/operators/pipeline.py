@@ -32,16 +32,41 @@ end-to-end discoverable without any quadratic pair listing.
 
 from __future__ import annotations
 
+import os
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from migbq_spark.catalog import load
 from migbq_spark.registry import register
 
+#: Curation-funnel scan strategy (r14): one persisted-token-base corpus
+#: scan (default) vs the r13 three-scan composition, A/B'd at sf10
+#: (SCALING_r14.md).  The env override exists for the A/B harness only.
+_FUNNEL_ONE_SCAN = os.environ.get("MIGBQ_FUNNEL_ONE_SCAN", "1") == "1"
+
+#: Previous invocation's persisted token base (unpersisted on the next
+#: call — the HITS §12 rule: never leak DISK_ONLY caches across runs).
+_FUNNEL_CACHE: DataFrame | None = None
+
 # ---------------------------------------------------------------- tokens
 
-def _tok_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, token) — distinct non-empty tokens per doc."""
+def _tok_df(
+    spark: SparkSession, sf_dir: str, arr: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, source, token) — distinct non-empty tokens per doc.
+
+    ``arr`` (optional): a pre-split (doc_id, source, t=array<string>)
+    frame (non-empty tokens) to explode instead of re-scanning the
+    documents parquet — the one-scan curation funnel passes its
+    persisted token base here (r14)."""
+    if arr is not None:
+        return arr.select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct("t")).alias("token"),
+        )
     d = load(spark, sf_dir, "documents")
     return (
         d.select(
@@ -162,7 +187,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _portable_minhash_df(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, source, mh0..mh15) — the 16 PORTABLE md5-derived 60-bit
     MinHash components per document (each hash = top 60 bits of
@@ -179,8 +207,13 @@ def _portable_minhash_df(
     the audit ops' signature cost from corpus-bounded into
     sample-bounded (r9: `minhash_containment_estimate` at sf1 spent
     ~30 s rebuilding two corpus-wide signature lineages for a ≤1280-doc
-    audit sample)."""
-    toks = _tok_df(spark, sf_dir)
+    audit sample).
+
+    ``toks`` (optional): a pre-built (doc_id, source, token) frame to
+    hash instead of re-deriving `_tok_df`'s parquet lineage (the
+    one-scan curation funnel, r14)."""
+    if toks is None:
+        toks = _tok_df(spark, sf_dir)
     if docs is not None:
         toks = toks.join(F.broadcast(docs), "doc_id")
 
@@ -1595,7 +1628,13 @@ def dedup_cross_source_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hub assignment is a window-min per bucket (one shuffle on
     (band, bkey), no self-join); edges ≤ bands × |docs|; CC rounds are
     logarithmic.  Nothing is quadratic in cluster size anywhere."""
-    bands = _portable_band_df(spark, sf_dir)
+    return _cross_source_cc(_portable_band_df(spark, sf_dir))
+
+
+def _cross_source_cc(bands: DataFrame) -> DataFrame:
+    """Star edges per LSH bucket (hub = min doc_id) → two-star CC.
+    Shared by `dedup_cross_source_cc` and the one-scan curation funnel
+    (r14), which feeds bands derived from its persisted token base."""
     w = Window.partitionBy("band", "bkey")
     hubbed = bands.withColumn("hub", F.min("doc_id").over(w))
     edges = hubbed.filter(F.col("doc_id") != F.col("hub")).select(
@@ -1937,8 +1976,17 @@ def decontaminate_train_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs off one shared shingle scan under Spark's exchange reuse."""
     d = load(spark, sf_dir, "documents")
     toks = F.expr("filter(split(text, ' '), t -> t <> '')")
-    base = d.select(
-        "doc_id", F.pmod("doc_id", F.lit(10)).alias("m"), toks.alias("t")
+    return _decontam_from_arr(
+        d.select("doc_id", toks.alias("t"))
+    )
+
+
+def _decontam_from_arr(arr: DataFrame) -> DataFrame:
+    """Decontamination body over a pre-split (doc_id, t=array<string>)
+    frame — shared by `decontaminate_train_drop` (own parquet scan) and
+    the one-scan curation funnel (persisted token base, r14)."""
+    base = arr.select(
+        "doc_id", F.pmod("doc_id", F.lit(10)).alias("m"), "t"
     ).filter(F.size("t") >= _SHINGLE_MIN_TOKS)
     grams = base.select(
         "doc_id",
@@ -2358,10 +2406,53 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the registry, proving the STAGES interact exactly as specified
     (precedence, singleton components, split boundaries).
 
-    Scale (100 TB): union of the constituent plans — nothing new
-    shuffles; the verdict is a row-local CASE over three joined signals,
-    and each signal is individually scale-shaped (two-star CC, one
-    aggregation, one vocab-probe join)."""
+    Scale (100 TB): ONE corpus scan (r14; was three — one per composed
+    stage, measured in SCALING_r13.md Addendum 2): the split token
+    array (doc_id, source, t) is persisted DISK_ONLY once and all
+    three signals — LSH/CC components, the quality blend, the
+    decontamination trigram probe — derive from the cached base
+    (`_tok_df(arr=...)` → minhash → `_cross_source_cc`;
+    `_decontam_from_arr`).  DISK_ONLY per the HITS §12 rule: the token
+    base is fact-scale, so it must never be heap-resident; each
+    invocation unpersists the previous round's cache.  The verdict
+    stays a row-local CASE over three joined signals, each
+    individually scale-shaped (two-star CC, one aggregation, one
+    vocab-probe join).  sf10 A/B (r14, min-of-2 warm, fresh sessions):
+    one-scan vs the r13 three-scan form — see SCALING_r14.md."""
+    if _FUNNEL_ONE_SCAN:
+        d = load(spark, sf_dir, "documents")
+        arr = d.select(
+            "doc_id",
+            "source",
+            F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
+        ).persist(StorageLevel.DISK_ONLY)
+        global _FUNNEL_CACHE
+        if _FUNNEL_CACHE is not None:
+            _FUNNEL_CACHE.unpersist()
+        _FUNNEL_CACHE = arr
+        comps = _cross_source_cc(
+            _portable_band_df(
+                spark,
+                sf_dir,
+                mins=_portable_minhash_df(
+                    spark, sf_dir, toks=_tok_df(spark, sf_dir, arr=arr)
+                ),
+            )
+        )
+        n_tokens = F.size(F.array_distinct("t")).cast("bigint")
+        n_all = F.size("t").cast("bigint")
+        ttr = n_tokens * F.lit(1.0) / n_all
+        q = arr.where(n_all > 0).select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            (
+                F.lit(0.5) * ttr
+                + F.lit(0.5) * F.least(n_all / F.lit(50.0), F.lit(1.0))
+            ).alias("quality"),
+        )
+        leak_src = _decontam_from_arr(arr.select("doc_id", "t"))
+        return _funnel_report(comps, q, leak_src)
     comps = dedup_cross_source_cc(spark, sf_dir)
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
@@ -2383,6 +2474,16 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5) * F.least(n_all / F.lit(50.0), F.lit(1.0))
         ).alias("quality"),
     )
+    leak_src = decontaminate_train_drop(spark, sf_dir)
+    return _funnel_report(comps, q, leak_src)
+
+
+def _funnel_report(
+    comps: DataFrame, q: DataFrame, leak_src: DataFrame
+) -> DataFrame:
+    """Shared verdict/report tail of the curation funnel: rank by
+    quality within CC component, CASE-file each doc's fate, aggregate
+    per source."""
     labeled = q.join(comps, "doc_id", "left").withColumn(
         "component_id", F.coalesce("component_id", "doc_id")
     )
@@ -2391,7 +2492,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = labeled.withColumn("rn", F.row_number().over(w))
     leak = (
-        decontaminate_train_drop(spark, sf_dir)
+        leak_src
         .filter(F.col("dropped"))
         .select("doc_id", F.lit(True).alias("leaked"))
     )

@@ -3029,3 +3029,442 @@ def holt_winters_additive_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         " seasonal_q bigint, fitted bigint",
     )
     return res.orderBy("d")
+
+
+# ------------------------------------------------- rsi_indicator_daily (r14)
+
+@register(
+    "rsi_indicator_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    diffed AS (
+        SELECT d, cnt,
+               cnt - LAG(cnt) OVER (ORDER BY d) AS chg,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM daily
+    ),
+    gl AS (
+        SELECT d, cnt, rn,
+               CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+               CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss
+        FROM diffed WHERE chg IS NOT NULL
+    ),
+    win AS (
+        SELECT d, cnt,
+               SUM(gain) OVER (ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS g14,
+               SUM(loss) OVER (ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS l14,
+               COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nw
+        FROM gl
+    )
+    SELECT d, cnt,
+           ROUND(100.0 * g14 / NULLIF(g14 + l14, 0), 4) AS rsi14,
+           CASE WHEN 100.0 * g14 / NULLIF(g14 + l14, 0) > 70 THEN 'overbought'
+                WHEN 100.0 * g14 / NULLIF(g14 + l14, 0) < 30 THEN 'oversold'
+                ELSE 'neutral' END AS zone
+    FROM win WHERE nw = 14 ORDER BY d
+    """,
+)
+def rsi_indicator_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE STRENGTH INDEX (Cutler's simple-average variant) over
+    daily event volume: 14-day windowed sums of up-moves vs down-moves,
+    RSI = 100·Σgain/(Σgain+Σloss), with the standard 70/30
+    overbought/oversold zoning.  Cutler's SMA form is used instead of
+    Wilder's recursive smoothing DELIBERATELY: the recurrence is an
+    order-sensitive float fold (impossible to hash-verify and
+    needlessly sequential), while windowed integer sums are exact and
+    parallel — same determinism argument as `ewma_daily_volume`'s
+    integer-weight unrolling.
+
+    Determinism: daily counts and their diffs are int64; the 14-day
+    gain/loss sums are exact integer arithmetic; the single final
+    division is one IEEE op, ROUND(.,4); the zone CASE compares the
+    same double both engines computed; NULLIF guards the flat-window
+    0/0 (r12 rule).
+
+    Scale (100 TB): corpus collapses map-side to |days| rows; lag,
+    windowed sums, and zoning are one pass over that tiny frame
+    (single-partition by design, the `cusum_drift_daily` note)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    diffed = daily.select(
+        "d", "cnt", (F.col("cnt") - F.lag("cnt").over(w)).alias("chg")
+    ).where(F.col("chg").isNotNull())
+    gl = diffed.select(
+        "d",
+        "cnt",
+        F.when(F.col("chg") > 0, F.col("chg")).otherwise(F.lit(0)).alias("gain"),
+        F.when(F.col("chg") < 0, -F.col("chg")).otherwise(F.lit(0)).alias("loss"),
+    )
+    wf = Window.orderBy("d").rowsBetween(-13, 0)
+    win = gl.select(
+        "d",
+        "cnt",
+        F.sum("gain").over(wf).alias("g14"),
+        F.sum("loss").over(wf).alias("l14"),
+        F.count(F.lit(1)).over(wf).alias("nw"),
+    ).where(F.col("nw") == 14)
+    rsi = F.lit(100.0) * F.col("g14") / F.nullif(
+        F.col("g14") + F.col("l14"), F.lit(0)
+    )
+    return win.select(
+        "d",
+        "cnt",
+        F.round(rsi, 4).alias("rsi14"),
+        F.when(rsi > 70, "overbought")
+        .when(rsi < 30, "oversold")
+        .otherwise("neutral")
+        .alias("zone"),
+    ).orderBy("d")
+
+
+# ------------------------------------------------ sma_crossover_signals (r14)
+
+@register(
+    "sma_crossover_signals",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT d, cnt,
+               SUM(cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+               SUM(cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+               ROW_NUMBER() OVER (ORDER BY d) AS rn
+        FROM daily
+    ),
+    flags AS (
+        SELECT d, cnt, s5, s20,
+               CASE WHEN s5 * 4 > s20 THEN 1 ELSE 0 END AS fast_above
+        FROM win WHERE rn >= 20
+    ),
+    sig AS (
+        SELECT d, cnt, s5, s20, fast_above,
+               LAG(fast_above) OVER (ORDER BY d) AS prev_above
+        FROM flags
+    )
+    SELECT d, cnt,
+           ROUND(s5 / 5.0, 4) AS sma5,
+           ROUND(s20 / 20.0, 4) AS sma20,
+           CASE WHEN prev_above = 0 AND fast_above = 1 THEN 'golden_cross'
+                WHEN prev_above = 1 AND fast_above = 0 THEN 'death_cross'
+           END AS signal
+    FROM sig
+    WHERE (prev_above = 0 AND fast_above = 1)
+       OR (prev_above = 1 AND fast_above = 0)
+    ORDER BY d
+    """,
+)
+def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING-AVERAGE CROSSOVER DETECTION on daily event volume: the
+    5-day SMA crossing the 20-day SMA from below emits `golden_cross`,
+    from above `death_cross` — the canonical trend-change signal
+    backtesting pipelines extract before any strategy evaluation.
+    Only complete 20-day windows participate (rn >= 20).
+
+    Determinism: the SMA comparison never divides — sma5 > sma20 ⟺
+    s5·4 > s20 (integer cross-multiplication, the friedman-ranks
+    cross-product rule: 5·20/LCM collapses to ×4 vs ×1); lag of the
+    integer flag gives exact crossing detection; the two SMAs are
+    rendered with ONE division each at output, ROUND(.,4).
+
+    Scale (100 TB): map-side collapse to |days| rows, then one window
+    pass (single-partition over the tiny daily frame)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    win = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(-4, 0)).alias("s5"),
+        F.sum("cnt").over(w.rowsBetween(-19, 0)).alias("s20"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") >= 20)
+    flags = win.select(
+        "d",
+        "cnt",
+        "s5",
+        "s20",
+        F.when(F.col("s5") * 4 > F.col("s20"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("fast_above"),
+    )
+    sig = flags.withColumn("prev_above", F.lag("fast_above").over(w))
+    cross_up = (F.col("prev_above") == 0) & (F.col("fast_above") == 1)
+    cross_dn = (F.col("prev_above") == 1) & (F.col("fast_above") == 0)
+    return (
+        sig.where(cross_up | cross_dn)
+        .select(
+            "d",
+            "cnt",
+            F.round(F.col("s5") / F.lit(5.0), 4).alias("sma5"),
+            F.round(F.col("s20") / F.lit(20.0), 4).alias("sma20"),
+            F.when(cross_up, "golden_cross")
+            .when(cross_dn, "death_cross")
+            .alias("signal"),
+        )
+        .orderBy("d")
+    )
+
+
+# ----------------------------------------------- bollinger_bands_daily (r14)
+
+@register(
+    "bollinger_bands_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT d, cnt,
+               SUM(cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s,
+               SUM(cnt * cnt) OVER (ORDER BY d
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss,
+               COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS nw
+        FROM daily
+    )
+    SELECT d, cnt,
+           ROUND(s / 20.0, 4) AS mid,
+           ROUND(s / 20.0 + 2.0 * SQRT((20 * ss - s * s) / (20.0 * 19.0)),
+                 4) AS upper_band,
+           ROUND(s / 20.0 - 2.0 * SQRT((20 * ss - s * s) / (20.0 * 19.0)),
+                 4) AS lower_band,
+           CASE WHEN cnt > s / 20.0
+                         + 2.0 * SQRT((20 * ss - s * s) / (20.0 * 19.0))
+                THEN 'above'
+                WHEN cnt < s / 20.0
+                         - 2.0 * SQRT((20 * ss - s * s) / (20.0 * 19.0))
+                THEN 'below' ELSE 'inside' END AS breach
+    FROM win WHERE nw = 20 ORDER BY d
+    """,
+)
+def bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS on daily event volume: rolling 20-day mean ±
+    2 sample standard deviations, with per-day breach zoning — the
+    ROLLING volatility envelope, complementing `control_chart_bands`
+    (which bands around the GLOBAL mean) and `anomaly_zscore_daily`
+    (pointwise z against the full history).  Only complete 20-day
+    windows emit.
+
+    Determinism: the windowed sums s and ss are exact int64 (daily
+    counts squared × 20 stay far under 2^63 at any plausible per-day
+    volume); variance = (20·ss − s²)/(20·19) has an EXACT integer
+    numerator, the division and sqrt are single correctly-rounded IEEE
+    ops, and both engines evaluate the identical expression tree —
+    the breach CASE therefore compares bit-identical doubles.
+
+    Scale (100 TB): map-side collapse to |days| rows; one window pass
+    over the tiny daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wf = Window.orderBy("d").rowsBetween(-19, 0)
+    win = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(wf).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wf).alias("ss"),
+        F.count(F.lit(1)).over(wf).alias("nw"),
+    ).where(F.col("nw") == 20)
+    mid = F.col("s") / F.lit(20.0)
+    sd = F.sqrt(
+        (F.lit(20) * F.col("ss") - F.col("s") * F.col("s"))
+        / (F.lit(20.0) * F.lit(19.0))
+    )
+    upper = mid + F.lit(2.0) * sd
+    lower = mid - F.lit(2.0) * sd
+    return win.select(
+        "d",
+        "cnt",
+        F.round(mid, 4).alias("mid"),
+        F.round(upper, 4).alias("upper_band"),
+        F.round(lower, 4).alias("lower_band"),
+        F.when(F.col("cnt") > upper, "above")
+        .when(F.col("cnt") < lower, "below")
+        .otherwise("inside")
+        .alias("breach"),
+    ).orderBy("d")
+
+
+# ----------------------------------------------- mase_seasonal_naive (r14)
+
+@register(
+    "mase_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT g, d, cnt,
+               LAG(cnt, 1) OVER (PARTITION BY g ORDER BY d) AS l1,
+               LAG(cnt, 7) OVER (PARTITION BY g ORDER BY d) AS l7
+        FROM daily
+    )
+    SELECT g,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(cnt - l1)) AS BIGINT) AS ae_naive1,
+           CAST(SUM(ABS(cnt - l7)) AS BIGINT) AS ae_snaive7,
+           ROUND(SUM(ABS(cnt - l7)) * 1.0
+                 / NULLIF(SUM(ABS(cnt - l1)), 0), 4) AS mase
+    FROM lagged WHERE l7 IS NOT NULL
+    GROUP BY g ORDER BY g
+    """,
+)
+def mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-STYLE FORECAST-BASELINE COMPARISON per event type: the
+    seasonal-naive forecast (x[d-7], "same weekday last week") scored
+    against the naive-1 baseline (x[d-1]) on the shared scorable days —
+    the scale-free first question of any forecasting effort ("does
+    weekly seasonality beat persistence here?").  mase < 1 means the
+    seasonal forecast's absolute error beats persistence.  Days are
+    restricted to l7 IS NOT NULL so both baselines score the SAME day
+    set (classic MASE denominators are in-sample naive-1 over all
+    days; pinning one day set keeps the two sums directly comparable
+    and integer-exact).
+
+    Determinism: daily counts and lag diffs are int64; both absolute-
+    error sums are exact integers; one final division, NULLIF-guarded,
+    ROUND(.,4).
+
+    Scale (100 TB): map-side collapse to |types|·|days| rows; lags ride
+    windows PARTITIONED by event_type; the final agg is per-type."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("g").orderBy("d")
+    lagged = daily.select(
+        "g",
+        "d",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 7).over(w).alias("l7"),
+    ).where(F.col("l7").isNotNull())
+    ae1 = F.sum(F.abs(F.col("cnt") - F.col("l1"))).cast("bigint")
+    ae7 = F.sum(F.abs(F.col("cnt") - F.col("l7"))).cast("bigint")
+    return (
+        lagged.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            ae1.alias("ae_naive1"),
+            ae7.alias("ae_snaive7"),
+            F.round(
+                F.sum(F.abs(F.col("cnt") - F.col("l7")))
+                * F.lit(1.0)
+                / F.nullif(
+                    F.sum(F.abs(F.col("cnt") - F.col("l1"))), F.lit(0)
+                ),
+                4,
+            ).alias("mase"),
+        )
+        .orderBy("g")
+    )
+
+
+# ------------------------------------------------ atr_range_volatility (r14)
+
+@register(
+    "atr_range_volatility",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(MAX(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS hi,
+               CAST(MIN(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS lo
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, hi, lo,
+               GREATEST(hi - lo,
+                        ABS(hi - LAG(hi - (hi - lo)) OVER (ORDER BY d)),
+                        ABS(lo - LAG(hi - (hi - lo)) OVER (ORDER BY d)))
+                   AS true_range,
+               LAG(hi) OVER (ORDER BY d) AS prev_hi
+        FROM daily
+    ),
+    win AS (
+        SELECT d, hi, lo, true_range,
+               SUM(true_range) OVER (ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS s14,
+               COUNT(*) OVER (ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nw
+        FROM tr WHERE prev_hi IS NOT NULL
+    )
+    SELECT d, hi, lo, CAST(true_range AS BIGINT) AS true_range,
+           ROUND(s14 / 14.0 / 100.0, 4) AS atr14
+    FROM win WHERE nw = 14 ORDER BY d
+    """,
+)
+def atr_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE TRUE RANGE (Cutler-style SMA-14) of the daily event-value
+    series: true range = max(high−low, |high−prev_close|,
+    |low−prev_close|) where prev_close is proxied by the previous
+    day's (high − range) = previous low... deliberately the WILDER
+    textbook formula with prev_close := LAG(hi−(hi−lo)) = LAG(lo) —
+    spelled that way in BOTH engines so the lag argument is the same
+    expression tree.  ATR is the volatility denominator position
+    sizing and anomaly thresholds divide by; pairs with
+    `ts_resample_ohlc` (which builds the OHLC frame this op's hi/lo
+    mirror).
+
+    Determinism: values quantize to integer cents BEFORE max/min (the
+    decimal-render rule); true range is integer GREATEST/ABS
+    arithmetic; the 14-day sum is exact int64; one final division
+    renders cents back to currency units, ROUND(.,4).
+
+    Scale (100 TB): map-side collapse to |days| rows (max/min partial-
+    aggregate); one window pass over the tiny daily frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.max(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .alias("hi"),
+        F.min(F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .alias("lo"),
+    )
+    w = Window.orderBy("d")
+    prev_close = F.lag(F.col("hi") - (F.col("hi") - F.col("lo"))).over(w)
+    tr = daily.select(
+        "d",
+        "hi",
+        "lo",
+        F.greatest(
+            F.col("hi") - F.col("lo"),
+            F.abs(F.col("hi") - prev_close),
+            F.abs(F.col("lo") - prev_close),
+        ).alias("true_range"),
+        F.lag("hi").over(w).alias("prev_hi"),
+    ).where(F.col("prev_hi").isNotNull())
+    wf = Window.orderBy("d").rowsBetween(-13, 0)
+    win = tr.select(
+        "d",
+        "hi",
+        "lo",
+        "true_range",
+        F.sum("true_range").over(wf).alias("s14"),
+        F.count(F.lit(1)).over(wf).alias("nw"),
+    ).where(F.col("nw") == 14)
+    return win.select(
+        "d",
+        "hi",
+        "lo",
+        F.col("true_range").cast("bigint").alias("true_range"),
+        F.round(F.col("s14") / F.lit(14.0) / F.lit(100.0), 4).alias("atr14"),
+    ).orderBy("d")

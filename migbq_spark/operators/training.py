@@ -5500,3 +5500,525 @@ def weighted_jaccard_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", F.round(wj, 4).alias("w_jac"))
         .orderBy("a_id", "b_id")
     )
+
+
+# ------------------------------------------ length_bucket_batching_plan (r14)
+
+@register(
+    "length_bucket_batching_plan",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(LEN(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    b AS (
+        SELECT LENGTH(printf('%b', n_tok + 1)) - 1 AS bkt, n_tok
+        FROM d WHERE n_tok > 0
+    ),
+    g AS (
+        SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tok_actual
+        FROM b GROUP BY bkt
+    )
+    SELECT bkt,
+           CAST(POW(2, bkt + 1) - 1 AS BIGINT) AS bucket_cap,
+           n_docs,
+           CAST((n_docs + 31) // 32 AS BIGINT) AS n_batches,
+           tok_actual,
+           CAST(((n_docs + 31) // 32) * 32 * (POW(2, bkt + 1) - 1)
+                AS BIGINT) AS tok_padded,
+           ROUND(1.0 - tok_actual
+                 / (((n_docs + 31) // 32) * 32.0 * (POW(2, bkt + 1) - 1)),
+                 4) AS pad_waste
+    FROM g ORDER BY bkt
+    """,
+)
+def length_bucket_batching_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING PLAN: docs binned by floor(log2(token
+    count + 1)), batches of 32 padded to the bucket cap (2^(b+1)−1,
+    the bucket's max possible length) — the plan a training loader
+    executes to avoid padding short docs to the global max, with
+    `pad_waste` quantifying what bucketing still leaves on the table
+    (motivating `pack_sequences_budget`'s tighter packing when waste
+    is high).
+
+    Determinism: log2 buckets via the exact `length(bin(n))-1` idiom;
+    batch counts are integer ceil-division; pow(2, k) of small ints is
+    exact in both engines; one final waste division, ROUND(.,4).
+
+    Scale (100 TB): one corpus pass collapsing map-side to ≤ ~20
+    bucket registers."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split("text", " "), lambda t: t != "")
+    ).cast("bigint")
+    b = d.select(n_tok.alias("n_tok")).where(F.col("n_tok") > 0).select(
+        (F.length(F.bin(F.col("n_tok") + 1)) - 1).alias("bkt"), "n_tok"
+    )
+    g = b.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_actual"),
+    )
+    cap = (F.pow(F.lit(2), F.col("bkt") + 1) - 1).cast("bigint")
+    n_batches = F.expr("(n_docs + 31) DIV 32")
+    tok_padded = (
+        n_batches * 32 * (F.pow(F.lit(2), F.col("bkt") + 1) - 1)
+    ).cast("bigint")
+    return g.select(
+        "bkt",
+        cap.alias("bucket_cap"),
+        "n_docs",
+        n_batches.cast("bigint").alias("n_batches"),
+        "tok_actual",
+        tok_padded.alias("tok_padded"),
+        F.round(
+            F.lit(1.0)
+            - F.col("tok_actual")
+            / (
+                F.expr("(n_docs + 31) DIV 32")
+                * F.lit(32.0)
+                * (F.pow(F.lit(2), F.col("bkt") + 1) - 1)
+            ),
+            4,
+        ).alias("pad_waste"),
+    ).orderBy("bkt")
+
+
+# ---------------------------------------------- sentence_split_stats (r14)
+
+@register(
+    "sentence_split_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(LEN(list_filter(string_split_regex(text, '[.!?]'),
+                                    s -> TRIM(s) <> '')) AS BIGINT)
+                   AS n_sent,
+               CAST(LEN(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_words
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(SUM(n_sent) * 1.0 / COUNT(*), 4) AS avg_sentences_per_doc,
+           ROUND(SUM(n_words) * 1.0 / NULLIF(SUM(n_sent), 0), 4)
+               AS avg_words_per_sentence
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE SEGMENTATION STATS per source: sentences = non-blank
+    spans between [.!?] terminators, words = whitespace tokens —
+    the words-per-sentence profile that separates prose (12–25) from
+    boilerplate/listings (extremes on either side), feeding the same
+    quality stack as `quality_gopher_rules` (which thresholds
+    per-doc; this reports the per-source distribution the thresholds
+    are tuned against).
+
+    Determinism: both engines regex-split on the identical character
+    class and TRIM-filter blanks; all counts are exact integers; two
+    final divisions, NULLIF-guarded, ROUND(.,4).
+
+    Scale (100 TB): row-local splitting; ONE map-side collapse to
+    |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    n_sent = F.size(
+        F.filter(
+            F.split("text", r"[.!?]"), lambda s: F.trim(s) != ""
+        )
+    ).cast("bigint")
+    n_words = F.size(
+        F.filter(F.split("text", " "), lambda t: t != "")
+    ).cast("bigint")
+    s = d.select(
+        "source", n_sent.alias("n_sent"), n_words.alias("n_words")
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sent").cast("bigint").alias("total_sentences"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.round(
+                F.sum("n_sent") * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("avg_sentences_per_doc"),
+            F.round(
+                F.sum("n_words")
+                * F.lit(1.0)
+                / F.nullif(F.sum("n_sent"), F.lit(0)),
+                4,
+            ).alias("avg_words_per_sentence"),
+        )
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------- rouge2_adjacent_recall (r14)
+
+@register(
+    "rouge2_adjacent_recall",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS gram
+        FROM (SELECT doc_id, source, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM tok WHERE len(t) >= 2)
+    ),
+    bg AS (SELECT DISTINCT doc_id, source, gram FROM big),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bg GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS ref_id, b.doc_id AS cand_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM bg a
+        JOIN bg b ON b.source = a.source
+                 AND b.doc_id = a.doc_id + 1 AND b.gram = a.gram
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.ref_id, p.cand_id, p.n_shared,
+           ca.n AS ref_bigrams, cb.n AS cand_bigrams,
+           ROUND(p.n_shared * 1.0 / ca.n, 4) AS rouge2_recall,
+           ROUND(p.n_shared * 1.0 / cb.n, 4) AS rouge2_precision,
+           ROUND(2.0 * p.n_shared / (ca.n + cb.n), 4) AS rouge2_f1
+    FROM pairs p
+    JOIN cnt ca ON ca.doc_id = p.ref_id
+    JOIN cnt cb ON cb.doc_id = p.cand_id
+    WHERE p.n_shared * 10 >= ca.n
+    ORDER BY ref_id
+    """,
+)
+def rouge2_adjacent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (distinct-bigram overlap) scored over the deterministic
+    ADJACENT-ID pairing (doc i is reference, doc i+1 in the same
+    source is candidate), reporting recall/precision/F1 for pairs
+    with ≥10% reference recall — the summarization-eval metric
+    harness, exercised on a pairing that needs no gold alignment
+    table (the fixture's planted near-dups sit at adjacent ids often
+    enough to surface real overlap).  A real eval run swaps the
+    pairing join for its (reference, candidate) table; the metric
+    tail is unchanged.
+
+    Determinism: distinct-bigram sets and overlap counts are exact
+    integers; the ≥10% filter cross-multiplies (n_shared·10 ≥ n_ref)
+    instead of dividing; three render divisions, ROUND(.,4).
+
+    Scale (100 TB): bigram streams join on (source, doc_id+1, gram) —
+    an equi-join whose build side is the bigram stream itself, NOT a
+    pair cross-product; adjacency bounds candidates to one per doc."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select("doc_id", "source", toks.alias("t")).where(
+        F.size("t") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                )
+            )
+        ).alias("gram"),
+    )
+    cnt = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = bg.select(
+        F.col("doc_id").alias("ref_id"), "source", "gram"
+    )
+    b = bg.select(
+        (F.col("doc_id") - 1).alias("ref_id"),
+        F.col("doc_id").alias("cand_id"),
+        "source",
+        "gram",
+    )
+    pairs = (
+        a.join(b, ["ref_id", "source", "gram"])
+        .groupBy("ref_id", "cand_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    ca = cnt.select(
+        F.col("doc_id").alias("ref_id"), F.col("n").alias("ref_bigrams")
+    )
+    cb = cnt.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("n").alias("cand_bigrams"),
+    )
+    return (
+        pairs.join(ca, "ref_id")
+        .join(cb, "cand_id")
+        .where(F.col("n_shared") * 10 >= F.col("ref_bigrams"))
+        .select(
+            "ref_id",
+            "cand_id",
+            "n_shared",
+            "ref_bigrams",
+            "cand_bigrams",
+            F.round(
+                F.col("n_shared") * F.lit(1.0) / F.col("ref_bigrams"), 4
+            ).alias("rouge2_recall"),
+            F.round(
+                F.col("n_shared") * F.lit(1.0) / F.col("cand_bigrams"), 4
+            ).alias("rouge2_precision"),
+            F.round(
+                F.lit(2.0)
+                * F.col("n_shared")
+                / (F.col("ref_bigrams") + F.col("cand_bigrams")),
+                4,
+            ).alias("rouge2_f1"),
+        )
+        .orderBy("ref_id")
+    )
+
+
+# --------------------------------------------- char_ngram_profile (r14)
+
+@register(
+    "char_ngram_profile",
+    oracle="""
+    WITH pfx AS (
+        SELECT lang, SUBSTR(text, 1, 64) AS p
+        FROM documents WHERE LENGTH(text) >= 3
+    ),
+    g AS (
+        SELECT lang, SUBSTR(p, i, 3) AS gram
+        FROM (SELECT lang, p, unnest(generate_series(1, LENGTH(p) - 2))
+                  AS i
+              FROM pfx)
+    ),
+    c AS (
+        SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY lang, gram
+    ),
+    r AS (
+        SELECT lang, gram, c,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY c DESC, gram) AS rk
+        FROM c
+    )
+    SELECT lang, rk, gram, c
+    FROM r WHERE rk <= 20 ORDER BY lang, rk
+    """,
+)
+def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-TRIGRAM PROFILE per language: top-20 char 3-grams
+    over each document's first 64 characters — the reference profile
+    a Cavnar–Trenkle-style language identifier ranks against
+    (`lang_id_ngram` consumes exactly this kind of table; this op
+    BUILDS it from labeled data).  Profiling the prefix, not the full
+    text, is the standard sampling move: trigram distributions
+    stabilize within tens of characters, and it caps the explode fan
+    at 62 rows/doc regardless of document length.
+
+    Determinism: byte-identical SUBSTR windows in both engines (ASCII
+    fixture); counts exact; top-20 per lang via ROW_NUMBER ordered
+    (c DESC, gram) — a total order, tie-safe at the cut.
+
+    Scale (100 TB): explode fan ≤ 62/doc (prefix-capped); counts
+    collapse map-side to the trigram vocabulary per lang; the top-20
+    window runs over that Heaps-bounded table."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    pfx = d.select("lang", F.substring("text", 1, 64).alias("p"))
+    g = pfx.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(p) - 2),"
+                " i -> substring(p, i, 3))"
+            )
+        ).alias("gram"),
+    )
+    c = g.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("lang", "rk", "gram", "c")
+        .orderBy("lang", "rk")
+    )
+
+
+# ----------------------------------------- stopword_density_quality (r14)
+
+_STOPWORDS = (
+    "the,a,an,and,or,but,of,to,in,on,for,with,at,by,from,as,is,was,are,"
+    "be,it,that,this,not,has"
+)
+
+
+@register(
+    "stopword_density_quality",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    m AS (
+        SELECT source,
+               CAST(LEN(t) AS BIGINT) AS n_tok,
+               CAST(LEN(list_filter(t, x -> list_contains(
+                   string_split('{_STOPWORDS}', ','), x))) AS BIGINT)
+                   AS n_stop
+        FROM d WHERE LEN(t) > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           ROUND(SUM(n_stop) * 1.0 / SUM(n_tok), 6) AS stopword_density,
+           CAST(SUM(CASE WHEN n_stop * 10 < n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low_stopword_docs,
+           ROUND(SUM(CASE WHEN n_stop * 10 < n_tok THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS low_stopword_share
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def stopword_density_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOPWORD-DENSITY QUALITY SIGNAL per source: the share of tokens
+    drawn from a fixed 25-word English function-word list, plus the
+    share of docs under 10% density — prose carries ~30–50% function
+    words, so a low-density source is listings/code/boilerplate, the
+    exact C4-era screen (`quality_c4_rules` applies a related rule
+    per doc; this profiles sources so the floor can be set).
+
+    Determinism: the stoplist is a shared literal; membership counts
+    all occurrences (not distinct) as exact integers; the 10%
+    threshold cross-multiplies (n_stop·10 < n_tok); two render
+    divisions, ROUND.
+
+    Scale (100 TB): row-local membership filtering against a 25-entry
+    literal array; ONE map-side collapse to |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    stop_arr = "array(" + ",".join(
+        f"'{w}'" for w in _STOPWORDS.split(",")
+    ) + ")"
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    m = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(
+            F.expr(
+                "filter(filter(split(text, ' '), t -> t <> ''),"
+                f" x -> array_contains({stop_arr}, x))"
+            )
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    ).where(F.col("n_tok") > 0)
+    low = F.when(F.col("n_stop") * 10 < F.col("n_tok"), 1).otherwise(0)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("n_stop").cast("bigint").alias("total_stopwords"),
+            F.round(
+                F.sum("n_stop") * F.lit(1.0) / F.sum("n_tok"), 6
+            ).alias("stopword_density"),
+            F.sum(low).cast("bigint").alias("n_low_stopword_docs"),
+            F.round(
+                F.sum(low) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("low_stopword_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- readability_fk_score (r14)
+
+@register(
+    "readability_fk_score",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               CAST(LEN(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_words,
+               CAST(GREATEST(LEN(list_filter(
+                        string_split_regex(text, '[.!?]'),
+                        s -> TRIM(s) <> '')), 1) AS BIGINT) AS n_sent,
+               CAST(LEN(regexp_extract_all(LOWER(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syll
+        FROM documents
+    ),
+    m AS (
+        SELECT source, n_words, n_sent, n_syll FROM d WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_sent) AS BIGINT) AS total_sentences,
+           CAST(SUM(n_syll) AS BIGINT) AS total_syllables,
+           ROUND(0.39 * (CAST(SUM(n_words) AS DOUBLE) / SUM(n_sent))
+                 + 11.8 * (CAST(SUM(n_syll) AS DOUBLE) / SUM(n_words))
+                 - 15.59, 4) AS fk_grade
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def readability_fk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH–KINCAID GRADE LEVEL per source with the standard
+    vowel-group syllable proxy (maximal [aeiouy]+ runs): 0.39·(words/
+    sentence) + 11.8·(syllables/word) − 15.59 — the readability
+    number content-quality dashboards track next to
+    `quality_score`'s blend; sources drifting to extreme grades are
+    OCR junk (high) or listings (low).  Sentence counts floor at 1 so
+    terminator-free docs still score.
+
+    Determinism: word/sentence/syllable counts are exact integers
+    from identical regex semantics in both engines; the FK tree
+    evaluates once per source from exact sums, ROUND(.,4).
+
+    Scale (100 TB): row-local regex counting; ONE map-side collapse
+    to |sources| 4-register rows."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(F.split("text", " "), lambda t: t != "")
+    ).cast("bigint")
+    n_sent = F.greatest(
+        F.size(
+            F.filter(
+                F.split("text", r"[.!?]"), lambda s: F.trim(s) != ""
+            )
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("bigint")
+    m = d.select(
+        "source",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sent"),
+        n_syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_sent").cast("bigint").alias("total_sentences"),
+            F.sum("n_syll").cast("bigint").alias("total_syllables"),
+            F.round(
+                F.lit(0.39)
+                * (F.sum("n_words").cast("double") / F.sum("n_sent"))
+                + F.lit(11.8)
+                * (F.sum("n_syll").cast("double") / F.sum("n_words"))
+                - F.lit(15.59),
+                4,
+            ).alias("fk_grade"),
+        )
+        .orderBy("source")
+    )

