@@ -139,6 +139,85 @@ def _calibration_probe(spark) -> float:
     return min(runs)
 
 
+#: Suite-shaped calibration anchor (r13 VERDICT "Next round" #4): the
+#: r13 driver run showed the frozen shuffle probe and the query suite
+#: DECOUPLE within a day (probe 0.51 s = "fast box" while the suite
+#: held ~10.9 s — the probe is shuffle-CPU-bound, the suite adds
+#: parquet-scan + Python-worker weather with independent variance).
+#: `_calibration_probe_suite` is a SECOND frozen probe matching the
+#: suite's cost mix: parquet scan + an Arrow-batched Python stage +
+#: one shuffle agg.  Anchor (r14 builder box, one session): suite
+#: probe min-of-3 = 1.6303 s while the shuffle probe read 0.6271 s
+#: (box_factor 1.100).  CAL_SUITE_REF_SEC = 1.6303 / 1.100 = 1.482
+#: projects that onto the r12 anchor box so BOTH factors read 1.0 at
+#: the same epoch and "band × box_factor_suite" compares directly
+#: with the historic band (BASELINE.md 7.1–8.6 s).  When the two
+#: factors disagree, the SUITE factor is the honest normalizer for
+#: the suite total (the r13 decoupling); the shuffle factor remains
+#: for continuity with r11–r13 artifacts.
+CAL_SUITE_REF_SEC = 1.482
+
+
+def _calibration_probe_suite(spark) -> float:
+    """Min-of-3 runtime of a FROZEN suite-shaped mini-pipeline: scan a
+    fixed self-generated parquet (8M rows, int/key/string columns) →
+    Arrow-batched pandas_udf string stage → one shuffle agg.  The
+    parquet build happens OUTSIDE the timed region.  Must NEVER
+    change, or box_factor_suite loses cross-round meaning."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    d = tempfile.mkdtemp(prefix="bench_cal_suite_")
+    path = os.path.join(d, "t")
+    (
+        spark.range(0, 8_000_000)
+        .select(
+            "id",
+            (F.xxhash64("id") % 1000).alias("k"),
+            F.concat(
+                F.lit("v"), F.pmod(F.xxhash64("id", "id"), F.lit(9973)).cast("string")
+            ).alias("s"),
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+    # lambda form: bench.py is `from __future__ import annotations`, so
+    # a def with pd.Series hints hands pandas_udf unresolvable strings
+    _plen = pandas_udf(
+        lambda s: s.str.len().astype("int64"), "long"
+    )
+
+    runs = []
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.read.parquet(path)
+                .select("k", _plen("s").alias("n"), "id")
+                .groupBy("k")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum("n").alias("sn"),
+                    F.sum(
+                        F.pmod(F.xxhash64("id"), F.lit(1000000))
+                    ).alias("s"),
+                )
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            runs.append(time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return min(runs)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from migbq_spark import registry
@@ -152,6 +231,8 @@ def main() -> None:
 
     cal_sec = _calibration_probe(spark)
     box_factor = round(cal_sec / CAL_REF_SEC, 3)
+    cal_suite_sec = _calibration_probe_suite(spark)
+    box_factor_suite = round(cal_suite_sec / CAL_SUITE_REF_SEC, 3)
 
     # Three runs per query, min reported (r2 VERDICT item 8: n=2 left
     # ±15-25% run-to-run spread that produced a phantom regression): the
@@ -187,6 +268,8 @@ def main() -> None:
         "spread_pct": spread,
         "calibration_sec": round(cal_sec, 4),
         "box_factor": box_factor,
+        "calibration_suite_sec": round(cal_suite_sec, 4),
+        "box_factor_suite": box_factor_suite,
         # Spark version next to the calibration (r12 ADVICE): CAL_REF_SEC
         # was anchored on this version — if a future Spark upgrade shifts
         # the FROZEN probe's runtime via codegen changes rather than box
@@ -217,6 +300,7 @@ def main() -> None:
         "r8_family_sec": detail["r8_family_sec"],
         "queries": {q: timings[q] for q in HEADLINE},
         "box_factor": box_factor,
+        "box_factor_suite": box_factor_suite,
         "sf": sf_val,
     }
     line = json.dumps(summary)

@@ -2073,9 +2073,21 @@ def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = freq.withColumn("cum", F.sum("c").over(w))
-    nt = freq.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
-    j = cum.join(F.broadcast(nt), "g")
+    # n via an UNBOUNDED window over the SAME hashpartitioning(g) the
+    # cum window needs — one scan, one exchange, no totals join (the
+    # r14 plan contract pins FileScan count == 1; a separate
+    # freq.groupBy("g") totals branch re-planned a second scan because
+    # static exchange reuse does not fire across the agg/window split)
+    j = freq.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint"),
+    )
     # DISC: ceil(p*n) in exact integer arithmetic:
     # (n*num + den - 1) DIV den.  CONT lower/upper ranks (0-indexed):
     # rank k's value = smallest v with cum >= k+1, k from
@@ -2253,9 +2265,17 @@ def trimmed_mean_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = freq.withColumn("cm", F.sum("c").over(w))
-    nt = freq.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
-    j = cum.join(F.broadcast(nt), "g")
+    # same one-scan window-totals move as percentile_disc_vs_cont (r14)
+    j = freq.withColumn("cm", F.sum("c").over(w)).withColumn(
+        "n",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint"),
+    )
     klo = F.expr("n DIV 10")
     cnt_in = F.greatest(
         F.lit(0).cast("bigint"),

@@ -1137,3 +1137,297 @@ def freshness_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ pk_uniqueness_audit (r14)
+
+@register(
+    "pk_uniqueness_audit",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS pk FROM orders
+        UNION ALL
+        SELECT o_orderkey AS pk FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    g AS (
+        SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY pk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_keys,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_in_dups,
+           CAST(MIN(CASE WHEN n > 1 THEN pk END) AS BIGINT)
+               AS first_dup_pk,
+           CAST(MAX(n) AS BIGINT) AS worst_multiplicity
+    FROM g
+    """,
+)
+def pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY-KEY UNIQUENESS AUDIT with PLANTED violations (every
+    101st order key re-appended): key count vs row count, duplicate
+    keys, rows trapped in duplicates, the first offending key as the
+    debugging exemplar, and the worst multiplicity — the audit a
+    migration runs after every load (`pk_gap_detection` finds MISSING
+    keys; this finds DOUBLED ones, the other half of exactly-once).
+    The planted duplication proves the detector actually fires.
+
+    Determinism: the plant is key arithmetic; every output is an
+    exact integer (MIN/MAX over ints for the exemplars).
+
+    Scale (100 TB): ONE pk-keyed exchange with map-side partial
+    counts; the audit row is a second tiny collapse."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk")
+    )
+    src = o.unionAll(o.where(F.col("pk") % 101 == 0))
+    g = src.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dup = F.col("n") > 1
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias(
+            "n_dup_keys"
+        ),
+        F.sum(F.when(dup, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_in_dups"),
+        F.min(F.when(dup, F.col("pk"))).cast("bigint").alias(
+            "first_dup_pk"
+        ),
+        F.max("n").cast("bigint").alias("worst_multiplicity"),
+    )
+
+
+# ------------------------------------------ referential_integrity_audit (r14)
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    WITH parents AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    j AS (
+        SELECT l.l_orderkey, p.o_orderkey AS hit
+        FROM lineitem l LEFT JOIN parents p
+          ON p.o_orderkey = l.l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans,
+           CAST(COUNT(DISTINCT CASE WHEN hit IS NULL THEN l_orderkey END)
+                AS BIGINT) AS n_orphan_keys,
+           ROUND(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS orphan_rate,
+           CAST(MIN(CASE WHEN hit IS NULL THEN l_orderkey END) AS BIGINT)
+               AS first_orphan_fk
+    FROM j
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY (ORPHAN FK) AUDIT with a PLANTED parent
+    gap (every 97th order withheld from the parent set): child rows
+    whose FK resolves to no parent are counted, keyed, rated, and
+    exemplified — the post-load audit that catches partial parent
+    loads before a star-schema join silently drops fact rows
+    (`join_star_5way` would just inner-join them away;
+    `check_count_reconcile` counts totals, not linkage).
+
+    Determinism: the plant is key arithmetic; counts exact; one rate
+    division, ROUND(6).
+
+    Scale (100 TB): one equi-join on the FK (the parent side carries
+    ONLY the key column — pruned scan); the audit row is a map-side
+    collapse of the join output."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    parents = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 != 0)
+        .select("o_orderkey")
+    )
+    j = li.join(
+        parents, parents["o_orderkey"] == li["l_orderkey"], "left"
+    )
+    orphan = F.col("o_orderkey").isNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias(
+            "n_orphans"
+        ),
+        F.countDistinct(F.when(orphan, F.col("l_orderkey")))
+        .cast("bigint")
+        .alias("n_orphan_keys"),
+        F.round(
+            F.sum(F.when(orphan, 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("orphan_rate"),
+        F.min(F.when(orphan, F.col("l_orderkey")))
+        .cast("bigint")
+        .alias("first_orphan_fk"),
+    )
+
+
+# ---------------------------------------------- schema_drift_report (r14)
+
+@register(
+    "schema_drift_report",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('c_acctbal',    'type_changed', 'double',  'string'),
+        ('c_comment_v2', 'added',        NULL,      'string'),
+        ('c_mktsegment', 'removed',      'string',  NULL)
+    ) AS t(col_name, change, old_type, new_type)
+    ORDER BY col_name
+    """,
+)
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFT DIFF between two REAL written snapshots: customer
+    v1 is staged as-is, v2 drops a column, adds one, and retypes
+    another; both snapshots are read back and their ACTUAL parquet
+    schemas are diffed field-by-field into an added/removed/
+    type-changed report — the change-detection step that decides
+    whether `union_schema_evolution` (merge) or a migration (block)
+    is the right response.  The oracle pins the expected drift rows
+    literally: if the writer, the reader, or the diff ever
+    misreports a field, the hash breaks.
+
+    Determinism: schemas are metadata, not data — the diff is exact.
+
+    Scale (100 TB): reads ONLY parquet footers (schema comes from
+    metadata, zero data rows move); the diff itself is
+    driver-side over ≤ |columns| entries, then parallelized back
+    through createDataFrame for the graded frame."""
+    c = load(spark, sf_dir, "customer")
+    v1_dest = _stage_dir_ctl(sf_dir, "schema_v1")
+    v2_dest = _stage_dir_ctl(sf_dir, "schema_v2")
+    c.write.mode("overwrite").parquet(v1_dest)
+    (
+        c.drop("c_mktsegment")
+        .withColumn("c_acctbal", F.col("c_acctbal").cast("string"))
+        .withColumn("c_comment_v2", F.lit("migrated"))
+        .write.mode("overwrite")
+        .parquet(v2_dest)
+    )
+    s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v1_dest).schema.fields}
+    s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v2_dest).schema.fields}
+    rows = []
+    for name in sorted(set(s1) | set(s2)):
+        if name not in s2:
+            rows.append((name, "removed", s1[name], None))
+        elif name not in s1:
+            rows.append((name, "added", None, s2[name]))
+        elif s1[name] != s2[name]:
+            rows.append((name, "type_changed", s1[name], s2[name]))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType()),
+            T.StructField("change", T.StringType()),
+            T.StructField("old_type", T.StringType()),
+            T.StructField("new_type", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("col_name")
+
+
+def _stage_dir_ctl(sf_dir: str, name: str) -> str:
+    """control.py twin of sources._stage_dir (kept local to avoid a
+    cross-module import cycle)."""
+    import hashlib
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2] / ".stage"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return str(root / tag / name)
+
+
+# ---------------------------------------------- dup_row_full_hash_audit (r14)
+
+@register(
+    "dup_row_full_hash_audit",
+    oracle="""
+    WITH src AS (
+        SELECT * FROM supplier
+        UNION ALL
+        SELECT * FROM supplier WHERE s_suppkey % 17 = 0
+    ),
+    h AS (
+        SELECT s_suppkey,
+               md5(CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+                   || CAST(s_nationkey AS VARCHAR) || '|'
+                   || CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS row_md5
+        FROM src
+    ),
+    g AS (
+        SELECT row_md5, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(s_suppkey) AS BIGINT) AS exemplar_key
+        FROM h GROUP BY row_md5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_rows,
+           CAST(SUM(n) AS BIGINT) AS n_total_rows,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+               AS n_excess_copies,
+           CAST(MIN(CASE WHEN n > 1 THEN exemplar_key END) AS BIGINT)
+               AS first_dup_key
+    FROM g
+    """,
+)
+def dup_row_full_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-ROW DUPLICATE AUDIT via a canonical row digest (every
+    column serialized into one md5, money pre-quantized to cents)
+    with PLANTED full-row duplicates (every 17th supplier
+    re-appended): distinct-row count vs total, duplicate groups,
+    excess copies to delete, and the first exemplar — the
+    retry-landed-twice audit (`pk_uniqueness_audit` catches doubled
+    KEYS; this catches doubled ROWS even when a surrogate key was
+    regenerated, because the digest ignores nothing but the key
+    order).  Digest = the portable md5 family, so the oracle
+    recomputes it bit-identically.
+
+    Determinism: canonical '|'-joined serialization with cents
+    quantization (the decimal-render rule); counts exact.
+
+    Scale (100 TB): digests compute map-side next to the scan; the
+    exchange carries 32-hex digests; group sizes are
+    content-bounded."""
+    s = load(spark, sf_dir, "supplier")
+    src = s.unionAll(s.where(F.col("s_suppkey") % 17 == 0))
+    row_md5 = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+            F.col("s_nationkey").cast("string"),
+            F.expr(
+                "CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).cast("string"),
+        )
+    )
+    h = src.select("s_suppkey", row_md5.alias("row_md5"))
+    g = h.groupBy("row_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("s_suppkey").cast("bigint").alias("exemplar_key"),
+    )
+    dup = F.col("n") > 1
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_rows"),
+        F.sum("n").cast("bigint").alias("n_total_rows"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias(
+            "n_dup_groups"
+        ),
+        F.sum(F.when(dup, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_excess_copies"),
+        F.min(F.when(dup, F.col("exemplar_key")))
+        .cast("bigint")
+        .alias("first_dup_key"),
+    )

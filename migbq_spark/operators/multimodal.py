@@ -673,3 +673,167 @@ def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rgb_bytes"),
     ).orderBy("doc_id", "ty", "tx")
+
+
+# -------------------------------------------------- mm_bytes_dedup_sha (r14)
+
+@register(
+    "mm_bytes_dedup_sha",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, source,
+               'BLOB|' || source || '|' || CAST(n_chars % 64 AS VARCHAR)
+                   AS payload_str
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, source, sha256(payload_str) AS digest FROM p
+    ),
+    g AS (
+        SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+        FROM h GROUP BY digest
+    )
+    SELECT h.source,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(COUNT(DISTINCT h.digest) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN h.doc_id <> g.canonical_id THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_dropped,
+           ROUND(SUM(CASE WHEN h.doc_id <> g.canonical_id THEN 1 ELSE 0
+                     END) * 1.0 / COUNT(*), 4) AS drop_rate
+    FROM h JOIN g ON g.digest = h.digest
+    GROUP BY h.source ORDER BY h.source
+    """,
+)
+def mm_bytes_dedup_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-CONTENT EXACT DEDUP over sha-256 digests: identical blob
+    payloads collapse to one canonical copy (min doc_id), per-source
+    drop report — the first stage of every multimodal pipeline
+    (byte-identical re-crawls and mirror copies are the bulk of
+    image/audio duplication; near-dup embedding passes only run on
+    the survivors).  Payloads here derive from (source, n_chars % 64)
+    so real collisions exist to collapse; a production run hashes the
+    actual binary column — sha2 over BINARY is the same JVM-side
+    expression.
+
+    Determinism: sha-256 hex is bit-identical across engines on
+    identical ASCII payloads; canonical choice is exact MIN; one
+    render division.
+
+    Scale (100 TB): ONE digest-keyed exchange carrying 32-byte
+    digests (never payload bytes — the digest is computed map-side
+    next to the scan); group sizes are content-bounded."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("BLOB|"),
+        F.col("source"),
+        F.lit("|"),
+        (F.col("n_chars") % 64).cast("string"),
+    )
+    h = d.select(
+        "doc_id", "source", F.sha2(payload, 256).alias("digest")
+    )
+    g = h.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("canonical_id"),
+    )
+    j = h.join(g, "digest")
+    dropped = F.when(
+        F.col("doc_id") != F.col("canonical_id"), 1
+    ).otherwise(0)
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.round(
+                F.sum(dropped) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------- mm_audio_chunk_plan (r14)
+
+@register(
+    "mm_audio_chunk_plan",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               8000 * (1 + doc_id % 5) AS sample_rate,
+               (n_chars * 100 * 1000000) // (8000 * (1 + doc_id % 5))
+                   AS duration_us
+        FROM documents
+    ),
+    c AS (
+        SELECT sample_rate, duration_us,
+               (duration_us + 30000000 - 1) // 30000000 AS n_chunks,
+               duration_us - ((duration_us + 30000000 - 1) // 30000000
+                              - 1) * 30000000 AS last_chunk_us
+        FROM a WHERE duration_us > 0
+    )
+    SELECT sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(SUM(CASE WHEN last_chunk_us < 5000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_short_tails,
+           ROUND(SUM(duration_us) * 1.0 / SUM(n_chunks) / 1000000.0, 4)
+               AS avg_chunk_sec
+    FROM c GROUP BY sample_rate ORDER BY sample_rate
+    """,
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO CHUNKING PLAN: fixed 30-second windows over each file's
+    planted duration (the `mm_audio_headers` RIFF metadata formula) —
+    per sample rate: files, total chunks, short tails (< 5 s, the
+    fragments an ASR batch either pads or merges), and realized mean
+    chunk length.  This is the PLAN an audio-feature pipeline
+    executes with a decode UDF per chunk; planning from header
+    metadata costs one metadata scan, decoding nothing
+    (`mm_decode_stub` owns the decode boundary).
+
+    Determinism: durations and chunk counts are pure integer
+    arithmetic (ceil via (d + w − 1) DIV w); one render division.
+
+    Scale (100 TB): row-local planning; ONE map-side collapse to
+    |rates| rows; payload bytes never move."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id",
+        (8000 * (1 + F.col("doc_id") % 5)).alias("sample_rate"),
+        F.expr(
+            "(n_chars * 100 * 1000000) DIV (8000 * (1 + doc_id % 5))"
+        ).alias("duration_us"),
+    ).where(F.col("duration_us") > 0)
+    n_chunks = F.expr("(duration_us + 30000000 - 1) DIV 30000000")
+    c = a.select(
+        "sample_rate",
+        "duration_us",
+        n_chunks.alias("n_chunks"),
+        (
+            F.col("duration_us")
+            - (n_chunks - 1) * F.lit(30000000)
+        ).alias("last_chunk_us"),
+    )
+    return (
+        c.groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chunks").cast("bigint").alias("total_chunks"),
+            F.sum(
+                F.when(F.col("last_chunk_us") < 5000000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_short_tails"),
+            F.round(
+                F.sum("duration_us")
+                * F.lit(1.0)
+                / F.sum("n_chunks")
+                / F.lit(1000000.0),
+                4,
+            ).alias("avg_chunk_sec"),
+        )
+        .orderBy("sample_rate")
+    )

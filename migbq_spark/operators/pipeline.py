@@ -2421,14 +2421,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-scan vs the r13 three-scan form — see SCALING_r14.md."""
     if _FUNNEL_ONE_SCAN:
         d = load(spark, sf_dir, "documents")
+        # unpersist the PREVIOUS round's cache BEFORE persisting the new
+        # one: a repeat invocation builds an identical logical plan, so
+        # persist-then-unpersist would register "already cached" and the
+        # unpersist of the old frame would evict the new entry too
+        # (measured r14: the second invocation ran with 3 file scans and
+        # zero InMemoryTableScans — the plan contract now pins this)
+        global _FUNNEL_CACHE
+        if _FUNNEL_CACHE is not None:
+            _FUNNEL_CACHE.unpersist()
         arr = d.select(
             "doc_id",
             "source",
             F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
         ).persist(StorageLevel.DISK_ONLY)
-        global _FUNNEL_CACHE
-        if _FUNNEL_CACHE is not None:
-            _FUNNEL_CACHE.unpersist()
         _FUNNEL_CACHE = arr
         comps = _cross_source_cc(
             _portable_band_df(

@@ -1205,3 +1205,429 @@ def array_sort_comparator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("toks", 1, 5), " ").alias("shortest5"),
         F.element_at("toks", F.size("toks")).alias("longest_token"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------- split_part_extract (r14)
+
+@register(
+    "split_part_extract",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(split_part(c_name, '#', 2) AS BIGINT)
+                              = c_custkey THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suffix_matches_key,
+           MIN(split_part(c_name, '#', 1)) AS name_prefix,
+           CAST(MAX(LENGTH(split_part(c_name, '#', 2))) AS BIGINT)
+               AS max_suffix_len
+    FROM customer
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def split_part_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIMITED-FIELD EXTRACTION surface (`split_part` family): pull
+    the numeric suffix out of 'Customer#000000123'-style keys-in-
+    strings and PROVE it round-trips to the integer key — the
+    denormalized-identifier audit every warehouse runs on imported
+    dimensions.  Spark spells field-2-of-split as
+    `element_at(split(...), 2)` / `substring_index`; DuckDB has
+    `split_part` natively — same semantics, dialect-split spelled per
+    engine.
+
+    Determinism: string splits on a literal delimiter; the match
+    check casts digit strings to exact ints; all outputs are
+    counts/min/max of deterministic values.
+
+    Scale (100 TB): row-local string ops; ONE map-side collapse to
+    |segments| rows."""
+    c = load(spark, sf_dir, "customer")
+    suffix = F.element_at(F.split("c_name", "#"), 2)
+    prefix = F.element_at(F.split("c_name", "#"), 1)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    suffix.cast("bigint") == F.col("c_custkey"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_suffix_matches_key"),
+            F.min(prefix).alias("name_prefix"),
+            F.max(F.length(suffix)).cast("bigint").alias("max_suffix_len"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ------------------------------------------------- bit_agg_flags (r14)
+
+@register(
+    "bit_agg_flags",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               CASE event_type
+                    WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    ELSE 16 END AS flag
+        FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(bit_or(flag) AS BIGINT) AS mask,
+               CAST(bit_and(flag) AS BIGINT) AS common_mask
+        FROM f GROUP BY user_id
+    )
+    SELECT mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_distinct_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN common_mask = mask THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_type_users
+    FROM u GROUP BY mask ORDER BY mask
+    """,
+)
+def bit_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITWISE AGGREGATE surface (`bit_or`/`bit_and`/`bit_count`):
+    each event type maps to a power-of-two flag, `bit_or` per user
+    folds a behavior BITMASK (the compact profile segmentation
+    engines store instead of a type array), and the mask histogram
+    with `bit_count` reads off coverage — a user whose `bit_and`
+    equals their mask only ever emitted one type.  The flags are
+    literal CASE powers of two, so no shift-operator dialect is
+    involved.
+
+    Determinism: bitwise folds are order-free by definition; all
+    outputs integer.
+
+    Scale (100 TB): ONE user-keyed exchange (map-side combinable —
+    bit_or partials fold); the mask histogram collapses to ≤ 2^5
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    u = (
+        ev.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(flag)").cast("bigint").alias("mask"),
+            F.expr("bit_and(flag)").cast("bigint").alias("common_mask"),
+        )
+    )
+    return (
+        u.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(
+                F.when(F.col("common_mask") == F.col("mask"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_single_type_users"),
+        )
+        .select(
+            "mask",
+            F.expr("bit_count(mask)").cast("bigint").alias(
+                "n_distinct_types"
+            ),
+            "n_users",
+            "n_single_type_users",
+        )
+        .orderBy("mask")
+    )
+
+
+# -------------------------------------- posexplode_position_profile (r14)
+
+@register(
+    "posexplode_position_profile",
+    oracle="""
+    WITH tok AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT source, i AS pos, t[i] AS tok
+        FROM (SELECT source, t, unnest(generate_series(1,
+                  LEAST(LEN(t), 10))) AS i
+              FROM tok WHERE LEN(t) > 0)
+    )
+    SELECT source, CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(LENGTH(tok)) * 1.0 / COUNT(*), 4) AS avg_len,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+    FROM pos GROUP BY source, pos ORDER BY source, pos
+    """,
+)
+def posexplode_position_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL EXPLODE surface (`posexplode`): token length and
+    diversity BY POSITION over each document's first 10 tokens — the
+    positional profile that exposes templated corpora (position 1–3
+    near-constant ⇒ boilerplate prefixes, the `boilerplate_top_blocks`
+    signal read positionally).  Spark's posexplode emits (pos, val)
+    natively; DuckDB spells it generate_series + list indexing.
+
+    Determinism: positions and counts exact; one avg division,
+    ROUND(.,4).  Spark posexplode is 0-based — shifted +1 to match
+    the oracle's 1-based list indexing.
+
+    Scale (100 TB): explode fan capped at 10 rows/doc; map-side
+    collapse to |sources|·10 rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    base = d.select("source", F.slice(toks, 1, 10).alias("t")).where(
+        F.size("t") > 0
+    )
+    pos = base.select(
+        "source", F.posexplode("t").alias("pos0", "tok")
+    ).select("source", (F.col("pos0") + 1).alias("pos"), "tok")
+    return (
+        pos.groupBy("source", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.length("tok")) * F.lit(1.0) / F.count(F.lit(1)),
+                4,
+            ).alias("avg_len"),
+            F.countDistinct("tok").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source", F.col("pos").cast("bigint").alias("pos"), "n",
+            "avg_len", "n_distinct",
+        )
+        .orderBy("source", "pos")
+    )
+
+
+# --------------------------------------------- str_pad_translate_funcs (r14)
+
+@register(
+    "str_pad_translate_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           rpad(upper(p_brand), 12, '.') AS brand_cell,
+           translate(p_name, 'aeiou', '43107') AS name_leet,
+           reverse(p_name) AS name_rev,
+           repeat('*', CAST(p_size % 8 AS INT)) AS size_bar,
+           CAST(LENGTH(p_name) - LENGTH(replace(p_name, ' ', ''))
+                AS BIGINT) AS n_spaces
+    FROM part WHERE p_partkey % 97 = 0 ORDER BY p_partkey
+    """,
+)
+def str_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING FORMATTING/TRANSLITERATION surface (lpad / rpad /
+    translate / reverse / repeat / replace-count): the fixed-width
+    report-cell and key-normalization toolkit (zero-padded join keys,
+    dotted table cells, leet-style transliteration as the classic
+    translate demo, space counting via the replace-length trick) —
+    third `str_funcs` wave, closing the padding/transliteration gap
+    left by `str_funcs`/`str_funcs2`.
+
+    Determinism: every function is a pure row-local string transform
+    with identical semantics in both engines; the %97 key filter
+    bounds output deterministically.
+
+    Scale (100 TB): row-local projection behind a pushed-down
+    arithmetic filter; no shuffle at all."""
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_partkey") % 97 == 0
+    )
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias(
+            "key_padded"
+        ),
+        F.rpad(F.upper("p_brand"), 12, ".").alias("brand_cell"),
+        F.translate("p_name", "aeiou", "43107").alias("name_leet"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat(F.lit("*"), F.expr("CAST(p_size % 8 AS INT)")).alias(
+            "size_bar"
+        ),
+        (
+            F.length("p_name")
+            - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("n_spaces"),
+    ).orderBy("p_partkey")
+
+
+# ------------------------------------------ try_cast_validation_summary (r14)
+
+@register(
+    "try_cast_validation_summary",
+    oracle="""
+    WITH t AS (
+        SELECT split_part(c_name, '#', 2) AS digits,
+               split_part(c_name, '#', 1) AS alpha,
+               c_acctbal
+        FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN TRY_CAST(digits AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_digits_ok,
+           CAST(SUM(CASE WHEN TRY_CAST(alpha AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+           CAST(SUM(CASE WHEN TRY_CAST(digits AS DATE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_date_ok,
+           CAST(SUM(TRY_CAST(digits AS BIGINT)) AS BIGINT)
+               AS digits_sum,
+           CAST(SUM(CASE WHEN TRY_CAST(CAST(c_acctbal AS VARCHAR)
+                              AS DECIMAL(18,2)) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bal_ok
+    FROM t
+    """,
+)
+def try_cast_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST INGEST-VALIDATION surface: the null-on-failure cast is
+    how permissive loaders score string columns before committing a
+    schema — digit suffixes cast to BIGINT (all succeed), alpha
+    prefixes don't (all fail, NO error raised even under ANSI mode),
+    digit strings are not dates, and numeric round-trips through
+    VARCHAR revalidate.  Complements `try_arith_null_safety`
+    (arithmetic) and `load_dead_letter_quarantine` (row routing) with
+    the type-probe summary.
+
+    Determinism: success/failure of each cast is definitional per
+    value; counts and the cast-sum are exact integers.
+
+    Scale (100 TB): row-local casts, ONE map-side collapse to a
+    single summary row."""
+    c = load(spark, sf_dir, "customer")
+    digits = F.element_at(F.split("c_name", "#"), 2)
+    alpha = F.element_at(F.split("c_name", "#"), 1)
+    t = c.select(
+        digits.alias("digits"),
+        alpha.alias("alpha"),
+        F.col("c_acctbal"),
+    )
+    ok = lambda e: F.sum(
+        F.when(e.isNotNull(), 1).otherwise(0)
+    ).cast("bigint")
+    return t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ok(F.expr("TRY_CAST(digits AS BIGINT)")).alias("n_digits_ok"),
+        ok(F.expr("TRY_CAST(alpha AS BIGINT)")).alias("n_alpha_ok"),
+        ok(F.expr("TRY_CAST(digits AS DATE)")).alias("n_date_ok"),
+        F.sum(F.expr("TRY_CAST(digits AS BIGINT)"))
+        .cast("bigint")
+        .alias("digits_sum"),
+        ok(
+            F.expr(
+                "TRY_CAST(CAST(c_acctbal AS STRING) AS DECIMAL(18,2))"
+            )
+        ).alias("n_bal_ok"),
+    )
+
+
+# ------------------------------------------- regexp_replace_backref (r14)
+
+@register(
+    "regexp_replace_backref",
+    oracle="""
+    WITH n AS (
+        SELECT c_mktsegment,
+               regexp_replace(c_name, '^Customer#0*([0-9]+)$', 'C-\\1')
+                   AS short_id
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT short_id) AS BIGINT) AS n_distinct,
+           MIN(short_id) AS min_id,
+           MAX(short_id) AS max_id,
+           CAST(MAX(LENGTH(short_id)) AS BIGINT) AS max_len
+    FROM n GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def regexp_replace_backref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGEXP_REPLACE WITH CAPTURE-GROUP BACKREFERENCE: normalize
+    'Customer#000000123' to 'C-123' in one pass — the pattern behind
+    every identifier-canonicalization rule (strip zero padding, keep
+    the capture).  The backreference SYNTAX is the dialect split this
+    op pins: Spark (Java regex) writes `$1`, DuckDB (RE2) writes
+    `\\1` — the same logical rule spelled per engine, exactly the
+    kind of divergence a migration must catalogue.
+
+    Determinism: anchored regex on fixed-format strings; min/max over
+    the normalized ids are string comparisons of deterministic
+    values.
+
+    Scale (100 TB): row-local regex; ONE map-side collapse to
+    |segments| rows."""
+    c = load(spark, sf_dir, "customer")
+    short_id = F.regexp_replace(
+        F.col("c_name"), r"^Customer#0*([0-9]+)$", r"C-$1"
+    )
+    n = c.select("c_mktsegment", short_id.alias("short_id"))
+    return (
+        n.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("short_id").cast("bigint").alias("n_distinct"),
+            F.min("short_id").alias("min_id"),
+            F.max("short_id").alias("max_id"),
+            F.max(F.length("short_id")).cast("bigint").alias("max_len"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ------------------------------------------- grouped_keyset_pagination (r14)
+
+@register(
+    "grouped_keyset_pagination",
+    oracle="""
+    WITH r AS (
+        SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    )
+    SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, c_custkey, c_name,
+           ROUND(c_acctbal, 2) AS acctbal
+    FROM r WHERE rn BETWEEN 6 AND 10
+    ORDER BY c_mktsegment, rn
+    """,
+)
+def grouped_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP PAGINATION (page 2, size 5, per market segment):
+    ROW_NUMBER over (balance DESC, key) sliced with BETWEEN — the
+    keyset-stable "page N of each group" query every API backend
+    issues, and the shape `win_rank_topk_group` (page 1 only)
+    doesn't cover.  The tiebreak key makes page boundaries stable
+    under re-execution — the property OFFSET pagination on a
+    nondeterministic sort silently lacks.
+
+    Determinism: total order (acctbal DESC, custkey) — no rank ties
+    possible; balances render as ROUND(,2) of values that ARE
+    2-decimal.
+
+    Scale (100 TB): one window partitioned by segment; Spark pushes a
+    rank LIMIT into the window sort per partition (WindowGroupLimit),
+    so each group materializes ~10 rows, not its full membership."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    r = c.withColumn("rn", F.row_number().over(w))
+    return (
+        r.where((F.col("rn") >= 6) & (F.col("rn") <= 10))
+        .select(
+            "c_mktsegment",
+            F.col("rn").cast("bigint").alias("rn"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )

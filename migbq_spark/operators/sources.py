@@ -931,3 +931,254 @@ def csv_quoted_multiline_roundtrip(
         .select("doc_id", "tricky", "lang")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- csv_malformed_permissive_audit (r14)
+
+@register(
+    "csv_malformed_permissive_audit",
+    oracle="""
+    WITH src AS (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 5 = 0
+                    THEN n_name || ';BROKEN'
+                    ELSE CAST(n_nationkey AS VARCHAR) || ',' || n_name
+               END AS line
+        FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey
+                         ELSE 0 END) AS BIGINT) AS good_key_sum
+    FROM src
+    """,
+)
+def csv_malformed_permissive_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERMISSIVE-MODE MALFORMED-ROW AUDIT: a CSV with PLANTED broken
+    lines (every 5th nation row loses its delimiter) is read with
+    `mode=PERMISSIVE` + `columnNameOfCorruptRecord` — the ingest
+    pattern that keeps a 100 TB load running when 0.01% of rows are
+    garbage, routing them to a corrupt-record column instead of
+    failing the job (`load_dead_letter_quarantine` then owns the
+    routing; this op audits the READER's classification itself).
+    The planted text is written as RAW LINES (`text` writer), so the
+    CSV parser — not the writer — decides what is malformed.
+
+    Determinism: corruption is planted by key arithmetic; the oracle
+    recomputes the expected classification and the good-row key sum
+    straight from the nation table.
+
+    Scale (100 TB): the audit is one scan of the read-back; PERMISSIVE
+    classification is row-local in the reader."""
+    n = load(spark, sf_dir, "nation")
+    lines = n.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.concat(F.col("n_name"), F.lit(";BROKEN")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("n_nationkey").cast("string"),
+                F.lit(","),
+                F.col("n_name"),
+            )
+        )
+        .alias("value")
+    )
+    dest = _stage_dir(sf_dir, "nation_malformed_csv")
+    lines.coalesce(1).write.mode("overwrite").text(dest)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dest)
+    )
+    # a 1-column line parses as (k=NULL-or-int, name=NULL): corrupt =
+    # the parser filled _corrupt OR the name column came back missing
+    corrupt = F.col("_corrupt").isNotNull() | F.col("name").isNull()
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(corrupt, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(~corrupt, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(~corrupt, F.col("k")).otherwise(0))
+        .cast("bigint")
+        .alias("good_key_sum"),
+    )
+
+
+# ---------------------------------------------- jsonl_nested_roundtrip (r14)
+
+@register(
+    "jsonl_nested_roundtrip",
+    oracle="""
+    WITH items AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+               CAST(MIN(l_partkey) AS BIGINT) AS first_part
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           i.n_items, i.qty_sum, i.first_part
+    FROM orders o JOIN items i ON i.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 13 = 0
+    ORDER BY o.o_orderkey
+    """,
+)
+def jsonl_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-DOCUMENT JSONL ROUNDTRIP: orders nest their lineitems as
+    an array<struct> (the document shape event buses and APIs
+    actually emit), written as JSON lines and read back with an
+    explicit nested schema — then RE-FLATTENED with aggregate/
+    element_at so the graded frame proves the nested payload
+    survived: per-order item count, quantity sum (integer-exact
+    `aggregate` over the struct array), and the min part key.
+    Complements `jsonl_gz_export` (flat) with the nested-ingest leg;
+    schema-on-read of nested JSON is where silent null-on-mismatch
+    bugs live, and the hash oracle (recomputed relationally from the
+    source tables) catches any.
+
+    Determinism: the nested array is sort_array'd at build time
+    (struct order = partkey order), so min/element_at choices are
+    exact; quantities quantize to BIGINT before summing.
+
+    Scale (100 TB): the nest is one orderkey-grouped collect_list
+    (bounded by lines-per-order ≈ 7); JSONL is line-splittable, so
+    read parallelism survives, unlike multiline JSON."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    nested = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_partkey").alias("pk"),
+                        F.col("l_quantity").cast("bigint").alias("qty"),
+                    )
+                )
+            ).alias("items")
+        )
+        .join(o, o["o_orderkey"] == F.col("l_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "items")
+    )
+    dest = _stage_dir(sf_dir, "orders_nested_jsonl")
+    nested.write.mode("overwrite").json(dest)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("pk", T.LongType()),
+                            T.StructField("qty", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(dest)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.size("items").cast("bigint").alias("n_items"),
+        F.expr(
+            "aggregate(items, CAST(0 AS BIGINT), (acc, x) -> acc + x.qty)"
+        ).alias("qty_sum"),
+        F.element_at("items", 1)["pk"].alias("first_part"),
+    ).orderBy("o_orderkey")
+
+
+# ------------------------------------- parquet_codec_roundtrip_audit (r14)
+
+@register(
+    "parquet_codec_roundtrip_audit",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS price_cents
+        FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT codec,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_cents) AS BIGINT) AS price_cents_sum,
+           CAST(SUM(l_orderkey * 31 + l_linenumber) AS BIGINT)
+               AS key_checksum
+    FROM src
+    CROSS JOIN (SELECT unnest(['snappy', 'zstd']) AS codec)
+    GROUP BY codec ORDER BY codec
+    """,
+)
+def parquet_codec_roundtrip_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSION-CODEC ROUNDTRIP AUDIT: the same projection written
+    as snappy AND zstd parquet, read back, and content-checksummed
+    per codec — the codec-migration gate (zstd typically halves
+    storage vs snappy at similar scan speed; before a 100 TB estate
+    flips its default, prove byte-for-byte content equality through
+    both write paths).  The graded frame is codec-keyed, so one row
+    per codec must hash identically to the source-derived oracle.
+
+    Determinism: checksums are integer sums over exact cents/key
+    arithmetic; codec choice cannot change content, which is exactly
+    the property under test.
+
+    Scale (100 TB): both writes shard per input partition; the audit
+    reads are plain parallel parquet scans with pushed-down column
+    pruning."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    outs = []
+    for codec in ["snappy", "zstd"]:
+        dest = _stage_dir(sf_dir, f"codec_audit_{codec}")
+        src.write.mode("overwrite").option("compression", codec).parquet(
+            dest
+        )
+        outs.append(
+            spark.read.parquet(dest).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("price_cents").cast("bigint").alias(
+                    "price_cents_sum"
+                ),
+                F.sum(
+                    F.col("l_orderkey") * 31 + F.col("l_linenumber")
+                )
+                .cast("bigint")
+                .alias("key_checksum"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    return outs[0].unionAll(outs[1]).orderBy("codec")

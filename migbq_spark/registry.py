@@ -123,11 +123,37 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: round" #5: the r4-graded ``set_except`` .. ``set_intersect_all``
 #: sorting-block tail plus the r5-graded streaming/windows span
 #: (``observe_progress_metrics`` .. ``stream_tws_liststate``, the
-#: oldest driver evidence once r14 grades).  Overflow rolls to r16
-#: staging.  Every previously-graded id is parity-guarded continuously
-#: since it was first graded.
+#: oldest driver evidence once r14 grades).  The r14 batches left the
+#: staging over 50, so the refresh tail rolls to the r16 refresh span
+#: to hold EXACTLY 50 (asserted in ``_load_all``); with 38 r14
+#: additions, the last 6 span ids —
+#: ``stream_stream_left_outer``/``stream_stateful_tws``/
+#: ``udtf_lateral_split``/``stream_tws_timers``/
+#: ``stream_tws_mapstate``/``stream_tws_liststate`` — form the head of
+#: the r16 refresh span (plus whatever the r15 VERDICT names).
+#: Every previously-graded id is parity-guarded continuously since it
+#: was first graded.
 R15_WINDOW: tuple[str, ...] = (
     # r14 additions (never driver-run) are inserted HERE as batches land.
+    # ops/control second wave (r14 b7)
+    "pk_uniqueness_audit",
+    "referential_integrity_audit",
+    "schema_drift_report",
+    "grouped_keyset_pagination",
+    "dup_row_full_hash_audit",
+    # sources/multimodal wave (r14 b6)
+    "csv_malformed_permissive_audit",
+    "jsonl_nested_roundtrip",
+    "parquet_codec_roundtrip_audit",
+    "mm_bytes_dedup_sha",
+    "mm_audio_chunk_plan",
+    # SQL-surface wave (r14 b5)
+    "split_part_extract",
+    "bit_agg_flags",
+    "posexplode_position_profile",
+    "str_pad_translate_funcs",
+    "try_cast_validation_summary",
+    "regexp_replace_backref",
     # corpus/text-quality wave (r14 b4)
     "length_bucket_batching_plan",
     "sentence_split_stats",
@@ -167,12 +193,6 @@ R15_WINDOW: tuple[str, ...] = (
     "stream_foreach_batch_sink",
     "stream_static_join",
     "stream_stream_join",
-    "stream_stream_left_outer",
-    "stream_stateful_tws",
-    "udtf_lateral_split",
-    "stream_tws_timers",
-    "stream_tws_mapstate",
-    "stream_tws_liststate",
 )
 
 
@@ -258,6 +278,10 @@ def _load_all() -> None:
     if len(DRIVER_WINDOW) != 50:
         raise RuntimeError(
             f"DRIVER_WINDOW must hold exactly 50 ids, got {len(DRIVER_WINDOW)}"
+        )
+    if len(R15_WINDOW) != 50:
+        raise RuntimeError(
+            f"R15_WINDOW must hold exactly 50 ids, got {len(R15_WINDOW)}"
         )
     _LOADED = True
 

