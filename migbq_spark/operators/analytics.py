@@ -4348,3 +4348,202 @@ def bipartite_type_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+# --------------------------------------------- haversine_nearest_hub (r14)
+
+@register(
+    "haversine_nearest_hub",
+    oracle="""
+    WITH hubs AS (
+        SELECT * FROM (VALUES
+            (0, 40.7, -74.0), (1, 51.5, -0.1), (2, 35.7, 139.7),
+            (3, -23.6, -46.6), (4, 28.6, 77.2)
+        ) AS h(hub_id, hlat, hlon)
+    ),
+    cust AS (
+        SELECT c_custkey,
+               -60.0 + (c_custkey % 120) AS lat,
+               -180.0 + ((c_custkey * 7) % 360) AS lon
+        FROM customer
+    ),
+    d AS (
+        SELECT c.c_custkey, h.hub_id,
+               CAST(FLOOR(2 * 6371000.0 * ASIN(SQRT(
+                   SIN(RADIANS(h.hlat - c.lat) / 2)
+                     * SIN(RADIANS(h.hlat - c.lat) / 2)
+                   + COS(RADIANS(c.lat)) * COS(RADIANS(h.hlat))
+                     * SIN(RADIANS(h.hlon - c.lon) / 2)
+                     * SIN(RADIANS(h.hlon - c.lon) / 2)))) AS BIGINT)
+                   AS dist_m
+        FROM cust c CROSS JOIN hubs h
+    ),
+    best AS (
+        SELECT c_custkey, hub_id, dist_m,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                   ORDER BY dist_m, hub_id) AS rk
+        FROM d
+    )
+    SELECT hub_id,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(dist_m) * 1.0 / COUNT(*) / 1000.0, 4) AS avg_km,
+           CAST(MAX(dist_m) AS BIGINT) AS max_m
+    FROM best WHERE rk = 1
+    GROUP BY hub_id ORDER BY hub_id
+    """,
+)
+def haversine_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOSPATIAL NEAREST-HUB ASSIGNMENT via the haversine great-circle
+    formula: customers (coordinates synthesized deterministically from
+    their keys — a real deployment reads lat/lon columns) assigned to
+    the nearest of 5 literal hub cities, with per-hub load and
+    distance profile — the logistics/serving-region primitive the
+    engine's SQL surface had not yet covered (the math-function wave:
+    RADIANS/SIN/COS/ASIN/SQRT composed into one tree).
+
+    Determinism: the haversine tree is written identically in both
+    engines and its result is floor-quantized to METERS before any
+    comparison or sum — libm sin/cos may differ by an ulp between
+    JVM and C++, which at earth scale is ~1e-6 m, far inside the
+    quantum; nearest-hub ties break on hub_id.
+
+    Scale (100 TB): the hub side is 5 literal rows (broadcast by
+    construction); the per-customer argmin is a ROW_NUMBER over a
+    5-row partition; per-hub aggregation is map-side."""
+    c = load(spark, sf_dir, "customer")
+    hubs = spark.createDataFrame(
+        [(0, 40.7, -74.0), (1, 51.5, -0.1), (2, 35.7, 139.7),
+         (3, -23.6, -46.6), (4, 28.6, 77.2)],
+        "hub_id int, hlat double, hlon double",
+    )
+    cust = c.select(
+        "c_custkey",
+        (F.lit(-60.0) + (F.col("c_custkey") % 120)).alias("lat"),
+        (F.lit(-180.0) + ((F.col("c_custkey") * 7) % 360)).alias("lon"),
+    )
+    d = cust.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey",
+        "hub_id",
+        F.floor(
+            F.lit(2.0)
+            * F.lit(6371000.0)
+            * F.asin(
+                F.sqrt(
+                    F.sin(F.radians(F.col("hlat") - F.col("lat")) / 2)
+                    * F.sin(F.radians(F.col("hlat") - F.col("lat")) / 2)
+                    + F.cos(F.radians(F.col("lat")))
+                    * F.cos(F.radians(F.col("hlat")))
+                    * F.sin(F.radians(F.col("hlon") - F.col("lon")) / 2)
+                    * F.sin(F.radians(F.col("hlon") - F.col("lon")) / 2)
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("dist_m"),
+    )
+    wb = Window.partitionBy("c_custkey").orderBy("dist_m", "hub_id")
+    best = d.withColumn("rk", F.row_number().over(wb)).where(
+        F.col("rk") == 1
+    )
+    return (
+        best.groupBy("hub_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("dist_m")
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / F.lit(1000.0),
+                4,
+            ).alias("avg_km"),
+            F.max("dist_m").cast("bigint").alias("max_m"),
+        )
+        .orderBy("hub_id")
+    )
+
+
+# -------------------------------------------- user_behavior_entropy (r14)
+
+@register(
+    "user_behavior_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+        SELECT user_id, c,
+               CAST(FLOOR(-1e12
+                   * (c * 1.0 / SUM(c) OVER (PARTITION BY user_id))
+                   * LOG2(c * 1.0 / SUM(c) OVER (PARTITION BY user_id)))
+                   AS BIGINT) AS tq
+        FROM c
+    ),
+    n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(tq) AS BIGINT) AS h_q
+          FROM t GROUP BY user_id),
+    b AS (
+        SELECT user_id, n,
+               CAST(FLOOR(h_q / 5e11) AS BIGINT) AS bin
+        FROM n
+    )
+    SELECT bin,
+           ROUND(bin * 0.5, 1) AS entropy_bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           ROUND(SUM(n) * 1.0 / COUNT(*), 4) AS avg_events_per_user
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL-DIVERSITY SEGMENTATION: Shannon entropy of each
+    user's event-type distribution, histogrammed in 0.5-bit bins —
+    bin 0 is single-behavior users (bots, scripts), high bins are
+    diverse engaged users; the one-number behavioral-breadth segment
+    marketing and abuse teams both cut by (`bit_agg_flags` gives the
+    SET of behaviors; entropy weighs their balance).
+
+    Determinism: each −p·log2 p term floor-quantizes to 1e-12 units
+    INSIDE the per-user window-sum (≤ |types| terms, exact int);
+    binning is integer floor-division of the quantized entropy
+    (5e11 = 0.5 bits); all histogram outputs integer.
+
+    Scale (100 TB): one (user, type) collapse (map-side combinable),
+    per-user totals via a window over ≤ |types| rows, then a
+    ≤ ~7-bin histogram collapse."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("c") * F.lit(1.0) / F.sum("c").over(wu)
+    term_q = F.floor(F.lit(-1e12) * p * F.log2(p)).cast("bigint")
+    n = (
+        c.select("user_id", "c", term_q.alias("tq"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum("tq").cast("bigint").alias("h_q"),
+        )
+    )
+    b = n.select(
+        "n", F.floor(F.col("h_q") / F.lit(5e11)).cast("bigint").alias("bin")
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.round(
+                F.sum("n") * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("avg_events_per_user"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * 0.5, 1).alias("entropy_bin_lo"),
+            "n_users",
+            "total_events",
+            "avg_events_per_user",
+        )
+        .orderBy("bin")
+    )

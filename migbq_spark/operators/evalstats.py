@@ -3855,3 +3855,223 @@ def psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     ).orderBy("bkt")
+
+
+# -------------------------------------------------- ndcg_at_k_eval (r14)
+
+@register(
+    "ndcg_at_k_eval",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id)
+                   AS pos
+        FROM events
+    ),
+    dcg AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN pos <= 10 THEN
+                   CAST(FLOOR(1e12 * rel / LOG2(pos + 1)) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS dcg_q,
+               CAST(SUM(rel) AS BIGINT) AS n_rel
+        FROM ranked GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, dcg_q, n_rel,
+               CAST(list_sum(list_transform(
+                   generate_series(1, CAST(LEAST(n_rel, 10) AS INT)),
+                   i -> CAST(FLOOR(1e12 / LOG2(i + 1)) AS BIGINT)))
+                   AS BIGINT) AS idcg_q
+        FROM dcg WHERE n_rel > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_scored,
+           ROUND(SUM(CAST(FLOOR(1e9 * dcg_q / idcg_q) AS BIGINT))
+                 / (1e9 * COUNT(*)), 6) AS ndcg_at_10,
+           CAST(SUM(CASE WHEN dcg_q = idcg_q THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_perfect
+    FROM scored
+    """,
+)
+def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 RANKING EVALUATION: treating each user's value-ordered
+    event list as a retrieval ranking and 'purchase' as the relevant
+    class, score DCG@10 / ideal-DCG — THE ranking metric
+    recommendation and search evals report first, here as the
+    engine's eval harness (swap the relevance CASE and the ordering
+    column for a real model's scores; the metric tail is unchanged).
+    Per-user lists order by (value DESC, event_id) — a total order.
+
+    Determinism: every DCG term is floor-quantized to 1e-12 units
+    BEFORE any sum (per-user sums are then exact integers — the
+    cross-row double-sum rule); IDCG is the same quantized series
+    summed over min(n_rel, 10) literal positions; the per-user ratio
+    is quantized to 1e-9 before the cross-user mean, so the corpus
+    aggregate is ONE exact integer sum + one render division.
+
+    Scale (100 TB): ranking windows partition by user (parallel);
+    everything after is map-side integer aggregation to a single
+    row."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("CAST(value AS DECIMAL(18,2))").desc(), F.col("event_id")
+    )
+    ranked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number().over(w).alias("pos"),
+    )
+    dcg = ranked.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("pos") <= 10,
+                F.floor(
+                    F.lit(1e12) * F.col("rel") / F.log2(F.col("pos") + 1)
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("dcg_q"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+    )
+    scored = dcg.where(F.col("n_rel") > 0).withColumn(
+        "idcg_q",
+        F.expr(
+            "CAST(aggregate(sequence(1, CAST(LEAST(n_rel, 10) AS INT)),"
+            " CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + CAST(FLOOR(1e12 / LOG2(i + 1)) AS BIGINT))"
+            " AS BIGINT)"
+        ),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_scored"),
+        F.round(
+            F.sum(
+                F.floor(
+                    F.lit(1e9) * F.col("dcg_q") / F.col("idcg_q")
+                ).cast("bigint")
+            )
+            / (F.lit(1e9) * F.count(F.lit(1))),
+            6,
+        ).alias("ndcg_at_10"),
+        F.sum(
+            F.when(F.col("dcg_q") == F.col("idcg_q"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_perfect"),
+    )
+
+
+# --------------------------------------------- ranking_map_mrr_eval (r14)
+
+@register(
+    "ranking_map_mrr_eval",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id)
+                   AS pos
+        FROM events
+    ),
+    hits AS (
+        SELECT user_id, pos,
+               SUM(rel) OVER (PARTITION BY user_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS h,
+               rel
+        FROM ranked
+    ),
+    peruser AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN rel = 1 AND pos <= 10 THEN
+                   CAST(FLOOR(1e12 * h / pos) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS ap_num_q,
+               CAST(SUM(rel) AS BIGINT) AS n_rel,
+               CAST(MIN(CASE WHEN rel = 1 THEN pos END) AS BIGINT)
+                   AS first_hit
+        FROM hits GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               ap_num_q / LEAST(n_rel, 10) AS ap,
+               1000000000000 // first_hit AS rr_q
+        FROM peruser WHERE n_rel > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_scored,
+           ROUND(SUM(CAST(FLOOR(ap / 1e3) AS BIGINT)) / (1e9 * COUNT(*)),
+                 6) AS map_at_10,
+           ROUND(SUM(rr_q) / (1e12 * COUNT(*)), 6) AS mrr
+    FROM scored
+    """,
+)
+def ranking_map_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + MRR on the same per-user ranking harness as
+    `ndcg_at_k_eval` (value-ordered events, 'purchase' relevant):
+    average precision rewards putting ALL relevant items early, MRR
+    only the first — together with NDCG they are the ranking-eval
+    triple every retrieval system reports.
+
+    Determinism: precision-at-hit terms floor-quantize to 1e-12
+    units before the per-user sum (exact ints); AP divides by
+    min(n_rel, 10) then re-quantizes to 1e-9 for the cross-user mean;
+    reciprocal ranks use EXACT integer division 1e12 DIV pos (no
+    float at all).  Corpus aggregates are exact integer sums + one
+    render division each.
+
+    Scale (100 TB): one user-partitioned ranking window + a running
+    hit count over it; map-side integer aggregation to one row."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("CAST(value AS DECIMAL(18,2))").desc(), F.col("event_id")
+    )
+    ranked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "rel"
+        ),
+        F.row_number().over(w).alias("pos"),
+    )
+    wh = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = ranked.withColumn("h", F.sum("rel").over(wh))
+    peruser = hits.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("rel") == 1) & (F.col("pos") <= 10),
+                F.floor(
+                    F.lit(1e12) * F.col("h") / F.col("pos")
+                ).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("ap_num_q"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("pos")))
+        .cast("bigint")
+        .alias("first_hit"),
+    )
+    scored = peruser.where(F.col("n_rel") > 0).select(
+        (F.col("ap_num_q") / F.least(F.col("n_rel"), F.lit(10))).alias(
+            "ap"
+        ),
+        F.expr("1000000000000 DIV first_hit").alias("rr_q"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_scored"),
+        F.round(
+            F.sum(F.floor(F.col("ap") / F.lit(1e3)).cast("bigint"))
+            / (F.lit(1e9) * F.count(F.lit(1))),
+            6,
+        ).alias("map_at_10"),
+        F.round(
+            F.sum("rr_q") / (F.lit(1e12) * F.count(F.lit(1))), 6
+        ).alias("mrr"),
+    )

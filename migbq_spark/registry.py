@@ -125,8 +125,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: (``observe_progress_metrics`` .. ``stream_tws_liststate``, the
 #: oldest driver evidence once r14 grades).  The r14 batches left the
 #: staging over 50, so the refresh tail rolls to the r16 refresh span
-#: to hold EXACTLY 50 (asserted in ``_load_all``); with 38 r14
-#: additions, the last 6 span ids —
+#: to hold EXACTLY 50 (asserted in ``_load_all``); with 42 r14
+#: additions, the last 10 span ids —
+#: ``stream_stateful_rocksdb``/``stream_foreach_batch_sink``/
+#: ``stream_static_join``/``stream_stream_join``/
 #: ``stream_stream_left_outer``/``stream_stateful_tws``/
 #: ``udtf_lateral_split``/``stream_tws_timers``/
 #: ``stream_tws_mapstate``/``stream_tws_liststate`` — form the head of
@@ -135,6 +137,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 #: was first graded.
 R15_WINDOW: tuple[str, ...] = (
     # r14 additions (never driver-run) are inserted HERE as batches land.
+    # ranking-eval/geo/behavior wave (r14 b8)
+    "ndcg_at_k_eval",
+    "ranking_map_mrr_eval",
+    "haversine_nearest_hub",
+    "user_behavior_entropy",
     # ops/control second wave (r14 b7)
     "pk_uniqueness_audit",
     "referential_integrity_audit",
@@ -189,10 +196,6 @@ R15_WINDOW: tuple[str, ...] = (
     "recursive_pk_ranges",
     "win_ignore_nulls",
     "stream_stateful_progress",
-    "stream_stateful_rocksdb",
-    "stream_foreach_batch_sink",
-    "stream_static_join",
-    "stream_stream_join",
 )
 
 
