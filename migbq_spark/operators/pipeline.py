@@ -361,7 +361,16 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-tuples (no second hash — portable), and the exact verify runs on
     candidates only.  md5 costs ~3× xxhash64 per token; at 100 TB prefer
     the xxhash64 twin when cross-engine determinism isn't required."""
-    bands = _portable_band_df(spark, sf_dir)
+    # Materialize the signature table ONCE (r14, the r9
+    # `minhash_jaccard_estimate` lesson applied to the production dedup
+    # op itself): the bucket self-join re-derived the ENTIRE signature
+    # lineage — corpus scan, vocab distinct, 16-hash vocab join, 16-min
+    # groupBy — on BOTH sides (12 parquet scans in the before-plan; 6
+    # after).  |docs| × 16 int64 is the signature store a real pipeline
+    # persists anyway (~70 MB at sf10).
+    bands = _portable_band_df(
+        spark, sf_dir, mins=_portable_minhash_df(spark, sf_dir).localCheckpoint()
+    )
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -951,6 +960,31 @@ def _parquet_row_count(sf_dir: str, table: str) -> int:
 _SEMANTIC_TAU_SCALED = 300_000_000_000
 
 
+def _dot64_scaled_fn(a, b):
+    """Exact int64 dot of two fixed-point vectors, one Arrow batch at a
+    time (np.einsum over the stacked batch — vectorized C, no per-row
+    Python).  Module-level so workers import it by reference."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.Series(
+        np.einsum("ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy()))
+    )
+
+
+_DOT64_UDF = None
+
+
+def _dot64_scaled(a, b) -> F.Column:
+    """Lazily-wrapped pandas UDF (wrapping parses the DDL return type,
+    which needs an active session — module import must stay
+    session-free)."""
+    global _DOT64_UDF
+    if _DOT64_UDF is None:
+        _DOT64_UDF = F.pandas_udf(_dot64_scaled_fn, "bigint")
+    return _DOT64_UDF(a, b)
+
+
 @register(
     "dedup_semantic_lsh_portable",
     oracle="""
@@ -1095,15 +1129,20 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     qb = sv.select(F.col("vec_id").alias("b_id"), F.col("se").alias("b_se"))
     if _parquet_row_count(sf_dir, "embeddings") * 520 <= (64 << 20):
         qa, qb = F.broadcast(qa), F.broadcast(qb)
-    sim = F.aggregate(
-        F.zip_with("a_se", "b_se", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    # Verify dot is an Arrow-vectorized batch kernel (r14, guide §4.2):
+    # the exact int64 dot over every candidate pair is the op's hot
+    # loop (~|pairs|·64 multiply-adds), and the interpreted JVM
+    # higher-order fold paid per-element lambda dispatch on it.
+    # Alternatives measured at sf0.1 (interleaved min-of-5, noop):
+    # HOF fold 2.24 s, 64-term codegen'd element_at sum 8.67 s (the
+    # expression duplicates into the join condition AND blows past the
+    # codegen method limit), aggregate-over-sequence 3.93 s, Arrow +
+    # np.einsum 1.66 s — identical rows on all four (hash-green at
+    # sf0.001/0.01).  Integer dot ≤ 64·10¹² per pair: no overflow.
     return (
         pairs.join(qa, "a_id")
         .join(qb, "b_id")
-        .select("a_id", "b_id", sim.alias("sim_scaled"))
+        .select("a_id", "b_id", _dot64_scaled("a_se", "b_se").alias("sim_scaled"))
         .filter(F.col("sim_scaled") >= _SEMANTIC_TAU_SCALED)
     )
 
@@ -4408,9 +4447,17 @@ def _exact_jaccard_pairs_df(
     size_band = (
         F.size("a_toks") * F.lit(10) >= F.size("b_toks") * F.lit(8)
     ) & (F.size("b_toks") * F.lit(10) >= F.size("a_toks") * F.lit(8))
+    # Explicit broadcast (r14, guide §3.1): both sides are ≤ |sources|·cap
+    # rows BY CONSTRUCTION (the code-enforced audit budget), but the
+    # sample arrives localCheckpoint'ed and checkpointed lineage reports
+    # no stats — the planner falls back to SortMergeJoin (2 extra
+    # exchanges + sorts) for a join whose build side can never outgrow an
+    # executor.  Same rule as `embedding_pca_power_iter`'s checkpointed
+    # matvec inputs.  Measured r14 (noop, min-of-3, sf0.1 audit family):
+    # SMJ → BHJ across the four audit ops, see OPTIMIZATION_r14.md.
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("source") == F.col("b_source"))
             & (F.col("a_id") < F.col("b_id"))
             & size_band,
@@ -4516,10 +4563,15 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, docs=sample
         ).localCheckpoint(),
     )
+    # Explicit broadcasts (r14, guide §3.1): every frame here is bounded
+    # by the code-enforced audit budget (bands ≤ sample·bands rows, truth
+    # ≤ |sources|·cap² pairs) but derives from checkpointed lineage with
+    # no stats; without the hints the planner SMJ'd both joins (measured:
+    # 10 SortMergeJoins / 20 exchanges in the before-plan).
     cand = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            F.broadcast(bands.alias("b")),
             (F.col("a.source") == F.col("b.source"))
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
@@ -4531,7 +4583,7 @@ def minhash_band_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     truth = _exact_jaccard_pairs_df(spark, sf_dir, docs=sample)
-    hits = cand.join(truth, ["a_id", "b_id"]).agg(
+    hits = cand.join(F.broadcast(truth), ["a_id", "b_id"]).agg(
         F.count(F.lit(1)).alias("n_hit")
     )
     return (
@@ -5046,10 +5098,14 @@ def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mins.select(
         "doc_id", "source", F.explode(F.array(*structs)).alias("bb")
     ).select("doc_id", "source", "bb.shape", "bb.band", "bb.bkey")
+    # Explicit broadcasts (r14, guide §3.1): sample-bounded,
+    # checkpoint-derived sides report no stats → the planner SMJ'd both
+    # joins (8 SortMergeJoins / 16 exchanges in the before-plan) for
+    # build sides the audit budget caps at any corpus size.
     cand = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            F.broadcast(bands.alias("b")),
             (F.col("a.shape") == F.col("b.shape"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.band") == F.col("b.band"))
@@ -5066,7 +5122,9 @@ def minhash_band_shape_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _exact_jaccard_pairs_df(spark, sf_dir, docs=sample)
     per_shape = (
         cand.join(
-            truth.withColumn("is_true", F.lit(1)), ["a_id", "b_id"], "left"
+            F.broadcast(truth.withColumn("is_true", F.lit(1))),
+            ["a_id", "b_id"],
+            "left",
         )
         .groupBy("shape")
         .agg(
@@ -5128,9 +5186,13 @@ def _containment_pairs_df(
     nx, ny = F.size("x_toks"), F.size("y_toks")
     shared = F.size(F.array_intersect("x_toks", "y_toks"))
     x_is_a = (nx < ny) | ((nx == ny) & (F.col("x") < F.col("y")))
+    # Explicit broadcast (r14, guide §3.1): sample-bounded build side
+    # (≤ |sources|·cap rows by the code-enforced audit budget) behind a
+    # localCheckpoint that reports no stats — without the hint the
+    # planner SMJs a join that is broadcastable at ANY corpus size.
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("source") == F.col("y_source")) & (F.col("x") < F.col("y")),
         )
         .select(
@@ -5653,9 +5715,12 @@ def minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n_a") + F.col("n_b"))
         / ((F.lit(16) + F.col("n_match")) * F.col("n_a"))
     )
+    # Explicit broadcasts (r14, guide §3.1): the signature sides are
+    # sample-bounded (≤ |sources|·cap rows × 16 int64) behind a
+    # localCheckpoint with no stats — SMJ'd without the hint.
     return (
-        o.join(ma, "a_id")
-        .join(mb, "b_id")
+        o.join(F.broadcast(ma), "a_id")
+        .join(F.broadcast(mb), "b_id")
         .withColumn("n_match", n_match)
         .select(
             "a_id",
@@ -5795,9 +5860,11 @@ def minhash_bbit_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_bbit = (F.col("m_bbit").cast("double") / F.lit(16) - F.lit(0.25)) / F.lit(
         0.75
     )
+    # Explicit broadcasts (r14, guide §3.1): same sample-bounded
+    # checkpointed signature sides as `minhash_containment_estimate`.
     return (
-        o.join(ma, "a_id")
-        .join(mb, "b_id")
+        o.join(F.broadcast(ma), "a_id")
+        .join(F.broadcast(mb), "b_id")
         .withColumn("m_full", m_full)
         .withColumn("m_bbit", m_bbit)
         .select(

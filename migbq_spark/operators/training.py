@@ -1708,10 +1708,22 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # Materialize the LM ONCE (r14, guide §2.4/§5): tr is referenced by
+    # three plan branches (the (w1,w2) scoring join, the unigram rollup,
+    # and the vocab-size scalar), and each branch re-derived the full
+    # corpus scan + bigram explode + shuffle — the before-plan carried 4
+    # document scans for ONE logical LM build (8 inside the funnel/
+    # matrix composites that embed this op).  The bigram table is
+    # Heaps-bounded (vocab², not corpus), so one localCheckpoint stores
+    # it and every branch reads the materialized rows; the scoring
+    # joins then broadcast explicitly — the same "LM fits an executor"
+    # contract the docstring already states (checkpointed lineage
+    # reports no stats, so the planner can't make that call itself).
     tr = (
         pos.filter(F.pmod("doc_id", F.lit(10)) < 8)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
     )
     un = tr.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = un.agg(F.count(F.lit(1)).alias("vsz"))
@@ -1721,8 +1733,8 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.coalesce("c1", F.lit(0)) + F.col("vsz"))
     )
     scored = (
-        pos.join(tr, ["w1", "w2"], "left")
-        .join(un, "w1", "left")
+        pos.join(F.broadcast(tr), ["w1", "w2"], "left")
+        .join(F.broadcast(un), "w1", "left")
         .crossJoin(F.broadcast(v))
         .select("doc_id", bits.alias("bits"))
     )
