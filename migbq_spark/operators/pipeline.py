@@ -451,6 +451,13 @@ def _simhash_pairs(toks: DataFrame, h: F.Column) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("simhash"),
     )
+    # Materialize the signature table once before the self-join: without
+    # this the whole build lineage (scan → token explode/distinct → hash
+    # → 32-sum aggregate) re-executes on BOTH join sides (the r9
+    # minhash_jaccard_estimate lesson, applied to dedup_minhash_portable
+    # in r14 wave 1).  |docs| rows × 3 fixed-width columns — the compact
+    # form a real pipeline stores anyway.
+    sig = sig.localCheckpoint(eager=True)
     a, b_ = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -1081,6 +1088,12 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = e.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", scaled.alias("se")
     )
+    # Materialize the quantized vector table once: `sv` feeds the
+    # signature build and BOTH verify fetch-back sides, so without this
+    # the scan + fixed-point transform re-runs 3x (and the signature
+    # lineage twice more through the band self-join below).  ~520 B per
+    # vector -- the compact form a real pipeline stores anyway.
+    sv = sv.localCheckpoint(eager=True)
 
     def proj(p: int) -> F.Column:
         signs = F.array(*[F.lit(_rp_sign(p, j)) for j in range(64)])
@@ -1113,6 +1126,10 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "bb.b", "bb.bkey")
+    # Materialize the band table before the self-join: the 12-plane
+    # signature projection (the op's heaviest per-row compute) would
+    # otherwise execute on BOTH join sides.  |vecs|×3 narrow int rows.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.select(F.col("vec_id").alias("a_id"), "b", "bkey")
     c = bands.select(F.col("vec_id").alias("b_id"), "b", "bkey")
     pairs = (

@@ -181,6 +181,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # Materialize the gram table once: it feeds four branches (both
+    # self-join sides and the two size-join lineages) and is bounded by
+    # the doc_id < _NGRAM_MAX_DOC sample cap, so four scan+explode
+    # rederivations collapse to one tiny table.
+    grams = grams.localCheckpoint(eager=True)
     n = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     shared = (
@@ -1471,6 +1476,12 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
     ).filter(F.size("t") >= 1)
+    # Tokenize the corpus ONCE: `base` feeds three branches (vocab
+    # distinct, per-doc word counts, the narrow source/n_chars rejoin)
+    # and without materialization each re-runs the scan + split/filter
+    # lineage (3 corpus scans → 1; a real pipeline stores the tokenized
+    # corpus anyway).
+    base = base.localCheckpoint(eager=True)
     sym_expr = "split(concat(word, '_'), '')"
     for left, right in merges:
         sym_expr = (
@@ -1626,6 +1637,9 @@ def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
     ).filter(F.size("t") >= 1)
+    # Same tokenize-once materialization as the fold twin (3 corpus
+    # scans → 1 across the vocab/word-count/rejoin branches).
+    base = base.localCheckpoint(eager=True)
     vocab_toks = (
         base.select(F.explode("t").alias("word"))
         .distinct()
@@ -5463,6 +5477,11 @@ def weighted_jaccard_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # Materialize the sample-bounded gram table once (same move as
+    # `ngram_jaccard`): it feeds the df aggregate and the weighted
+    # table's gram side, and the weighted table itself fans into three
+    # consumers below.
+    grams = grams.localCheckpoint(eager=True)
     df = grams.groupBy("gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -5483,6 +5502,10 @@ def weighted_jaccard_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idf_q"),
         )
     )
+    # Materialize the weighted gram table: `w` embeds the gram⋈df join
+    # and feeds the per-doc totals AND both self-join sides — without
+    # the cut that join lineage executes three times.
+    w = w.localCheckpoint(eager=True)
     tot = w.groupBy("doc_id").agg(
         F.sum("idf_q").cast("bigint").alias("wsum")
     )
