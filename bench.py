@@ -158,12 +158,17 @@ def _calibration_probe(spark) -> float:
 CAL_SUITE_REF_SEC = 1.482
 
 
-def _calibration_probe_suite(spark) -> float:
-    """Min-of-3 runtime of a FROZEN suite-shaped mini-pipeline: scan a
-    fixed self-generated parquet (8M rows, int/key/string columns) →
-    Arrow-batched pandas_udf string stage → one shuffle agg.  The
-    parquet build happens OUTSIDE the timed region.  Must NEVER
-    change, or box_factor_suite loses cross-round meaning."""
+def _calibration_probe_suite(spark) -> tuple[float, float]:
+    """Min-of-3 and run-1 runtime of a FROZEN suite-shaped
+    mini-pipeline: scan a fixed self-generated parquet (8M rows,
+    int/key/string columns) → Arrow-batched pandas_udf string stage →
+    one shuffle agg.  The parquet build happens OUTSIDE the timed
+    region.  The probe BODY must NEVER change, or box_factor_suite
+    loses cross-round meaning; returning run-1 alongside the min (r14
+    opt round) changes only reporting — run-1 minus min is the
+    Python-worker cold-start term the min-of-3 discards, the weather
+    that made per-query A/Bs on the Python-heavy ops untrustable
+    across sessions (the semantic op's 5→50 s first-run swings)."""
     import shutil
     import tempfile
 
@@ -215,7 +220,7 @@ def _calibration_probe_suite(spark) -> float:
             runs.append(time.perf_counter() - t0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return min(runs)
+    return min(runs), runs[0]
 
 
 def main() -> None:
@@ -231,7 +236,7 @@ def main() -> None:
 
     cal_sec = _calibration_probe(spark)
     box_factor = round(cal_sec / CAL_REF_SEC, 3)
-    cal_suite_sec = _calibration_probe_suite(spark)
+    cal_suite_sec, cal_suite_run1_sec = _calibration_probe_suite(spark)
     box_factor_suite = round(cal_suite_sec / CAL_SUITE_REF_SEC, 3)
 
     # Three runs per query, min reported (r2 VERDICT item 8: n=2 left
@@ -270,6 +275,13 @@ def main() -> None:
         "box_factor": box_factor,
         "calibration_suite_sec": round(cal_suite_sec, 4),
         "box_factor_suite": box_factor_suite,
+        # run-1 minus min of the FROZEN suite probe = the Python-worker
+        # cold-start term on THIS box at bench time (r14 opt round).
+        # Large values mean first-run numbers for Python-heavy queries
+        # are weather, not regressions.
+        "py_worker_coldstart_sec": round(
+            max(0.0, cal_suite_run1_sec - cal_suite_sec), 4
+        ),
         # Spark version next to the calibration (r12 ADVICE): CAL_REF_SEC
         # was anchored on this version — if a future Spark upgrade shifts
         # the FROZEN probe's runtime via codegen changes rather than box

@@ -33,6 +33,8 @@ end-to-end discoverable without any quadratic pair listing.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -49,6 +51,10 @@ _FUNNEL_ONE_SCAN = os.environ.get("MIGBQ_FUNNEL_ONE_SCAN", "1") == "1"
 #: Previous invocation's persisted token base (unpersisted on the next
 #: call — the HITS §12 rule: never leak DISK_ONLY caches across runs).
 _FUNNEL_CACHE: DataFrame | None = None
+
+#: Previous invocation's parquet token-base snapshot dir (deleted on the
+#: next call — same lifecycle as the DISK_ONLY cache above).
+_FUNNEL_STAGE_DIR: str | None = None
 
 # ---------------------------------------------------------------- tokens
 
@@ -2483,15 +2489,39 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unpersist of the old frame would evict the new entry too
         # (measured r14: the second invocation ran with 3 file scans and
         # zero InMemoryTableScans — the plan contract now pins this)
-        global _FUNNEL_CACHE
+        global _FUNNEL_CACHE, _FUNNEL_STAGE_DIR
         if _FUNNEL_CACHE is not None:
             _FUNNEL_CACHE.unpersist()
-        arr = d.select(
-            "doc_id",
-            "source",
-            F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
-        ).persist(StorageLevel.DISK_ONLY)
-        _FUNNEL_CACHE = arr
+            _FUNNEL_CACHE = None
+        if _FUNNEL_STAGE_DIR is not None:
+            shutil.rmtree(_FUNNEL_STAGE_DIR, ignore_errors=True)
+            _FUNNEL_STAGE_DIR = None
+        if os.environ.get("MIGBQ_FUNNEL_STAGE", "parquet") == "parquet":
+            # COLUMNAR token-base staging (r14 opt round, guide §6): the
+            # DISK_ONLY cache serialized fact-scale rows through the
+            # generic block serializer; a parquet snapshot compresses the
+            # token arrays columnar and re-reads them with a vectorized
+            # scan.  sf10 A/B (min-of-2 x 2 interleaved rounds, e2e
+            # build+noop): run-1 78.4 -> 70.8 s (-10%), steady state
+            # flat (68-69 s both arms).  The snapshot lives in a fresh
+            # per-invocation temp dir (deleted on the NEXT invocation,
+            # the same lifecycle as the unpersist above) so nothing
+            # persists across bench/oracle runs.
+            dest = tempfile.mkdtemp(prefix="migbq_funnel_tok_")
+            _FUNNEL_STAGE_DIR = dest
+            d.select(
+                "doc_id",
+                "source",
+                F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
+            ).write.mode("overwrite").parquet(dest + "/t")
+            arr = spark.read.parquet(dest + "/t")
+        else:
+            arr = d.select(
+                "doc_id",
+                "source",
+                F.filter(F.split("text", " "), lambda t: t != "").alias("t"),
+            ).persist(StorageLevel.DISK_ONLY)
+            _FUNNEL_CACHE = arr
         comps = _cross_source_cc(
             _portable_band_df(
                 spark,
@@ -4449,6 +4479,16 @@ def _exact_jaccard_pairs_df(
             ).alias("toks"),
         )
     )
+    # Materialize the sampled token sets once (r14 opt round, guide
+    # §2.4): `toksets` embeds a FULL documents text scan (the sample
+    # filter is a broadcast join, it cannot prune the parquet scan) and
+    # every consumer branch re-derived it — the shape-sweep plan read
+    # the corpus 4x in its timed region.  ≤ |sources|·cap rows by the
+    # audit budget, so the checkpoint is tiny; corpus scans per op drop
+    # 4→1.  Interleaved sf1 A/B: e2e equal-or-better on all five audit
+    # ops (fp_audit 3.82→3.75 s, superset 1.34→1.24 s), and the
+    # scan-count term is the one that grows with corpus size.
+    toksets = toksets.localCheckpoint(eager=True)
     a = toksets.select(
         F.col("doc_id").alias("a_id"),
         "source",
@@ -5192,6 +5232,10 @@ def _containment_pairs_df(
             ).alias("toks"),
         )
     )
+    # Same materialize-once as `_exact_jaccard_pairs_df` (r14 opt
+    # round): the full-corpus text scan behind the broadcast sample
+    # filter re-derived per consumer branch; ≤ |sources|·cap rows.
+    toksets = toksets.localCheckpoint(eager=True)
     a = toksets.select(
         F.col("doc_id").alias("x"), "source", F.col("toks").alias("x_toks")
     )

@@ -3458,6 +3458,12 @@ def bm25_top_terms_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "source", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # Materialize tf once: it feeds THREE consumers (dl, df, scored) and
+    # without the cut the corpus scan + explode + (doc,token) aggregate
+    # re-derive for each (r14 wave 3; interleaved A/B e2e min-of-5:
+    # sf0.1 1.38->1.18 s, sf1 10.03->7.13 s).  |distinct(doc,token)|
+    # rows — the postings table a real engine stores anyway.
+    tf = tf.localCheckpoint(eager=True)
     # doc lengths + corpus stats derive from tf, not a second corpus pass
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint()
     stats = dl.agg(

@@ -1296,14 +1296,15 @@ def test_percentile_one_pass_reuses_freq_exchange(spark, sf_dir):
     assert "Join" not in plan  # totals come from an unbounded window
 
 
-def test_funnel_one_scan_consumes_cached_token_base(spark, sf_dir):
-    """r14 funnel contract: all three stage signals read the persisted
-    token base (InMemoryTableScan appears for multiple consumers), not
-    three fresh parquet lineages."""
+def test_funnel_one_scan_consumes_staged_token_base(spark, sf_dir):
+    """r14 funnel contract (opt round: parquet snapshot staging): every
+    stage signal reads the per-invocation columnar token-base snapshot
+    — the documents parquet never appears in the query plan (the ONE
+    corpus scan happens at snapshot-write time, inside the query fn)."""
     df = Q["corpus_curation_funnel"](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()  # materialize cache
-    plan = _plan(Q["corpus_curation_funnel"](spark, sf_dir))
-    assert plan.count("InMemoryTableScan") >= 2
+    plan = _plan(df)
+    assert plan.count("migbq_funnel_tok") >= 2
+    assert "documents" not in plan
 
 
 def test_finance_indicators_stay_jvm_day_collapsed(spark, sf_dir):
