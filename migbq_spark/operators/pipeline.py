@@ -1538,8 +1538,24 @@ def _cc_twostar_components(pairs: DataFrame) -> DataFrame:
     list ``(u, v)`` to the fixpoint and return ``(doc_id, component_id)``
     with component_id = min node id in the component.  O(log n) rounds;
     per-round lineage cut with localCheckpoint."""
+    def _edge_stats(df: DataFrame) -> tuple[int, object]:
+        """(count, xxhash64-sum) of the canonical edge set in ONE tiny
+        agg job — a NECESSARY condition screen for set equality (r14
+        opt round): differing stats PROVE the round changed the edges,
+        so the expensive exceptAll proof runs only on the candidate
+        fixpoint round (count+hash match), never per round.  The sum
+        is decimal(38,0) so it is exact at any edge count (no ANSI
+        overflow; |sum| ≤ n·2⁶³ clears 38 digits through ~10¹⁸ edges).
+        Equality of the stats is never treated as equality of the sets
+        — exceptAll stays the proof — so the fixpoint remains exact."""
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return r["n"], r["h"]
+
     E = _cc_canon(pairs).localCheckpoint()
-    n = E.count()
+    n, h = _edge_stats(E)
     # Size the loop's shuffle partitions from the OBSERVED edge count
     # (~100k edges per task, floor 8): each round is ~5 tiny shuffles,
     # and scheduling 32 near-empty tasks per stage dominated the round
@@ -1560,10 +1576,13 @@ def _cc_twostar_components(pairs: DataFrame) -> DataFrame:
             # exact fixpoint test at half the cost of a symmetric diff:
             # exceptAll(E2, E) empty means every E2 row (with
             # multiplicity) occurs in E; with equal counts that IS
-            # multiset equality
-            n2 = E2.count()
-            changed = (n2 != n) or E2.exceptAll(E).count() > 0
-            E, n = E2, n2
+            # multiset equality (_cc_canon output is distinct, so set
+            # equality).  The stats screen above means the join runs
+            # only when count+hash already match — one agg job per
+            # round instead of count + exceptAll.
+            n2, h2 = _edge_stats(E2)
+            changed = (n2 != n) or (h2 != h) or E2.exceptAll(E).count() > 0
+            E, n, h = E2, n2, h2
             if not changed:
                 break
     finally:

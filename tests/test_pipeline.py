@@ -556,6 +556,24 @@ def test_keep_cluster_canonical_invariants(spark, sf_dir):
             assert (r.kept_doc_id, r.component_id) in comps
 
 
+def test_cc_twostar_screened_fixpoint_chain(spark):
+    """r14 opt round: the fixpoint loop's cheap (count, hash-sum)
+    screen must not change the result — a 40-node chain forces several
+    contraction rounds (screen says 'changed', exceptAll skipped)
+    before the exceptAll-proved final round, and every node must still
+    root at the chain minimum."""
+    from migbq_spark.operators.pipeline import _cc_twostar_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "u: long, v: long"
+    )
+    out = {
+        (r.doc_id, r.component_id)
+        for r in _cc_twostar_components(edges).collect()
+    }
+    assert out == {(i, 100) for i in range(100, 141)}
+
+
 def test_minhash_merge_equals_full_recompute(spark, sf_dir):
     """r5: merged base+delta signatures must equal a one-shot full
     aggregation (min-monoid mergeability) computed Spark-side too."""
