@@ -246,14 +246,27 @@ def main() -> None:
     # scale; the warm runs measure actual execution throughput.
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    e2e: dict[str, float] = {}
     for qid in HEADLINE + R6_FAMILY + R8_FAMILY:
         runs = []
+        e2e_runs = []
         for _ in range(3):
+            # e2e clock starts BEFORE the query function runs (r14
+            # VERDICT item 1): eager work inside the query function
+            # (localCheckpoint, parquet staging) executes at this call,
+            # so the timed-only number can't see it — the e2e number
+            # closes that boundary.  `value`/`queries` keep the original
+            # timed-only definition for cross-round band continuity;
+            # e2e rides alongside (additions-only).
+            tb = time.perf_counter()
             df = queries[qid](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            runs.append(t1 - t0)
+            e2e_runs.append(t1 - tb)
         timings[qid] = round(min(runs), 4)
+        e2e[qid] = round(min(e2e_runs), 4)
         # (max-min)/min over the 3 runs: the box-noise witness — r5's
         # "untouched query regressed 80-110%" episode was unattributable
         # because min-of-3 discarded the spread (r5 VERDICT item 3)
@@ -271,6 +284,13 @@ def main() -> None:
         "r8_family_sec": round(sum(timings[q] for q in R8_FAMILY), 4),
         "queries": timings,
         "spread_pct": spread,
+        # Per-query END-TO-END seconds (query-fn build + noop write,
+        # min-of-3): the honest number when an optimization moves work
+        # across the timed-region boundary (r14 VERDICT item 1).
+        "e2e_sec": e2e,
+        "value_e2e": round(sum(e2e[q] for q in HEADLINE), 4),
+        "r6_family_e2e_sec": round(sum(e2e[q] for q in R6_FAMILY), 4),
+        "r8_family_e2e_sec": round(sum(e2e[q] for q in R8_FAMILY), 4),
         "calibration_sec": round(cal_sec, 4),
         "box_factor": box_factor,
         "calibration_suite_sec": round(cal_suite_sec, 4),
@@ -310,6 +330,11 @@ def main() -> None:
         "unit": "sec",
         "r6_family_sec": detail["r6_family_sec"],
         "r8_family_sec": detail["r8_family_sec"],
+        # family e2e totals (r14 VERDICT item 1): build+write seconds,
+        # so boundary-moving "wins" stay visible in the graded line too
+        "value_e2e": detail["value_e2e"],
+        "r6_family_e2e_sec": detail["r6_family_e2e_sec"],
+        "r8_family_e2e_sec": detail["r8_family_e2e_sec"],
         "queries": {q: timings[q] for q in HEADLINE},
         "box_factor": box_factor,
         "box_factor_suite": box_factor_suite,

@@ -1746,10 +1746,23 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1.0)
         / (F.coalesce("c1", F.lit(0)) + F.col("vsz"))
     )
+    # Size-guard the broadcast hints (r15, ADVICE): unlike the audit
+    # ops this build side is NOT code-capped, so an unconditional hint
+    # would OOM the "LM outgrows an executor" case the docstring
+    # promises falls back to a co-partitioned shuffle.  `tr` is already
+    # materialized (localCheckpoint above), so the count is one tiny
+    # job over local blocks, not a lineage recompute; ~48 B per
+    # (w1, w2, c2) row against the same 64 MB executor budget
+    # dedup_semantic_lsh_portable uses.  `un`/`v` are rollups of `tr`
+    # (strictly smaller), so one guard covers all three.
+    if tr.count() * 48 <= (64 << 20):
+        tr_j, un_j, v_j = F.broadcast(tr), F.broadcast(un), F.broadcast(v)
+    else:
+        tr_j, un_j, v_j = tr, un, v
     scored = (
-        pos.join(F.broadcast(tr), ["w1", "w2"], "left")
-        .join(F.broadcast(un), "w1", "left")
-        .crossJoin(F.broadcast(v))
+        pos.join(tr_j, ["w1", "w2"], "left")
+        .join(un_j, "w1", "left")
+        .crossJoin(v_j)
         .select("doc_id", bits.alias("bits"))
     )
     avg_bits = F.round(F.sum("bits") / F.count(F.lit(1)), 4)
