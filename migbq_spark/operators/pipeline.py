@@ -32,6 +32,7 @@ end-to-end discoverable without any quadratic pair listing.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -53,8 +54,45 @@ _FUNNEL_ONE_SCAN = os.environ.get("MIGBQ_FUNNEL_ONE_SCAN", "1") == "1"
 _FUNNEL_CACHE: DataFrame | None = None
 
 #: Previous invocation's parquet token-base snapshot dir (deleted on the
-#: next call — same lifecycle as the DISK_ONLY cache above).
+#: next call — same lifecycle as the DISK_ONLY cache above; the LAST
+#: dir is additionally reaped at interpreter exit, see `_stage_cleanup`).
 _FUNNEL_STAGE_DIR: str | None = None
+
+
+def _stage_cleanup() -> None:
+    """atexit reaper for the final invocation's staging dir (r14 ADVICE:
+    the per-invocation delete covers every dir but the last one)."""
+    if _FUNNEL_STAGE_DIR is not None:
+        shutil.rmtree(_FUNNEL_STAGE_DIR, ignore_errors=True)
+
+
+atexit.register(_stage_cleanup)
+
+
+def _funnel_stage_root(spark: SparkSession) -> str | None:
+    """Directory under which the funnel's parquet token-base snapshot is
+    staged, or None when parquet staging must not be used.
+
+    Cluster story (r14 ADVICE / VERDICT item 2): executors write the
+    snapshot, so the path must be a SHARED filesystem — `MIGBQ_STAGE_DIR`
+    names one explicitly (object store / NFS / HDFS mount).  Without it,
+    a driver-local temp dir is only correct when executors share the
+    driver's filesystem, i.e. `local[*]` masters; on any other master we
+    return None and the caller falls back to the DISK_ONLY persist
+    (cluster-safe: executor-resident blocks, no shared path needed)."""
+    env = os.environ.get("MIGBQ_STAGE_DIR")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    if spark.sparkContext.master.startswith("local"):
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".stage",
+            "tmp",
+        )
+        os.makedirs(root, exist_ok=True)
+        return root
+    return None
 
 # ---------------------------------------------------------------- tokens
 
@@ -980,9 +1018,19 @@ def _dot64_scaled_fn(a, b):
     import numpy as np
     import pandas as pd
 
-    return pd.Series(
-        np.einsum("ij,ij->i", np.vstack(a.to_numpy()), np.vstack(b.to_numpy()))
-    )
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    av = np.vstack(a.to_numpy())
+    bv = np.vstack(b.to_numpy())
+    # r14 ADVICE: a null embedding element upcasts the stack to float64
+    # and the dot silently loses exactness past 2^53 — fail loudly
+    # instead (the quantized-embedding inputs are non-null by contract).
+    if av.dtype != np.int64 or bv.dtype != np.int64:
+        raise ValueError(
+            "dot64 expects dense int64 vectors, got "
+            f"{av.dtype}/{bv.dtype} (null or ragged embedding input?)"
+        )
+    return pd.Series(np.einsum("ij,ij->i", av, bv))
 
 
 _DOT64_UDF = None
@@ -2499,7 +2547,16 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays a row-local CASE over three joined signals, each
     individually scale-shaped (two-star CC, one aggregation, one
     vocab-probe join).  sf10 A/B (r14, min-of-2 warm, fresh sessions):
-    one-scan vs the r13 three-scan form — see SCALING_r14.md."""
+    one-scan vs the r13 three-scan form — see SCALING_r14.md.
+
+    Staging contract (r15): the parquet snapshot goes under
+    `MIGBQ_STAGE_DIR` when set (on a cluster: a shared FS / object
+    store path), under a repo-local temp root on `local[*]`, and is
+    SKIPPED (DISK_ONLY persist fallback) on non-local masters without
+    `MIGBQ_STAGE_DIR` — executors cannot write a driver-local temp
+    path.  One live funnel frame at a time: each invocation deletes
+    the previous snapshot, so re-executing a PREVIOUS invocation's
+    returned DataFrame raises rather than silently rescanning."""
     if _FUNNEL_ONE_SCAN:
         d = load(spark, sf_dir, "documents")
         # unpersist the PREVIOUS round's cache BEFORE persisting the new
@@ -2515,7 +2572,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         if _FUNNEL_STAGE_DIR is not None:
             shutil.rmtree(_FUNNEL_STAGE_DIR, ignore_errors=True)
             _FUNNEL_STAGE_DIR = None
-        if os.environ.get("MIGBQ_FUNNEL_STAGE", "parquet") == "parquet":
+        stage_root = (
+            _funnel_stage_root(spark)
+            if os.environ.get("MIGBQ_FUNNEL_STAGE", "parquet") == "parquet"
+            else None
+        )
+        if stage_root is not None:
             # COLUMNAR token-base staging (r14 opt round, guide §6): the
             # DISK_ONLY cache serialized fact-scale rows through the
             # generic block serializer; a parquet snapshot compresses the
@@ -2523,10 +2585,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             # scan.  sf10 A/B (min-of-2 x 2 interleaved rounds, e2e
             # build+noop): run-1 78.4 -> 70.8 s (-10%), steady state
             # flat (68-69 s both arms).  The snapshot lives in a fresh
-            # per-invocation temp dir (deleted on the NEXT invocation,
-            # the same lifecycle as the unpersist above) so nothing
-            # persists across bench/oracle runs.
-            dest = tempfile.mkdtemp(prefix="migbq_funnel_tok_")
+            # per-invocation dir under `_funnel_stage_root` (deleted on
+            # the NEXT invocation — so a DataFrame returned by the
+            # PREVIOUS invocation becomes unreadable once a new one runs:
+            # ONE live funnel frame at a time — plus an atexit reap of
+            # the final dir) so nothing persists across bench/oracle
+            # runs.  On non-local masters without MIGBQ_STAGE_DIR this
+            # branch is skipped for the cluster-safe DISK_ONLY persist
+            # (r14 ADVICE: a driver-local temp path is not a shared FS).
+            dest = tempfile.mkdtemp(
+                prefix="migbq_funnel_tok_", dir=stage_root
+            )
             _FUNNEL_STAGE_DIR = dest
             d.select(
                 "doc_id",
@@ -5590,6 +5659,50 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 300000000000  # 0.3 in micro-unit^2 dot scale (2.4σ @ 64-d)
 
 
+def _semdedup_cluster_kernel(key: tuple, pdf) -> "pd.DataFrame":  # noqa: F821
+    """Exact within-cluster near-dup hits: for one centroid cluster,
+    compute EVERY pairwise int64 dot as a chunked numpy matmul and emit
+    only the (v, c_id, k, d) rows with d >= τ and k < v — identical
+    rows to the pairwise self-join it replaces (r15 opt; guide §4.2 +
+    §8: the join shipped BOTH 64-element vectors per candidate PAIR
+    through the shuffle and paid an interpreted 64-term fold per pair;
+    here each vector crosses the boundary once and the n_c² dots run
+    as integer BLAS-shaped batches).  Chunked over 1024-row strips so
+    peak memory is O(chunk · n_c), independent of cluster size — the
+    `_jaccard_block` discipline."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy()
+    X = np.vstack(pdf["se"].to_numpy())
+    if X.dtype != np.int64:
+        raise ValueError(
+            f"semdedup kernel expects dense int64 vectors, got {X.dtype}"
+        )
+    out_v, out_k, out_d = [], [], []
+    chunk = 1024
+    for i0 in range(0, len(ids), chunk):
+        d_strip = X[i0:i0 + chunk] @ X.T  # int64 matmul: exact
+        mask = (d_strip >= _SEMDEDUP_TAU) & (
+            ids[None, :] < ids[i0:i0 + chunk, None]
+        )
+        vi, ki = np.nonzero(mask)
+        out_v.append(ids[i0 + vi])
+        out_k.append(ids[ki])
+        out_d.append(d_strip[vi, ki])
+    c_id = pdf["c_id"].iloc[0] if len(pdf) else 0
+    v = np.concatenate(out_v) if out_v else np.array([], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "v": v,
+            "c_id": np.full(len(v), c_id, dtype=np.int64),
+            "k": np.concatenate(out_k) if out_k else v,
+            "d": np.concatenate(out_d) if out_d else v,
+        }
+    )
+
+
+
 @register(
     "semdedup_centroid_prune",
     oracle=f"""
@@ -5655,31 +5768,32 @@ def semdedup_centroid_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: assignment, pair similarity, and the keep decision
     are exact int64 dots with total-order tiebreaks (the
     `ann_ivf_probe_sweep` recipe), so the entire prune is
-    value-hash-checked.
+    value-hash-checked.  The within-cluster dots run as int64 numpy
+    matmuls in `_semdedup_cluster_kernel` — integer arithmetic, same
+    values as the JVM fold they replaced (r15: the pairwise self-join
+    form measured 20.4 s sf1 e2e vs 1.56 s for the kernel, with an
+    Arrow per-pair dot at 9.9 s between them; rows identical on all
+    arms).  A Cauchy–Schwarz ‖a‖·‖b‖ ≥ τ pre-filter (r14 VERDICT
+    item 3) was checked and is a NO-OP on unit-norm embeddings: every
+    scaled norm is 1e6 exactly, so ‖a‖‖b‖ = 1e12 ≥ τ=3e11 always —
+    nothing prunes.
 
     Scale (100 TB): assignment is the shared `_ivf_assign` (broadcast
     K + map-side max_by); the pair scan is cluster-blocked — n²/K dot
     products, the quadratic-blocked class `near_dup_embedding`
-    measures — and at extreme scale K grows with n (K ≈ √n keeps
-    per-cluster work flat), which changes no plan shape here."""
+    measures — one kernel task per cluster, each holding its cluster's
+    n_c×64 int64 matrix (K ≈ √n keeps n_c = √n, so per-task memory
+    stays bounded; strip-chunked dot buffers regardless).  A skewed
+    hot cluster takes the `jaccard_pairs_frame` tile fan if it ever
+    appears — the blocking key is data-derived, same situation."""
     scaled = _scaled_emb(spark, sf_dir)
     cents = scaled.filter(
         (F.col("vec_id") >= 10) & (F.col("vec_id") < 26)
     ).select(F.col("vec_id").alias("c_id"), F.col("se").alias("ce"))
     assigned = _ivf_assign(scaled, cents).join(scaled, "vec_id")
-    a = assigned.select(
-        F.col("vec_id").alias("v"), "c_id", F.col("se").alias("a_se")
+    hits = assigned.groupBy("c_id").applyInPandas(
+        _semdedup_cluster_kernel, "v bigint, c_id bigint, k bigint, d bigint"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("k"),
-        F.col("c_id").alias("b_cid"),
-        F.col("se").alias("b_se"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("c_id") == F.col("b_cid")) & (F.col("k") < F.col("v")),
-    ).select("v", "c_id", "k", _ivf_idot("a_se", "b_se").alias("d"))
-    hits = pairs.filter(F.col("d") >= _SEMDEDUP_TAU)
     return hits.groupBy(F.col("v").alias("vec_id")).agg(
         F.min("c_id").alias("c_id"),
         F.min("k").alias("kept_id"),
