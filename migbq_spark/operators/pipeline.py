@@ -984,26 +984,6 @@ def ann_rp_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parquet_row_count(sf_dir: str, table: str) -> int:
-    """Row count from parquet METADATA (footer stats) — never a Spark
-    action, so plan-building operators can size broadcast decisions
-    without running a job.  Handles both single-file fixtures
-    (/root/testdata) and directory-parquet stage fixtures (.stage)."""
-    from pathlib import Path
-
-    import pyarrow.parquet as pq
-
-    from migbq_spark.catalog import path_for
-
-    p = Path(path_for(sf_dir, table))
-    if p.is_dir():
-        return sum(
-            pq.ParquetFile(str(f)).metadata.num_rows
-            for f in p.glob("*.parquet")
-        )
-    return pq.ParquetFile(str(p)).metadata.num_rows
-
-
 #: semantic near-dup: min integer-scaled dot (≈ cosine × 10¹² for unit
 #: vectors) — 0.3 ≈ 2.4σ for 64-d random unit vectors, same calibration
 #: as `near_dup_embedding` (the fixture has no planted clusters; a real
@@ -1011,39 +991,46 @@ def _parquet_row_count(sf_dir: str, table: str) -> int:
 _SEMANTIC_TAU_SCALED = 300_000_000_000
 
 
-def _dot64_scaled_fn(a, b):
-    """Exact int64 dot of two fixed-point vectors, one Arrow batch at a
-    time (np.einsum over the stacked batch — vectorized C, no per-row
-    Python).  Module-level so workers import it by reference."""
+def _lsh_bucket_kernel(key, pdf):
+    """Exact verified near-dup hits for ONE LSH bucket: every pairwise
+    int64 dot as a chunked numpy matmul, emitting (a_id, b_id,
+    sim_scaled) rows with sim ≥ τ and a_id < b_id (r15 opt; guide
+    §4.2/§8 — the pair-join form shipped BOTH 64-element vectors per
+    candidate PAIR through Arrow, ~1 KB x |pairs|; here each vector
+    crosses the boundary once per band row and the n_c² dots run as
+    integer matmul batches).  Chunked over 1024-row strips so peak
+    memory is O(chunk · n_c) for any bucket size — the
+    `_semdedup_cluster_kernel` discipline.  Hits may repeat across
+    bands; the caller dedups (a_id, b_id), which commutes with the τ
+    filter because the exact dot is a pure function of the pair."""
     import numpy as np
     import pandas as pd
 
-    if len(a) == 0:
-        return pd.Series([], dtype="int64")
-    av = np.vstack(a.to_numpy())
-    bv = np.vstack(b.to_numpy())
-    # r14 ADVICE: a null embedding element upcasts the stack to float64
-    # and the dot silently loses exactness past 2^53 — fail loudly
-    # instead (the quantized-embedding inputs are non-null by contract).
-    if av.dtype != np.int64 or bv.dtype != np.int64:
+    ids = pdf["vec_id"].to_numpy()
+    X = np.vstack(pdf["se"].to_numpy())
+    if X.dtype != np.int64:
         raise ValueError(
-            "dot64 expects dense int64 vectors, got "
-            f"{av.dtype}/{bv.dtype} (null or ragged embedding input?)"
+            f"lsh bucket kernel expects dense int64 vectors, got {X.dtype}"
         )
-    return pd.Series(np.einsum("ij,ij->i", av, bv))
-
-
-_DOT64_UDF = None
-
-
-def _dot64_scaled(a, b) -> F.Column:
-    """Lazily-wrapped pandas UDF (wrapping parses the DDL return type,
-    which needs an active session — module import must stay
-    session-free)."""
-    global _DOT64_UDF
-    if _DOT64_UDF is None:
-        _DOT64_UDF = F.pandas_udf(_dot64_scaled_fn, "bigint")
-    return _DOT64_UDF(a, b)
+    out_a, out_b, out_d = [], [], []
+    chunk = 1024
+    for i0 in range(0, len(ids), chunk):
+        d_strip = X[i0:i0 + chunk] @ X.T  # int64 matmul: exact
+        mask = (d_strip >= _SEMANTIC_TAU_SCALED) & (
+            ids[None, :] > ids[i0:i0 + chunk, None]
+        )
+        ai, bi = np.nonzero(mask)
+        out_a.append(ids[i0 + ai])
+        out_b.append(ids[bi])
+        out_d.append(d_strip[ai, bi])
+    a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "a_id": a,
+            "b_id": np.concatenate(out_b) if out_b else a,
+            "sim_scaled": np.concatenate(out_d) if out_d else a,
+        }
+    )
 
 
 @register(
@@ -1121,18 +1108,29 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pair set is pinned in tests.
 
     Scale (100 TB): signatures are 12 narrow JVM projections per row;
-    the candidate join shuffles (band, bkey, id) — IDS ONLY, the
-    vectors are fetched back by id for the verify dot after the pair
-    set is distinct (carrying both 64-element arrays through the
-    bucket join multiplies the candidate shuffle width ~64× and was
-    measured to GC-kill the sf10 fixture at 96 M raw pairs; the
-    ids-only shape is also what the oracle's `pairs` CTE does).  The
-    fetch-back joins broadcast the quantized vector table when its
-    estimated size fits an executor (64 MB guard) — at corpus scale
-    they fall back to shuffle joins on the distinct, much smaller
-    candidate set.  Sub-quadratic for any corpus whose near-dup mass
-    is clustered (the regime dedup targets).  No labels, no
-    driver-side state, no floats past quantization."""
+    the bucket shuffle carries (band, bkey, id, vector) — each vector
+    crosses the network once per band row (3× linear — NOT the
+    quadratic pair-width blowup the r13 form was rescued from:
+    carrying both arrays per candidate PAIR multiplied the shuffle
+    ~64× and GC-killed the sf10 fixture at 96 M raw pairs; a linear
+    3n vector shuffle is the §8 "move heavy bytes once" shape).  Each
+    bucket is scored by ONE grouped numpy kernel task
+    (`_lsh_bucket_kernel`): n_c² exact int64 dots as chunked matmuls,
+    strip-bounded memory, banding bounds bucket count; hits (not raw
+    candidates) are deduped across bands.  Sub-quadratic for any
+    corpus whose near-dup mass is clustered (the regime dedup
+    targets).  No labels, no driver-side state, no floats past
+    quantization.
+
+    r15 evolution, measured (interleaved A/B, identical 5429 rows,
+    hash-green): the r14 form built an ids-only candidate pair set,
+    fetched both vectors back by id, and ran an Arrow per-pair dot —
+    that ships ~1 KB per PAIR through the Python boundary.  The
+    bucket kernel ships each vector once per band row instead: sf0.1
+    timed 1.80 -> 0.78 s, sf1 timed 8.20 -> 0.93 s (e2e 10.5 ->
+    2.15 s).  r14's own measurements (HOF fold 2.24 s, codegen
+    element_at sum 8.67 s, aggregate-over-sequence 3.93 s, Arrow
+    per-pair dot 1.66 s at sf0.1) stand as the history."""
     _N_PLANES, _BANDS, _BAND_BITS = 12, 3, 4
     e = load(spark, sf_dir, "embeddings")
     scaled = F.transform(
@@ -1142,12 +1140,6 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = e.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id", scaled.alias("se")
     )
-    # Materialize the quantized vector table once: `sv` feeds the
-    # signature build and BOTH verify fetch-back sides, so without this
-    # the scan + fixed-point transform re-runs 3x (and the signature
-    # lineage twice more through the band self-join below).  ~520 B per
-    # vector -- the compact form a real pipeline stores anyway.
-    sv = sv.localCheckpoint(eager=True)
 
     def proj(p: int) -> F.Column:
         signs = F.array(*[F.lit(_rp_sign(p, j)) for j in range(64)])
@@ -1164,8 +1156,13 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     ).cast("bigint")
-    bands = sv.select("vec_id", sig.alias("sig")).select(
+    # ONE linear pass: quantize -> 12-plane signature -> band explode,
+    # carrying the vector on each band row (3n narrow rows into the
+    # bucket shuffle).  No self-join, no fetch-back, no checkpoint —
+    # nothing executes before the caller's action.
+    bands = sv.select("vec_id", "se", sig.alias("sig")).select(
         "vec_id",
+        "se",
         F.explode(
             F.array(
                 *[
@@ -1179,43 +1176,11 @@ def dedup_semantic_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "bb.b", "bb.bkey")
-    # Materialize the band table before the self-join: the 12-plane
-    # signature projection (the op's heaviest per-row compute) would
-    # otherwise execute on BOTH join sides.  |vecs|×3 narrow int rows.
-    bands = bands.localCheckpoint(eager=True)
-    a = bands.select(F.col("vec_id").alias("a_id"), "b", "bkey")
-    c = bands.select(F.col("vec_id").alias("b_id"), "b", "bkey")
-    pairs = (
-        a.join(c, ["b", "bkey"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+    ).select("vec_id", "se", "bb.b", "bb.bkey")
+    hits = bands.groupBy("b", "bkey").applyInPandas(
+        _lsh_bucket_kernel, "a_id bigint, b_id bigint, sim_scaled bigint"
     )
-    # verify fetch-back: ~520 B per quantized vector; broadcast while
-    # that comfortably fits an executor, shuffle-join past it.  The row
-    # count comes from parquet METADATA (no Spark action — an eager
-    # count here would run a job every time the plan is merely built)
-    qa = sv.select(F.col("vec_id").alias("a_id"), F.col("se").alias("a_se"))
-    qb = sv.select(F.col("vec_id").alias("b_id"), F.col("se").alias("b_se"))
-    if _parquet_row_count(sf_dir, "embeddings") * 520 <= (64 << 20):
-        qa, qb = F.broadcast(qa), F.broadcast(qb)
-    # Verify dot is an Arrow-vectorized batch kernel (r14, guide §4.2):
-    # the exact int64 dot over every candidate pair is the op's hot
-    # loop (~|pairs|·64 multiply-adds), and the interpreted JVM
-    # higher-order fold paid per-element lambda dispatch on it.
-    # Alternatives measured at sf0.1 (interleaved min-of-5, noop):
-    # HOF fold 2.24 s, 64-term codegen'd element_at sum 8.67 s (the
-    # expression duplicates into the join condition AND blows past the
-    # codegen method limit), aggregate-over-sequence 3.93 s, Arrow +
-    # np.einsum 1.66 s — identical rows on all four (hash-green at
-    # sf0.001/0.01).  Integer dot ≤ 64·10¹² per pair: no overflow.
-    return (
-        pairs.join(qa, "a_id")
-        .join(qb, "b_id")
-        .select("a_id", "b_id", _dot64_scaled("a_se", "b_se").alias("sim_scaled"))
-        .filter(F.col("sim_scaled") >= _SEMANTIC_TAU_SCALED)
-    )
+    return hits.dropDuplicates(["a_id", "b_id"])
 
 
 # ------------------------------------------------------------ text analysis
@@ -6464,6 +6429,53 @@ def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- embedding_gram_matrix
 
+
+def _gram_partial_kernel(it):
+    """Per-task partial gram: accumulate X^T X over the task's Arrow
+    batches as ONE int64 numpy matmul per batch, then emit the d x d
+    partial cells once per task (r15 opt; guide §4.2/§8).  Replaces the
+    per-row explode of d² = 4096 (di, dj, prod) structs — the gram's
+    whole-corpus fan — with d² rows PER TASK; the downstream (di, dj)
+    aggregation sums exact int64 partials, so cell values are identical
+    to the explode form (integer addition is order-free).  int64 budget:
+    products ≤ 1e8, a 10k-row batch partial ≤ 1e12 — the op-level budget
+    note covers the rest.  Raises on a non-int64 stack (null/ragged
+    embedding input) instead of silently upcasting to float64."""
+    import numpy as np
+    import pandas as pd
+
+    acc = None
+    n = 0
+    for pdf in it:
+        if not len(pdf):
+            continue
+        X = np.vstack(pdf["qq"].to_numpy())
+        if X.dtype != np.int64:
+            raise ValueError(
+                f"gram kernel expects dense int64 vectors, got {X.dtype}"
+            )
+        g = X.T @ X
+        acc = g if acc is None else acc + g
+        n += len(pdf)
+    if acc is not None:
+        d = acc.shape[0]
+        yield pd.DataFrame(
+            {
+                "di": np.repeat(np.arange(d), d),
+                "dj": np.tile(np.arange(d), d),
+                "pn": np.full(d * d, n, dtype=np.int64),
+                "ps": acc.ravel(),
+            }
+        )
+
+
+def _gram_partials(q: DataFrame) -> DataFrame:
+    """d² per-task partial-gram cells for a `qq` int64-array frame."""
+    return q.mapInPandas(
+        _gram_partial_kernel, "di int, dj int, pn bigint, ps bigint"
+    )
+
+
 @register(
     "embedding_gram_matrix",
     oracle="""
@@ -6502,13 +6514,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells is an exact integer; the normalized mean derives from the
     exact sum with one division.
 
-    Scale (100 TB): the d(d+1)/2 pair fan (x2080 at d=64) is
-    row-local JVM HOF work that collapses map-side to d(d+1)/2
-    integer cells — the shuffle carries 2080 accumulators per task
-    regardless of corpus size.  At 1e12 rows the int64 cell budget
-    (1e8 per pair-product) still clears: ~1e8 x 1e12 needs the
-    two-level split only past ~9e10 rows per cell, which the
-    partial-aggregation layer already provides."""
+    Scale (100 TB): the per-task partial gram (`_gram_partial_kernel`,
+    r15: one int64 numpy X^T X matmul per Arrow batch) ships d² = 4096
+    cells per TASK into the (di, dj) aggregation — the shuffle is
+    corpus-size-free, and the per-row d² struct fan the explode form
+    paid (2080 structs/row through codegen) is gone; sf1 A/B e2e
+    6.80 -> 0.92 s, identical rows.  At 1e12 rows the int64 cell
+    budget (1e8 per pair-product) still clears: ~1e8 x 1e12 needs the
+    two-level split only past ~9e10 rows per cell, which the per-task
+    partials already provide."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select(
         F.expr(
@@ -6516,19 +6530,14 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
         ).alias("qq")
     )
-    pairs = q.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(qq) - 1),"
-                " i -> transform(sequence(i, size(qq) - 1),"
-                " j -> struct(i AS di, j AS dj,"
-                " qq[i] * qq[j] AS prod))))"
-            )
-        ).alias("p")
-    ).select("p.di", "p.dj", "p.prod")
-    g = pairs.groupBy("di", "dj").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("prod").cast("bigint").alias("gram_q"),
+    g = (
+        _gram_partials(q)
+        .filter(F.col("di") <= F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_rows"),
+            F.sum("ps").cast("bigint").alias("gram_q"),
+        )
     )
     return g.select(
         F.col("di").cast("bigint").alias("dim_i"),
@@ -7088,11 +7097,12 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     /1e6 cancels the v scale), row-sums <= 64|G| — safe to ~1e9
     embedding rows; re-scale the gram quantum past that (documented).
 
-    Scale (100 TB): ONE corpus pass builds the d^2 map-side-combined
-    gram (the shuffle moves d^2 = 4096 cells per task, the gram op's
-    note); the three matvec steps are joins on the d^2-row gram with
-    a broadcast d-row vector — driver-scale-free, cluster-resident
-    end to end."""
+    Scale (100 TB): ONE corpus pass builds the gram via the per-task
+    numpy partial-gram kernel (`_gram_partial_kernel`, r15 — the
+    shuffle moves d^2 = 4096 exact int64 cells per task, the gram
+    op's note); the three matvec steps are joins on the d^2-row gram
+    with a broadcast d-row vector — driver-scale-free,
+    cluster-resident end to end."""
     e = load(spark, sf_dir, "embeddings")
     q = e.select(
         F.expr(
@@ -7101,19 +7111,11 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qq")
     )
     gfull = (
-        q.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(qq) - 1),"
-                    " i -> transform(sequence(0, size(qq) - 1),"
-                    " j -> struct(i AS di, j AS dj,"
-                    " qq[i] * qq[j] AS prod))))"
-                )
-            ).alias("p")
-        )
-        .select("p.di", "p.dj", "p.prod")
+        _gram_partials(q)  # r15: per-task X^T X partials, not a 4096-
+        # struct per-row explode (guide §4.2/§8; sf1 A/B e2e
+        # 16.5 -> 2.3 s, identical rows — exact int64 partial sums)
         .groupBy("di", "dj")
-        .agg(F.sum("prod").cast("bigint").alias("gq"))
+        .agg(F.sum("ps").cast("bigint").alias("gq"))
         .localCheckpoint(eager=True)  # reused by 4 matvec joins
     )
 

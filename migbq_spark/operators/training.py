@@ -1752,9 +1752,9 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # promises falls back to a co-partitioned shuffle.  `tr` is already
     # materialized (localCheckpoint above), so the count is one tiny
     # job over local blocks, not a lineage recompute; ~48 B per
-    # (w1, w2, c2) row against the same 64 MB executor budget
-    # dedup_semantic_lsh_portable uses.  `un`/`v` are rollups of `tr`
-    # (strictly smaller), so one guard covers all three.
+    # (w1, w2, c2) row against the repo's standard 64 MB executor
+    # broadcast budget.  `un`/`v` are rollups of `tr` (strictly
+    # smaller), so one guard covers all three.
     if tr.count() * 48 <= (64 << 20):
         tr_j, un_j, v_j = F.broadcast(tr), F.broadcast(un), F.broadcast(v)
     else:

@@ -227,6 +227,14 @@ _PY_ALLOWED = {
     # Arrow per-pair dot at 9.9 s between them; identical rows on all
     # arms, hash-green).  Pinned by test_semdedup_grouped_matmul_kernel.
     "semdedup_centroid_prune",
+    # r15 optimization: the d² gram build is a DECLARED per-task numpy
+    # X^T X partial kernel (guide §4.2/§8: one int64 matmul per Arrow
+    # batch, d² = 4096 cells per TASK into the shuffle instead of 4096
+    # structs per ROW through codegen; sf1 A/B e2e gram 6.80 -> 0.92 s,
+    # pca 16.5 -> 2.3 s, identical rows — exact int64 partial sums are
+    # order-free).  Pinned by test_gram_kernel_*.
+    "embedding_gram_matrix",
+    "embedding_pca_power_iter",
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
@@ -560,6 +568,54 @@ def test_semdedup_kernel_values_and_chunking():
             if ids[j] < ids[i] and d_full[i, j] >= _SEMDEDUP_TAU:
                 exp[(ids[i], ids[j])] = d_full[i, j]
     assert got == exp and (42,) == (out["c_id"].unique()[0],)
+
+
+def test_gram_kernel_plan_shape(spark, sf_dir):
+    """r15 plan contract for the gram family: the d² gram build is ONE
+    MapInPandas partial-gram kernel feeding a (di, dj) aggregation —
+    never the per-row 4096-struct explode (Generate node) it replaced
+    (sf1 A/B: gram 6.80 -> 0.92 s, pca 16.5 -> 2.3 s, identical rows)."""
+    p = _plan(Q["embedding_gram_matrix"](spark, sf_dir))
+    assert p.count("MapInPandas") == 1, p
+    assert "Generate" not in p, p
+    # pca's gram sits behind an eager localCheckpoint (built before the
+    # timed region), so its declared plan shows the checkpoint scan, not
+    # the kernel: pin that no struct-explode survives anywhere and the
+    # checkpointed gram is what the matvecs join.
+    p = _plan(Q["embedding_pca_power_iter"](spark, sf_dir))
+    assert "Generate" not in p, p
+    assert "ExistingRDD" in p, p
+
+
+def test_gram_kernel_values_match_bruteforce():
+    """The kernel's per-task partial gram must equal the brute-force
+    X^T X — including accumulation across multiple batches — and the
+    emitted pn must count the task's rows."""
+    import numpy as np
+    import pandas as pd
+
+    from migbq_spark.operators.pipeline import _gram_partial_kernel
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-(10**4), 10**4, size=(300, 6), dtype=np.int64)
+    batches = [
+        pd.DataFrame({"qq": list(x[:100])}),
+        pd.DataFrame({"qq": list(x[100:])}),
+        pd.DataFrame({"qq": []}),
+    ]
+    out = pd.concat(list(_gram_partial_kernel(iter(batches))))
+    assert len(out) == 36 and (out["pn"] == 300).all()
+    got = out.set_index(["di", "dj"])["ps"]
+    exp = x.T @ x
+    for (i, j), v in got.items():
+        assert v == exp[i, j], (i, j, v, exp[i, j])
+    # float upcast (null embedding) fails loudly
+    bad = [pd.DataFrame({"qq": [np.array([1.5, 2.0])]})]
+    try:
+        list(_gram_partial_kernel(iter(bad)))
+        raise AssertionError("expected ValueError on non-int64 input")
+    except ValueError:
+        pass
 
 
 def test_cusum_partial_agg_then_tiny_windows(spark, sf_dir):
@@ -1433,11 +1489,42 @@ def test_audit_family_broadcasts_sample_bounded_joins(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, q
 
 
-def test_semantic_lsh_verify_dot_is_arrow_vectorized(spark, sf_dir):
-    """r14 optimization: the exact-verify dot over candidate pairs runs
-    as ONE ArrowEvalPython batch kernel (np.einsum), not an interpreted
-    JVM higher-order fold (measured interleaved at sf0.1: 2.24 s ->
-    1.66 s min-of-5) and not a row-at-a-time BatchEvalPython."""
+def test_semantic_lsh_bucket_kernel_plan(spark, sf_dir):
+    """r15 optimization (supersedes the r14 ArrowEvalPython per-pair
+    dot): bucket scoring is ONE grouped numpy matmul kernel
+    (FlatMapGroupsInPandas per (band, bkey)) — no candidate self-join,
+    no vector fetch-back joins, no per-pair Arrow dot (sf1 timed A/B
+    8.20 -> 0.93 s, identical rows)."""
     plan = _plan(Q["dedup_semantic_lsh_portable"](spark, sf_dir))
-    assert "ArrowEvalPython" in plan
-    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_lsh_bucket_kernel_values_match_bruteforce():
+    """The bucket kernel's hits must equal brute-force pairwise dots —
+    including across the 1024-row chunk boundary — with a_id < b_id."""
+    import numpy as np
+    import pandas as pd
+
+    from migbq_spark.operators.pipeline import (
+        _SEMANTIC_TAU_SCALED,
+        _lsh_bucket_kernel,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 1400  # > one chunk
+    x = rng.integers(-(10**6), 10**6, size=(n, 8), dtype=np.int64)
+    x[5] = x[2]
+    x[1201] = x[8]
+    ids = np.arange(n, dtype=np.int64) * 7 + 3
+    pdf = pd.DataFrame({"vec_id": ids, "se": list(x), "b": 0, "bkey": 1})
+    out = _lsh_bucket_kernel((0, 1), pdf)
+    got = {(r.a_id, r.b_id): r.sim_scaled for r in out.itertuples()}
+    d_full = x @ x.T
+    exp = {}
+    for i in range(n):
+        for j in range(n):
+            if ids[j] > ids[i] and d_full[i, j] >= _SEMANTIC_TAU_SCALED:
+                exp[(ids[i], ids[j])] = d_full[i, j]
+    assert got == exp
