@@ -24,6 +24,7 @@ token-Jaccard scale path (LSH variant in pipeline.py).
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1480,8 +1481,12 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct, per-doc word counts, the narrow source/n_chars rejoin)
     # and without materialization each re-runs the scan + split/filter
     # lineage (3 corpus scans → 1; a real pipeline stores the tokenized
-    # corpus anyway).
-    base = base.localCheckpoint(eager=True)
+    # corpus anyway).  DISK_ONLY (r15, ADVICE): the token base is
+    # FACT-scale — the default MEMORY_AND_DISK checkpoint level makes
+    # it heap-resident, violating the repo's HITS §12 rule; serialized
+    # disk blocks cost ~nothing here (interleaved A/B flat) and never
+    # pressure the heap at corpus scale.
+    base = base.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sym_expr = "split(concat(word, '_'), '')"
     for left, right in merges:
         sym_expr = (
@@ -1639,7 +1644,9 @@ def tokenizer_bpe_apply_trie(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size("t") >= 1)
     # Same tokenize-once materialization as the fold twin (3 corpus
     # scans → 1 across the vocab/word-count/rejoin branches).
-    base = base.localCheckpoint(eager=True)
+    # DISK_ONLY per the fact-scale rule (r15, ADVICE — see the fold
+    # twin's note).
+    base = base.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     vocab_toks = (
         base.select(F.explode("t").alias("word"))
         .distinct()
@@ -3476,6 +3483,14 @@ def bm25_top_terms_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derive for each (r14 wave 3; interleaved A/B e2e min-of-5:
     # sf0.1 1.38->1.18 s, sf1 10.03->7.13 s).  |distinct(doc,token)|
     # rows — the postings table a real engine stores anyway.
+    # Storage level stays the default (r15, ADVICE examined): DISK_ONLY
+    # here costs +37–39% executor CPU at sf0.1 AND sf1 (interleaved
+    # A/B: sf1 cpu 29.0→39.7 s, wall 10.2→11.4 s) because tf is read
+    # by THREE consumers and the serialize/deserialize round trip taxes
+    # every read; MEMORY_AND_DISK eviction keeps the heap bounded under
+    # pressure, and the 100 TB-safe form for a postings table this hot
+    # is partitioned parquet staging (the funnel's instrument), not a
+    # slower block level.
     tf = tf.localCheckpoint(eager=True)
     # doc lengths + corpus stats derive from tf, not a second corpus pass
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint()
