@@ -88,6 +88,7 @@ def replicate(name: str, offs: dict[str, int]) -> None:
     keys = SHIFT_KEYS.get(name, [])
     # stream replicas through one writer: FACTOR x a multi-million-row
     # table must not be concatenated in memory
+    rg = max(4096, (t.num_rows * FACTOR) // 64)
     with pq.ParquetWriter(OUT / f"{name}.parquet", t.schema) as w:
         for i in range(FACTOR):
             cols = []
@@ -96,7 +97,15 @@ def replicate(name: str, offs: dict[str, int]) -> None:
                 if f.name in keys and i > 0:
                     c = pa.compute.add(c, offs[f.name] * i).cast(f.type)
                 cols.append(c)
-            w.write_table(pa.Table.from_arrays(cols, schema=t.schema))
+            # bounded row groups: pyarrow's 1M-row default gives a <=1M-row
+            # replica ONE row group, so Spark scans of the staged fixture
+            # serialize to 1-2 tasks regardless of core count and every
+            # core-ratio measurement saturates at ~1 (r15 item 7); ~64
+            # groups per table restores scan parallelism like a real
+            # multi-file table
+            w.write_table(
+                pa.Table.from_arrays(cols, schema=t.schema), row_group_size=rg
+            )
     n = pq.ParquetFile(OUT / f"{name}.parquet").metadata.num_rows
     print(f"{name}: {t.num_rows} -> {n}")
 
@@ -160,7 +169,8 @@ def gen_documents(rng: np.random.Generator) -> None:
             ),
         }
     )
-    pq.write_table(t, OUT / "documents.parquet")
+    pq.write_table(t, OUT / "documents.parquet",
+                   row_group_size=max(4096, n // 64))
     print(f"documents: {src_docs.num_rows} -> {n} "
           f"(zipf vocab {_VOCAB_N}, {n_dup} planted near-dups)")
 
@@ -181,7 +191,8 @@ def gen_embeddings(rng: np.random.Generator) -> None:
             ),
         }
     )
-    pq.write_table(t, OUT / "embeddings.parquet")
+    pq.write_table(t, OUT / "embeddings.parquet",
+                   row_group_size=max(4096, n // 64))
     print(f"embeddings: {src_n} -> {n}")
 
 
