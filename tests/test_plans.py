@@ -920,13 +920,17 @@ def test_burst_dp_is_one_pandas_task_not_recursion(spark, sf_dir):
     assert "UnionLoop" not in plan
 
 
-def test_gram_matrix_partial_aggregation_jvm_only(spark, sf_dir):
-    """The d(d+1)/2 Gram fan must collapse map-side (two-level hash
-    aggregate) and stay JVM-side — the shuffle carries 2080 integer
-    cells per task, never the exploded stream."""
+def test_gram_matrix_partial_aggregation_two_level(spark, sf_dir):
+    """The gram fan must collapse map-side (two-level hash aggregate):
+    the shuffle carries d² integer partial cells per task, never a
+    per-row stream.  Since r15 the fan comes from the DECLARED
+    MapInPandas gram kernel (plan shape + values pinned by
+    test_gram_kernel_*), which replaced the JVM-only 4096-struct
+    explode this test used to require — the aggregation contract and
+    the no-row-at-a-time-Python rule are what remain pinned here."""
     plan = _plan(Q["embedding_gram_matrix"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
-    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_q13_outer_join_preserves_zero_bucket(spark, sf_dir):
