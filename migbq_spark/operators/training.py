@@ -3497,7 +3497,16 @@ def bm25_top_terms_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    df = tf.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # df = plain COUNT, not COUNT(DISTINCT doc_id) (r15, guide §1.2):
+    # tf is KEYED by (doc_id, source, token) with source functionally
+    # dependent on doc_id (both project from one documents row, doc_id
+    # is the fixture PK), so (doc_id, token) is unique and the two are
+    # provably equal — but count_distinct plans an extra full
+    # (token, doc_id)-keyed aggregation pass over the postings.
+    # Interleaved A/B at sf1-zipf (2M postings): executor CPU
+    # 24.0→20.1 s (−16%), wall 6.3→5.7 s, identical 200 rows;
+    # hash-green at sf0.01.
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))

@@ -725,6 +725,39 @@ def test_bm25_tf_feeds_everything(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bm25_df_count_equals_distinct(spark, sf_dir):
+    """r15 contract for the df = COUNT (not COUNT DISTINCT) rewrite:
+    the tf rollup is KEYED by (doc_id, source, token) with source
+    functionally dependent on doc_id, so (doc_id, token) is unique and
+    plain COUNT per token is provably the distinct doc count.  Pin the
+    uniqueness invariant the rewrite relies on AND the plan shape
+    (the distinct form planned an extra (token, doc_id)-keyed
+    aggregation pass over the postings: 8 HashAggregates → 6)."""
+    from pyspark.sql import functions as F
+
+    from migbq_spark.catalog import load
+
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dup = (
+        tf.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dup == 0, f"(doc_id, token) not unique in tf: {dup} dupes"
+    plan = _plan(Q["bm25_top_terms_source"](spark, sf_dir))
+    assert plan.count("HashAggregate") <= 6, plan.count("HashAggregate")
+
+
 def test_kaplan_meier_collapses_before_windows(spark, sf_dir):
     """r9 plan contract for kaplan_meier_retention: the checkpointed
     per-user frame feeds lifetimes + the observation-end scalar — the
