@@ -49,6 +49,21 @@ from migbq_spark.registry import register
 #: (SCALING_r14.md).  The env override exists for the A/B harness only.
 _FUNNEL_ONE_SCAN = os.environ.get("MIGBQ_FUNNEL_ONE_SCAN", "1") == "1"
 
+#: Checkpoint/action FUSION (r15, guide §1.2 step 1 / §2.4): at sites
+#: where an eager localCheckpoint is immediately followed by a driver
+#: ACTION over the SAME frame (the CC fixpoint's per-round stats agg),
+#: eager=False lets the action's own job materialize the checkpoint —
+#: one pass instead of materialize-then-re-read, one job instead of
+#: two, identical blocks and identical downstream plans.  False =
+#: fused (adopted); the flag exists so the A/B harness
+#: (scripts/ab_ckpt_fuse.py) can flip arms in one session.  NOT
+#: applied to the audit-sample checkpoints (their first consumer is a
+#: broadcast build, which did NOT reliably absorb the sample job —
+#: measured flat wall / +0.1 s CPU, reverted) nor to materialize-once
+#: tables whose first action is the caller's (lazy there would just
+#: shift the build into the timed probe, saving nothing).
+_CKPT_EAGER = False
+
 #: Previous invocation's persisted token base (unpersisted on the next
 #: call — the HITS §12 rule: never leak DISK_ONLY caches across runs).
 _FUNNEL_CACHE: DataFrame | None = None
@@ -1567,7 +1582,11 @@ def _cc_twostar_components(pairs: DataFrame) -> DataFrame:
         ).collect()[0]
         return r["n"], r["h"]
 
-    E = _cc_canon(pairs).localCheckpoint()
+    # eager=_CKPT_EAGER (False): the _edge_stats agg right below (and,
+    # per round, the one for E2) computes every partition anyway, so the
+    # lazy checkpoint materializes inside that job — fusing the former
+    # checkpoint job + cached re-read into ONE pass over the edge set.
+    E = _cc_canon(pairs).localCheckpoint(eager=_CKPT_EAGER)
     n, h = _edge_stats(E)
     # Size the loop's shuffle partitions from the OBSERVED edge count
     # (~100k edges per task, floor 8): each round is ~5 tiny shuffles,
@@ -1585,7 +1604,7 @@ def _cc_twostar_components(pairs: DataFrame) -> DataFrame:
         for _ in range(16):
             E2 = _cc_canon(
                 _cc_small_star(_cc_large_star(E))
-            ).localCheckpoint()
+            ).localCheckpoint(eager=_CKPT_EAGER)
             # exact fixpoint test at half the cost of a symmetric diff:
             # exceptAll(E2, E) empty means every E2 row (with
             # multiplicity) occurs in E; with equal counts that IS

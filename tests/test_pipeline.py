@@ -574,6 +574,42 @@ def test_cc_twostar_screened_fixpoint_chain(spark):
     assert out == {(i, 100) for i in range(100, 141)}
 
 
+def test_ckpt_fusion_value_neutral(spark, sf_dir):
+    """r15: the checkpoint/action fusion (lazy localCheckpoint
+    materialized by the per-round driver action, pipeline._CKPT_EAGER
+    = False) must be value-identical to the eager r14 form at both
+    fused loop sites — the CC fixpoint and the BPE trainer — and the
+    fused form must be the shipped default."""
+    from migbq_spark.operators import pipeline, training
+    from migbq_spark.operators.pipeline import _cc_twostar_components
+    from migbq_spark.operators.training import _bpe_train
+
+    assert pipeline._CKPT_EAGER is False
+    assert training._CKPT_EAGER is False
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 25)] + [(50, 52), (52, 54)],
+        "u: long, v: long",
+    )
+    results, merge_tables = [], []
+    for eager in (True, False):
+        pipeline._CKPT_EAGER = eager
+        training._CKPT_EAGER = eager
+        try:
+            results.append(
+                {
+                    (r.doc_id, r.component_id)
+                    for r in _cc_twostar_components(edges).collect()
+                }
+            )
+            merge_tables.append(_bpe_train(spark, sf_dir, n_merges=4)[0])
+        finally:
+            pipeline._CKPT_EAGER = False
+            training._CKPT_EAGER = False
+    assert results[0] == results[1]
+    assert merge_tables[0] == merge_tables[1]
+
+
 def test_minhash_merge_equals_full_recompute(spark, sf_dir):
     """r5: merged base+delta signatures must equal a one-shot full
     aggregation (min-monoid mergeability) computed Spark-side too."""
