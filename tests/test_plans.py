@@ -235,6 +235,20 @@ _PY_ALLOWED = {
     # order-free).  Pinned by test_gram_kernel_*.
     "embedding_gram_matrix",
     "embedding_pca_power_iter",
+    # r15 session 5: the co-purchase C(basket,2) pair fan is a DECLARED
+    # vectorized Arrow kernel (guide §4.2: the codegen nested-transform
+    # explode allocated a boxed array-of-arrays per basket row; measured
+    # interleaved CPU 3.18 -> 2.39 s sf0.1 / 55.1 -> 31.2 s sf1,
+    # identical 3573 / 35730 edges).  Shared via _copurchase_edges +
+    # triangle_count_copurchase, so the whole graph family carries the
+    # one MapInArrow node.  Pinned by test_pair_fan_kernel_*.
+    "triangle_count_copurchase",
+    "clustering_coeff_per_node",
+    "label_prop_communities",
+    "kcore_peel_rounds",
+    "jaccard_node_similarity",
+    "adamic_adar_link_pred",
+    "degree_assortativity",
 }
 # Skipped in the sweep: plan construction would execute side effects
 # (streaming drains, sink writes, JDBC, driver-loop iteration) already
@@ -614,6 +628,68 @@ def test_gram_kernel_values_match_bruteforce():
     try:
         list(_gram_partial_kernel(iter(bad)))
         raise AssertionError("expected ValueError on non-int64 input")
+    except ValueError:
+        pass
+
+
+def test_pair_fan_kernel_plan_shape(spark, sf_dir):
+    """r15 session-5 plan contract for the co-purchase graph family:
+    the C(basket,2) pair fan is ONE ArrowMapInArrow/PythonMapInArrow
+    kernel — never the nested-transform explode (Generate over the
+    flatten(transform(...)) expression) it replaced."""
+    from migbq_spark.operators.analytics import _copurchase_edges
+
+    # every registered consumer checkpoints the edge table eagerly, so
+    # declared plans show the checkpoint scan — pin the kernel on the
+    # shared builder's own lineage
+    p = _plan(_copurchase_edges(spark, sf_dir))
+    assert "MapInArrow" in p, p
+    assert "flatten(transform" not in p, p
+    p = _plan(Q["adamic_adar_link_pred"](spark, sf_dir))
+    assert "ExistingRDD" in p, p
+
+
+def test_pair_fan_kernel_values_match_bruteforce():
+    """The kernel's packed pair keys must equal the brute-force
+    C(basket,2) enumeration — across mixed basket lengths, a basket
+    shorter than 2 (filtered upstream but the kernel must tolerate it),
+    and an empty batch — and a float-upcast (null part key) batch must
+    fail loudly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from migbq_spark.operators.analytics import _pair_fan_kernel
+
+    rng = np.random.default_rng(5)
+    baskets = [
+        sorted(rng.choice(100000, size=n, replace=False).tolist())
+        for n in (2, 5, 3, 17, 2, 9, 1, 4)
+    ]
+    arr = pa.array(baskets, type=pa.list_(pa.int64()))
+    batches = [
+        pa.record_batch([arr], names=["ps"]),
+        pa.record_batch([pa.array([], type=pa.list_(pa.int64()))], ["ps"]),
+    ]
+    got = sorted(
+        k
+        for b in _pair_fan_kernel(iter(batches))
+        for k in b.column(0).to_pylist()
+    )
+    exp = sorted(
+        x * 4294967296 + y
+        for ps in baskets
+        for i, x in enumerate(ps)
+        for y in ps[i + 1 :]
+    )
+    assert got == exp
+    bad = [
+        pa.record_batch(
+            [pa.array([[1, None, 3]], type=pa.list_(pa.int64()))], ["ps"]
+        )
+    ]
+    try:
+        list(_pair_fan_kernel(iter(bad)))
+        raise AssertionError("expected ValueError on null part key")
     except ValueError:
         pass
 
