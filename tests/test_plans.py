@@ -669,6 +669,9 @@ def test_pair_fan_kernel_values_match_bruteforce():
     batches = [
         pa.record_batch([arr], names=["ps"]),
         pa.record_batch([pa.array([], type=pa.list_(pa.int64()))], ["ps"]),
+        # a SLICED list column: offsets start past 0 but still index the
+        # full values child — the kernel must honor the slice view
+        pa.record_batch([arr.slice(2, 3)], names=["ps"]),
     ]
     got = sorted(
         k
@@ -677,7 +680,7 @@ def test_pair_fan_kernel_values_match_bruteforce():
     )
     exp = sorted(
         x * 4294967296 + y
-        for ps in baskets
+        for ps in baskets + baskets[2:5]
         for i, x in enumerate(ps)
         for y in ps[i + 1 :]
     )
